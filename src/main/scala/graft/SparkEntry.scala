@@ -1,13 +1,155 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.embed.DeterministicEmbedder
+import graft.index.VectorIndex
+import graft.queries.GraftQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: build a vector index over the
+    * embeddings table (the reference's delta-sync index analog) and answer a
+    * top-5 similarity search — the reference's core query path
+    * (`Nomic MultiModal Retrieval.py:380-390`) end-to-end. */
+  def entry(spark: SparkSession): DataFrame = {
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = VectorIndex.build(src, name = "flagship", primaryKey = "vec_id",
+      vectorCol = "embedding")
+    val qv = new DeterministicEmbedder(idx.dim).forQuery("spark vector search")
+    idx.search(qv, k = 5, columns = Seq("label"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 / §2.4. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    GraftQueries.all
+
+  /** DuckDB-equivalent SQL per query (same column names and value types).
+    * Queries absent here (minhash/simhash/langid/semantic/ivf/hybrid/
+    * multimodal) are not SQL-expressible — driver records rows-only. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_base_price,
+         sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         avg(l_extendedprice) AS avg_price,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+         sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q06_distinct_agg" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+         CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q07_set_ops" ->
+      """SELECT 'both' AS tag, k FROM
+           (SELECT c_nationkey AS k FROM customer
+            INTERSECT SELECT s_nationkey AS k FROM supplier)
+         UNION ALL
+         SELECT 'cust_only' AS tag, k FROM
+           (SELECT c_nationkey AS k FROM customer
+            EXCEPT SELECT s_nationkey AS k FROM supplier)""",
+    "q08_regex" ->
+      """SELECT p_partkey,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         regexp_replace(p_name, '\s+', '_', 'g') AS slug
+         FROM part""",
+    "q09_json_events" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
+         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+         sum(value) AS sum_value
+         FROM events GROUP BY event_type""",
+    "q10_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value
+         FROM events GROUP BY 1""",
+    "q11_vec_topk" ->
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q12_knn_join" ->
+      """SELECT query_id, vec_id, score, rnk FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id < 5 AND a.vec_id <> b.vec_id) WHERE rnk <= 3""",
+    "q13_embed_dedup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) > 0.45""",
+    "q14_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS keeper,
+         CAST(count(*) AS BIGINT) AS group_size
+         FROM documents GROUP BY lang, source""",
+    "q15_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+         FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+         WHERE len(list_distinct(list_concat(a.w, b.w))) > 0
+           AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) >= 0.9""",
+    "q16_text_quality" ->
+      """WITH tok AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             CAST(len(list_filter(toks,
+               x -> list_contains(['the', 'a'], lower(x)))) AS DOUBLE) /
+             len(toks) END AS stopword_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+             len(toks) END AS mean_tok_len
+         FROM tok""",
+    "q17_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         avg(n_chars) AS avg_chars
+         FROM documents GROUP BY lang""",
+    "q18_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents""",
+    "q19_binary_scan" ->
+      """SELECT regexp_replace(filename, '^file:', '') AS path,
+         CAST(size AS BIGINT) AS length
+         FROM read_blob('/root/testdata/sf0.01/*.parquet')""")
 }

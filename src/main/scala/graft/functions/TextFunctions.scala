@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data-pipeline surface: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting, and
+  * shingling for the dedup family. All Column-level (codegen-able built-ins
+  * or higher-order functions) — no UDFs on the hot path.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text gives an empty array (Spark's
+    * `split("", ws)` would give `[""]`, which we filter). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word runs and individual punctuation marks,
+    * approximating a subword tokenizer's pre-tokenization pass. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to all characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text).cast("double")
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") / n)
+  }
+
+  /** Default English-ish stopword list used by quality scoring. */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val sw = array(stopwords.map(lit): _*)
+    when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(sw, lower(t)))).cast("double") / n)
+  }
+
+  /** Mean token length in characters (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    when(n === 0, 0.0).otherwise(
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double")) / n)
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * moderate stopword density — the standard cheap pre-filter for LLM
+    * training corpora. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthOk = when(nTok >= 10 && nTok <= 100000, 1.0).otherwise(nTok / 10.0)
+    val punctOk = lit(1.0) - least(punctRatio(text) * 2.0, lit(1.0))
+    val swr = stopwordRatio(text)
+    val swOk = lit(1.0) - abs(swr - 0.4)
+    least(lengthOk, lit(1.0)) * 0.4 + punctOk * 0.3 + greatest(swOk, lit(0.0)) * 0.3
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Public-knowledge function words only. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "que", "no"),
+    "it" -> Seq("il", "la", "che", "e", "di", "un", "per", "non"),
+    "pt" -> Seq("o", "a", "os", "e", "de", "um", "para", "nao"))
+
+  /** Language-ID heuristic: argmax over per-language stopword hit counts,
+    * "und" (undetermined) when nothing matches. Deterministic tie-break by
+    * language code. */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower _)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val wl = array(words.map(lit): _*)
+      struct((-size(filter(toks, t => array_contains(wl, t)))).as("neghits"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*)).getItem(0)
+    when(best.getField("neghits") < 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Stable 128-bit content fingerprint (hex) for exact dedup; md5 keeps the
+    * DuckDB oracle bit-identical. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit rolling polynomial fingerprint over characters — base-31 mod
+    * 2^40 left fold, matching [[RollingHash.fingerprint]] exactly. */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(1099511627776L)))
+
+  /** Word n-gram shingles ("a b c" for n=3), for MinHash / Jaccard dedup. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val k = size(toks)
+    when(k < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), k - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles, for near-dup on short/no-whitespace text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val len = length(text)
+    when(len < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), len - n + 1),
+        i => substring(text, i, lit(n))))
+  }
+
+  /** Jaccard similarity of the distinct-element sets of two array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+}
+
+/** Executor-side rolling-hash mirror of [[TextFunctions.fingerprintRolling]]
+  * (unit-tested for agreement). */
+object RollingHash {
+  val Mod: Long = 1L << 40
+
+  def fingerprint(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = java.lang.Math.floorMod(acc * 31L + s.charAt(i).toLong, Mod)
+      i += 1
+    }
+    acc
+  }
+}

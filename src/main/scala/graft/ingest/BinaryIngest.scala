@@ -1,0 +1,83 @@
+package graft.ingest
+
+import graft.embed.Embedder
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File ingestion: binary-file scan -> normalized multimodal table -> dense
+  * ids -> distributed embedding (the reference's `NB:160-163` + `NB:224-272`
+  * pipeline, with the driver-side embed loop redesigned executor-side —
+  * the reference itself flags that loop as non-production, `NB:235`).
+  */
+object BinaryIngest {
+
+  /** Binary-file scan with filename predicate pushed into file listing
+    * (`NB:161`) and scheme prefix stripped from `path` (`NB:162` strips
+    * `dbfs:`; we strip any `scheme:`). Schema: path, modificationTime,
+    * length, content. */
+  def scan(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .withColumn("path", regexp_replace(col("path"), "^[a-z]+:", ""))
+
+  /** Persist as a managed table, overwrite (`NB:163`). */
+  def saveAsTable(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").saveAsTable(table)
+
+  /** Dense sequential ids in path order (`NB:236-237`'s `enumerate`,
+    * distributed): row_number over a global path sort. The global sort is a
+    * range shuffle — acceptable because id assignment runs once per ingest;
+    * downstream joins use the id, not the order. */
+  def withDenseIds(df: DataFrame, idCol: String = "image_id"): DataFrame =
+    df.withColumn(idCol,
+      row_number().over(Window.orderBy(col("path"))).cast("long") - 1)
+
+  /** Distributed embedding: model instantiated once per partition
+    * (mapPartitions), rows with failed decodes dropped (`NB:211-213, 239`).
+    * Output schema matches the reference's embeddings table
+    * (`NB:261-272`) plus a `version` watermark column (CDF analog,
+    * `NB:278`). */
+  def embedImages(df: DataFrame, embedder: Embedder, version: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("image_id", LongType, nullable = false),
+      StructField("filepath", StringType, nullable = true),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
+      StructField("version", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex("image_id")
+    val pathIdx = df.schema.fieldIndex("path")
+    val contentIdx = df.schema.fieldIndex("content")
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      // embedder deserialized once per partition — the model-per-partition
+      // amortization the reference's driver loop lacks (NB:233-247)
+      rows.flatMap { r =>
+        val content = r.getAs[Array[Byte]](contentIdx)
+        embedder.embedImage(content).map { vec =>
+          Row(r.getLong(idIdx), r.getString(pathIdx), vec.toSeq, version)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Embed a text column executor-side, same per-partition amortization. */
+  def embedText(df: DataFrame, embedder: Embedder, textCol: String,
+      pk: String, version: Long = 0L): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
+      StructField("version", LongType, nullable = false)))
+    val pkIdx = df.schema.fieldIndex(pk)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val vec = embedder.embedText(Option(r.getString(txtIdx)).getOrElse(""))
+        Row(r.getLong(pkIdx), vec.toSeq, version)
+      }
+    }(encoder)
+  }
+}

@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, the self-join
+  * generalization of the reference's similarity search
+  * (`Nomic MultiModal Retrieval.py:380-390`; SURVEY §2.4).
+  *
+  * Every variant follows the same scale shape: (1) map each row to compact
+  * keys/signatures (map-only, no shuffle); (2) group or join on those keys so
+  * only *candidate* pairs meet (the one shuffle, on short keys — never on
+  * full text/vectors); (3) verify candidates exactly; (4) pick a canonical
+  * representative per duplicate group (min pk). At 100 TB the candidate-join
+  * cardinality, not the corpus size, is the cost driver — bands/buckets keep
+  * it near-linear.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the min-pk row per distinct key. One hash shuffle on
+    * the (hashed) key; map-side partial aggregation applies. */
+  def exact(df: DataFrame, pk: String, keyCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(pk))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dedup survivors by content fingerprint (md5 of a text column) —
+    * groups by 128-bit digest instead of raw text so the shuffle carries 16
+    * bytes per row, not documents. */
+  def exactByFingerprint(df: DataFrame, pk: String, textCol: String): DataFrame =
+    exact(df, pk, Seq(fingerprintMd5(col(textCol))))
+
+  /** Candidate pairs `(pk_a, pk_b, jaccard)` with word-`n`-gram Jaccard above
+    * `threshold`. Blocking: pairs must share at least one shingle (exploded
+    * inverted index), so the join is on `shingle`, never a cross product.
+    * `pk_a < pk_b` canonicalizes pairs. */
+  def ngramJaccardPairs(df: DataFrame, pk: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(pk).as("id"),
+      array_distinct(wordShingles(col(textCol), n)).as("sh"))
+    val inv = sh.select($"id", explode($"sh").as("s"))
+    val cand = inv.as("a").join(inv.as("b"),
+        $"a.s" === $"b.s" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+    cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** MinHash signatures: `numHashes` permutations via splitmix64-salted
+    * xxhash64 of each shingle; signature = per-salt min. Map-only. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val hashes = (0 until numHashes).map { i =>
+      aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(i))))
+    }
+    array(hashes: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: signatures banded into
+    * `bands`; pairs sharing any band bucket are candidates, then verified
+    * with true word-shingle Jaccard. The classic banding S-curve:
+    * P(candidate) = 1 - (1 - j^r)^b for Jaccard j, r = hashes/band. */
+  def minhashPairs(df: DataFrame, pk: String, textCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val sh = df.select(col(pk).as("id"),
+      array_distinct(wordShingles(col(textCol), n)).as("sh"))
+      .filter(size($"sh") > 0)
+    val sig = sh.withColumn("sig", minhashSignature($"sh", numHashes))
+    // band buckets: (bandIdx, hash(slice of signature))
+    val banded = sig.select($"id", $"sh", posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice($"sig", b * rows + 1, rows)), lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        $"a.sh".as("sh_a"), $"b.sh".as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** 64-bit SimHash of a token multiset: sign-sum of per-token xxhash64 bits.
+    * Near-dup pairs = signatures within `maxHamming`. Banding on 16-bit
+    * chunks (pigeonhole: hamming <= 3 means at least one of 4 chunks equal)
+    * keeps the candidate join linear. */
+  def simhash(tokensCol: Column): Column = {
+    val bitSums = (0 until 64).map { b =>
+      aggregate(tokensCol, lit(0),
+        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (s, b) =>
+      when(s > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with pigeonhole banding on 4 x 16-bit chunks. */
+  def simhashPairs(df: DataFrame, pk: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(pk).as("id"),
+      simhash(tokens(col(textCol))).as("sig"))
+    val banded = sigs.select($"id", $"sig", posexplode(array((0 until 4).map(c =>
+      shiftright($"sig", c * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    banded.as("a").join(banded.as("b"),
+        $"a.chunk" === $"b.chunk" && $"a.piece" === $"b.piece" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        hamming64($"a.sig", $"b.sig").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine above `threshold`. Exact mode scores
+    * all pairs (only for modest N or as the verification oracle); the scale
+    * path pre-buckets with random hyperplane signs (LSH) so only same-bucket
+    * pairs are scored. Vectors must be unit-norm. */
+  def embeddingPairsExact(df: DataFrame, pk: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), $"a.id" < $"b.id")
+      .withColumn("score", cosineUnit($"a.v", $"b.v"))
+      .filter($"score" > threshold)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"score")
+  }
+
+  /** Scale path: random-hyperplane sign buckets; pairs agreeing on all
+    * `planes` signs meet, then exact cosine verify. Recall tunable via
+    * multiple tables (union of `tables` independent bucketings). */
+  def embeddingPairsLsh(df: DataFrame, pk: String, vecCol: String,
+      threshold: Double, planes: Int = 8, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val rng = new scala.util.Random(seed)
+    val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
+    val bucketed = (0 until tables).map { t =>
+      val planeCols = (0 until planes).map { _ =>
+        val plane = Array.fill(dim)(rng.nextGaussian().toFloat)
+        when(cosineUnit($"v", vecLit(plane)) >= 0, "1").otherwise("0")
+      }
+      v.withColumn("table", lit(t))
+        .withColumn("bucket", concat(planeCols: _*))
+    }.reduce(_ unionByName _)
+    bucketed.as("a").join(bucketed.as("b"),
+        $"a.table" === $"b.table" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"a.v".as("va"), $"b.v".as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("score", cosineUnit($"va", $"vb"))
+      .filter($"score" > threshold)
+      .select($"id_a", $"id_b", $"score")
+  }
+
+  /** Collapse duplicate pairs into groups and keep one representative per
+    * group: iterative min-label propagation (connected components) — each
+    * round every node adopts the smallest pk reachable in one hop; converges
+    * in O(log(diameter)) rounds. Returns `df` minus non-representative rows. */
+  def dropDuplicates(df: DataFrame, pk: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val edges = pairs.select($"id_a", $"id_b")
+      .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .distinct().persist()
+    var labels = edges.select($"id_a".as("id"))
+      .union(edges.select($"id_b".as("id"))).distinct()
+      .withColumn("label", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val merged = labels.join(next, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = merged.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = merged
+      converged = changed == 0
+      i += 1
+    }
+    val victims = labels.filter(col("id") =!= col("label")).select(col("id"))
+    df.join(victims, df(pk) === victims("id"), "left_anti")
+  }
+}

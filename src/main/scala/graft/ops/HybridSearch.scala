@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid (keyword + vector) retrieval — the reference declares but disables
+  * this (`query_type="hybrid"` commented at `Nomic MultiModal
+  * Retrieval.py:386-387`); we implement it.
+  *
+  * Keyword side: BM25 over whitespace tokens (doc frequencies computed with
+  * one aggregation; the tiny query-term DF map is broadcast back). Vector
+  * side: exact cosine. Fusion: reciprocal-rank fusion
+  * `1/(k0 + rank)` summed over both rankings — the standard service-side
+  * formula, rank-based so the two score scales never need calibration.
+  */
+object HybridSearch {
+
+  /** BM25 scores for one query string over a text corpus. Returns
+    * `(pk, bm25)` for docs matching at least one term. */
+  def bm25(corpus: DataFrame, pk: String, textCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val toks = corpus.select(col(pk).as("id"),
+      TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size($"toks").cast("double"))
+      .persist()
+    val n = toks.count().toDouble
+    val avgdl = toks.agg(avg($"dl")).head().getDouble(0)
+    // doc frequency per query term (one small agg; result broadcast as a map)
+    val dfs = terms.map { t =>
+      t -> toks.filter(array_contains($"toks", t)).count().toDouble
+    }.toMap
+    val scoreCols = terms.flatMap { t =>
+      val df = dfs(t)
+      if (df == 0) None
+      else {
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val tf = size(filter($"toks", x => x === t)).cast("double")
+        Some(lit(idf) * tf * (k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / avgdl)))
+      }
+    }
+    val total = if (scoreCols.isEmpty) lit(0.0) else scoreCols.reduce(_ + _)
+    toks.withColumn("bm25", total).filter($"bm25" > 0).select($"id", $"bm25")
+  }
+
+  /** Reciprocal-rank fusion of a keyword ranking and a vector ranking.
+    * `corpus` must carry both `textCol` and unit-norm `vecCol`. */
+  def search(corpus: DataFrame, pk: String, textCol: String, vecCol: String,
+      query: String, queryVec: Array[Float], k: Int = 5,
+      k0: Double = 60.0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val kw = bm25(corpus, pk, textCol, query)
+      .withColumn("kw_rank", row_number().over(Window.orderBy(desc("bm25"), $"id")))
+    val vs = corpus.select(col(pk).as("id"),
+        cosineUnit(col(vecCol), vecLit(queryVec)).as("vscore"))
+      .withColumn("v_rank", row_number().over(Window.orderBy(desc("vscore"), $"id")))
+    kw.join(vs, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + $"kw_rank"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0) + $"v_rank"), lit(0.0)))
+      .orderBy(desc("rrf"), $"id")
+      .limit(k)
+  }
+}

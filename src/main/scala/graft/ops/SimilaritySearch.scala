@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search as first-class relational operators over an
+  * `array<float>` embedding column (the reference's `similarity_search`,
+  * `Nomic MultiModal Retrieval.py:380-390`, generalized per SURVEY §2.4).
+  *
+  * Scale design: the query side is always the small side — broadcast it.
+  * Corpus-side scoring is map-only (no shuffle); per-query top-k uses a
+  * rank-over-window only when there are multiple queries, otherwise
+  * `TakeOrderedAndProject`. The IVF variant prunes the corpus to the
+  * closest centroid partitions before scoring, the standard ANN recall/cost
+  * trade.
+  */
+object SimilaritySearch {
+
+  /** Single-query exact top-k: broadcast scalar query vector, map-only
+    * scoring, per-partition heaps (`TakeOrderedAndProject`). */
+  def topK(corpus: DataFrame, pk: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    corpus.withColumn("score", cosineUnit(col(vecCol), vecLit(query)))
+      .orderBy(desc("score"), col(pk))
+      .limit(k)
+      .drop(vecCol)
+
+  /** Multi-query exact k-NN join: broadcast the (small) query relation
+    * against the corpus, score map-side, rank per query. Deterministic
+    * tie-break on corpus pk. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, qPk: String,
+      cPk: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(qPk).as("query_id"), col(vecCol).as("__qv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("score", cosineUnit(col(vecCol), $"__qv"))
+    val w = Window.partitionBy($"query_id").orderBy(desc("score"), col(cPk))
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .drop("__qv", vecCol)
+  }
+
+  /** Threshold similarity join (all pairs above `minScore`), query side
+    * broadcast. */
+  def thresholdJoin(queries: DataFrame, corpus: DataFrame, qPk: String,
+      cPk: String, vecCol: String, minScore: Double): DataFrame = {
+    val q = queries.select(col(qPk).as("query_id"), col(vecCol).as("__qv"))
+    corpus.crossJoin(broadcast(q))
+      .withColumn("score", cosineUnit(col(vecCol), col("__qv")))
+      .filter(col("score") >= minScore)
+      .drop("__qv", vecCol)
+  }
+
+  /** IVF (inverted-file) index: kmeans-lite centroids computed from a
+    * sample, every corpus row assigned to its nearest centroid. Search
+    * probes only `nProbe` closest centroid cells — at 100 TB this is the
+    * difference between scanning the corpus and scanning ~nProbe/nCells of
+    * it. Returns the corpus with a `cell` column, plus the centroids. */
+  def ivfBuild(corpus: DataFrame, pk: String, vecCol: String,
+      nCells: Int = 16, seed: Long = 42L): (DataFrame, Array[Array[Float]]) = {
+    // centroid init: deterministic sample, then one Lloyd step executor-side
+    val sample = corpus.select(col(vecCol)).orderBy(xxhash64(col(pk), lit(seed)))
+      .limit(nCells * 8).collect().map(_.getSeq[Float](0).toArray)
+    val init = sample.take(nCells)
+    val assigned = sample.map { v =>
+      (init.indices.minBy(i => -dot(v, init(i))), v)
+    }
+    val centroids = assigned.groupBy(_._1).map { case (c, vs) =>
+      val dim = vs.head._2.length
+      val acc = new Array[Float](dim)
+      vs.foreach { case (_, v) => var i = 0; while (i < dim) { acc(i) += v(i); i += 1 } }
+      var i = 0
+      while (i < dim) { acc(i) /= vs.length; i += 1 }
+      c -> l2Normalize(acc)
+    }
+    val cents = (0 until nCells).map(i => centroids.getOrElse(i, init(i))).toArray
+    val centExprs = cents.zipWithIndex.map { case (c, i) =>
+      struct((-cosineUnit(col(vecCol), vecLit(c))).as("negscore"), lit(i).as("cell"))
+    }
+    val indexed = corpus.withColumn("cell",
+      sort_array(array(centExprs: _*)).getItem(0).getField("cell"))
+    (indexed, cents)
+  }
+
+  /** IVF probe: score only rows in the `nProbe` cells closest to the query.
+    * Cell pruning happens before any vector math touches the corpus. */
+  def ivfSearch(indexed: DataFrame, centroids: Array[Array[Float]],
+      pk: String, vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val probeCells = centroids.indices
+      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+    indexed.filter(col("cell").isin(probeCells: _*))
+      .withColumn("score", cosineUnit(col(vecCol), vecLit(query)))
+      .orderBy(desc("score"), col(pk))
+      .limit(k)
+      .drop(vecCol)
+  }
+}

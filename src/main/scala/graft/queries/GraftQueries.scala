@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.embed.DeterministicEmbedder
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.ingest.BinaryIngest
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, HybridSearch, SimilaritySearch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The operator inventory (SURVEY.md §2 + §2.4 north-star ops), one query per
+  * operator, each paired with ANSI SQL for the DuckDB oracle in
+  * [[Oracle.sql]]. Column names and value types are aligned on both sides
+  * (aggregates aliased identically; integral aggregates cast to BIGINT;
+  * timestamps rendered as strings) so the driver's sorted-hash compare is
+  * meaningful.
+  *
+  * Scale notes are inline per query — small dims broadcast, scoring map-only,
+  * shuffles only on short keys.
+  */
+object GraftQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long (`ts_ns`) and expose a micros timestamp. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Literal cast to a column's own (timestamp) type so comparisons stay
+    * pushdown-friendly whether parquet read as TIMESTAMP or TIMESTAMP_NTZ. */
+  private def tsLit(df: DataFrame, colName: String, v: String): Column =
+    lit(v).cast(df.schema(colName).dataType)
+
+  // ------------------------------------------------------------ relational
+
+  /** O5/O7-level agg pipeline (TPC-H Q1 shape): map-side partial agg, one
+    * shuffle on a 2-value key. */
+  def q01AggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Predicate-pushdown scan (TPC-H Q6 shape): every predicate reaches the
+    * parquet reader; result is a single map-side-combinable sum. */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") >= tsLit(li, "l_shipdate", "1996-01-01 00:00:00")
+        && col("l_shipdate") < tsLit(li, "l_shipdate", "1997-01-01 00:00:00")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  /** 3-way join: customer (small) broadcast into orders⋈lineitem; the only
+    * shuffle is lineitem⋈orders on orderkey. */
+  def q03JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject, no full sort. */
+  def q04TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Window rank per group (top-3 orders per customer). */
+  def q05WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  /** Distinct aggregation (expand-based two-phase distinct). */
+  def q06DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+
+  /** Set operations: INTERSECT and EXCEPT over nation keys. */
+  def q07SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+    c.intersect(s).withColumn("tag", lit("both"))
+      .unionByName(c.except(s).withColumn("tag", lit("cust_only")))
+      .select(col("tag"), col("k"))
+  }
+
+  /** Regex projection (O4's regexp_replace + the imported-but-unused
+    * regexp_extract, `NB:64-65, 162`). */
+  def q08Regex(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      regexp_replace(col("p_name"), "\\s+", "_").as("slug"))
+
+  /** JSON scalar extraction over the events property bag. */
+  def q09JsonEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("k")).as("avg_k"),
+        max(col("k")).as("max_k"),
+        sum(col("value")).as("sum_value"))
+
+  /** Event-time bucketing (streaming-style tumbling window, batch form);
+    * hour rendered as string so engines' timestamp internals never meet. */
+  def q10HourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  // ---------------------------------------------------------------- vector
+
+  /** Exact top-k similarity search (O24): query vector = corpus row 0,
+    * broadcast; scoring map-only; TakeOrderedAndProject. */
+  def q11VecTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("score", cosineUnit(col("embedding"), col("__qv")))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("score"))
+  }
+
+  /** Multi-query exact k-NN join (§2.4 similarityJoin): 5 query vectors
+    * broadcast, per-query rank, self-matches excluded. */
+  def q12KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score", cosineUnit(col("embedding"), col("__qv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rnk"))
+  }
+
+  /** Embedding near-dup pairs (§2.4 dedup, exact oracle mode). */
+  def q13EmbedDedupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsExact(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.45)
+
+  // ------------------------------------------------------------------ text
+
+  /** Exact dedup groups: canonical representative (min pk) per key. */
+  def q14DedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** Word-set Jaccard near-dup pairs with inverted-index blocking. */
+  def q15JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 1, threshold = 0.9)
+
+  /** Text quality metrics: token counts, stopword ratio, mean token length. */
+  def q16TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+      stopwordRatio(col("text"), Seq("the", "a")).as("stopword_ratio"),
+      meanTokenLen(col("text")).as("mean_tok_len"))
+  }
+
+  /** Corpus stats by language (language-distribution report). */
+  def q17LangStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        avg(col("n_chars")).as("avg_chars"))
+
+  /** Content fingerprinting (md5 — oracle-matchable; the rolling-hash
+    * variant is unit-tested instead). */
+  def q18Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      fingerprintMd5(col("text")).as("fp"))
+
+  // ------------------------------------------- sources / multimodal / misc
+
+  /** Binary-file scan (O3) + scheme strip (O4): reads the sf0.01 parquet
+    * files themselves as opaque binaries. Path is pinned to the t2 fixture
+    * dir in BOTH engines (the oracle SQL is static text). */
+  def q19BinaryScan(spark: SparkSession, dir: String): DataFrame =
+    BinaryIngest.scan(spark, "/root/testdata/sf0.01", "*.parquet")
+      .select(col("path"), col("length"))
+
+  // ------------------------------------------------ no-oracle (rows-only)
+
+  /** MinHash-LSH near-dup pairs (hash family not reproducible in the
+    * oracle; validated by its own spec against exact Jaccard). */
+  def q20MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 1, numHashes = 16, bands = 8, threshold = 0.9)
+
+  /** SimHash near-dup pairs. */
+  def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 6)
+
+  /** Language-ID heuristic over document text. */
+  def q22LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+
+  /** Semantic search end-to-end: documents embedded executor-side
+    * (deterministic featurizer), query embedded with the task prefix
+    * (`NB:399`), exact top-k. */
+  def q23SemanticTopk(spark: SparkSession, dir: String): DataFrame = {
+    val embedder = new DeterministicEmbedder(64)
+    val docs = BinaryIngest.embedText(
+      t(spark, dir, "documents"), embedder, "text", "doc_id")
+    SimilaritySearch.topK(docs, "doc_id", "embedding",
+      embedder.forQuery("spark vector join"), k = 10)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** IVF (cell-pruned) ANN search. */
+  def q24IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val (indexed, cents) = SimilaritySearch.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    SimilaritySearch.ivfSearch(indexed, cents, "vec_id", "embedding", qv,
+      k = 10, nProbe = 3).select(col("vec_id"), col("score"))
+  }
+
+  /** Hybrid keyword+vector retrieval (O25, reciprocal-rank fusion). */
+  def q25Hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val embedder = new DeterministicEmbedder(64)
+    val docs = t(spark, dir, "documents")
+    val withVec = BinaryIngest.embedText(docs, embedder, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    HybridSearch.search(withVec, "doc_id", "text", "embedding",
+      "spark vector join", embedder.forQuery("spark vector join"), k = 10)
+      .select(col("id").as("doc_id"), col("rrf"))
+  }
+
+  /** Multimodal metadata decode over binary rows (stubbed codec, real
+    * partition-batched plumbing). */
+  def q26ImageMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withImageMeta(
+        BinaryIngest.scan(spark, "/root/testdata/sf0.01", "*.parquet"))
+      .select(col("path"), col("image_meta.width").as("width"),
+        col("image_meta.height").as("height"))
+
+  // --------------------------------------------------------------- wiring
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> (q01AggPricing _),
+    "q02_filter_pushdown" -> (q02FilterPushdown _),
+    "q03_join_agg" -> (q03JoinAgg _),
+    "q04_topk_orders" -> (q04TopkOrders _),
+    "q05_window_rank" -> (q05WindowRank _),
+    "q06_distinct_agg" -> (q06DistinctAgg _),
+    "q07_set_ops" -> (q07SetOps _),
+    "q08_regex" -> (q08Regex _),
+    "q09_json_events" -> (q09JsonEvents _),
+    "q10_hourly_events" -> (q10HourlyEvents _),
+    "q11_vec_topk" -> (q11VecTopk _),
+    "q12_knn_join" -> (q12KnnJoin _),
+    "q13_embed_dedup_pairs" -> (q13EmbedDedupPairs _),
+    "q14_dedup_exact" -> (q14DedupExact _),
+    "q15_jaccard_pairs" -> (q15JaccardPairs _),
+    "q16_text_quality" -> (q16TextQuality _),
+    "q17_lang_stats" -> (q17LangStats _),
+    "q18_fingerprint" -> (q18Fingerprint _),
+    "q19_binary_scan" -> (q19BinaryScan _),
+    "q20_minhash_pairs" -> (q20MinhashPairs _),
+    "q21_simhash_pairs" -> (q21SimhashPairs _),
+    "q22_lang_id" -> (q22LangId _),
+    "q23_semantic_topk" -> (q23SemanticTopk _),
+    "q24_ivf_topk" -> (q24IvfTopk _),
+    "q25_hybrid" -> (q25Hybrid _),
+    "q26_image_meta" -> (q26ImageMeta _))
+}
