@@ -1,0 +1,136 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * The higher-order-function formulations (`aggregate`/`zip_with`) are
+  * correct but interpreted — on an M x N similarity join they dominate
+  * runtime. These expressions generate tight Java loops inside whole-stage
+  * codegen. Semantics are identical: double accumulator, left-to-right
+  * fold (bit-stable vs the DuckDB oracle's `list_dot_product` on DOUBLE[]).
+  */
+
+/** Dot product of two float/double array columns as a double. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs array<float|double> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val get = (v: String, t: DataType) => t match {
+        case FloatType => s"(double)$v.getFloat(i)"
+        case _ => s"$v.getDouble(i)"
+      }
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of common elements between two ASC-sorted string arrays (linear
+  * merge). With distinct sorted shingle sets this gives exact Jaccard as
+  * `common / (|a| + |b| - common)` without building intersection arrays. */
+case class SortedCountCommon(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sorted_count_common needs array<string> inputs")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int i = 0, j = 0, c = 0;
+         |int an = $a.numElements(), bn = $b.numElements();
+         |while (i < an && j < bn) {
+         |  int cmp = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
+         |  if (cmp == 0) { c++; i++; j++; }
+         |  else if (cmp < 0) { i++; }
+         |  else { j++; }
+         |}
+         |${ev.value} = c;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedCountCommon =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+
+  def vecDot(a: Column, b: Column): Column =
+    column(VecDot(expression(a), expression(b)))
+
+  def sortedCountCommon(a: Column, b: Column): Column =
+    column(SortedCountCommon(expression(a), expression(b)))
+}

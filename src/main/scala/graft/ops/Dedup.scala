@@ -35,34 +35,54 @@ object Dedup {
     exact(df, pk, Seq(fingerprintMd5(col(textCol))))
 
   /** Candidate pairs `(pk_a, pk_b, jaccard)` with word-`n`-gram Jaccard above
-    * `threshold`. Blocking: pairs must share at least one shingle (exploded
-    * inverted index), so the join is on `shingle`, never a cross product.
-    * `pk_a < pk_b` canonicalizes pairs. */
+    * `threshold`. Blocking: size filtering — `jaccard >= t` forces
+    * `t*|b| <= |a| <= |b|/t`, so docs only meet partners whose distinct-set
+    * size is within the admissible band (equi-join on a smaller-side-emitted
+    * size bucket; each unordered pair is generated exactly once). The
+    * verification step is a codegen'd linear merge over the pre-sorted
+    * shingle sets — no per-pair set materialization.
+    *
+    * (An inverted-index-on-shingle blocker looks natural but degenerates to
+    * ~all-pairs x shingle-multiplicity when shingles are common — size
+    * blocking is robust to skewed shingle frequency.) */
   def ngramJaccardPairs(df: DataFrame, pk: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import graft.expressions.VectorExpressions.sortedCountCommon
+    val par = spark.sessionState.conf.numShufflePartitions
     val sh = df.select(col(pk).as("id"),
-      array_distinct(wordShingles(col(textCol), n)).as("sh"))
-    val inv = sh.select($"id", explode($"sh").as("s"))
-    val cand = inv.as("a").join(inv.as("b"),
-        $"a.s" === $"b.s" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
-    cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+        sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+      .withColumn("sz", size($"sh")).filter($"sz" > 0)
+      .repartition(par, $"id") // source may be a single small file
+    val probe = sh.withColumn("bucket",
+      explode(sequence($"sz", floor($"sz" / lit(threshold)).cast("int"))))
+    val cand = probe.as("a").join(sh.as("b"),
+      $"a.bucket" === $"b.sz" &&
+        ($"a.sz" < $"b.sz" || ($"a.sz" === $"b.sz" && $"a.id" < $"b.id")))
+    cand
+      .withColumn("common", sortedCountCommon($"a.sh", $"b.sh").cast("double"))
+      .withColumn("jaccard", $"common" / ($"a.sz" + $"b.sz" - $"common"))
       .filter($"jaccard" >= threshold)
-      .select($"id_a", $"id_b", $"jaccard")
+      .select(least($"a.id", $"b.id").as("id_a"),
+        greatest($"a.id", $"b.id").as("id_b"), $"jaccard")
   }
 
-  /** MinHash signatures: `numHashes` permutations via splitmix64-salted
-    * xxhash64 of each shingle; signature = per-salt min. Map-only. */
+  /** MinHash signatures in ONE pass over the shingle set: per shingle two
+    * 31-bit base hashes, the i-th permutation hash is `h1 + i*h2` (classic
+    * double hashing; bounded < 2^37 so ANSI-safe); signature = element-wise
+    * min. A per-permutation aggregate would rescan the set `numHashes`
+    * times. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val hashes = (0 until numHashes).map { i =>
-      aggregate(shingles, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, lit(i))))
-    }
-    array(hashes: _*)
+    val mask = lit((1L << 31) - 1)
+    aggregate(shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => {
+        val h1 = xxhash64(s).bitwiseAND(mask)
+        val h2 = xxhash64(s, lit(0x9e3779b9L)).bitwiseAND(mask).bitwiseOR(lit(1L))
+        zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+          (a, i) => least(a, h1 + i * h2))
+      })
   }
 
   /** MinHash-LSH near-dup candidate pairs: signatures banded into
@@ -70,26 +90,34 @@ object Dedup {
     * with true word-shingle Jaccard. The classic banding S-curve:
     * P(candidate) = 1 - (1 - j^r)^b for Jaccard j, r = hashes/band. */
   def minhashPairs(df: DataFrame, pk: String, textCol: String,
-      n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      n: Int = 3, numHashes: Int = 48, bands: Int = 6,
       threshold: Double = 0.7): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import graft.expressions.VectorExpressions.sortedCountCommon
+    val par = spark.sessionState.conf.numShufflePartitions
     val rows = numHashes / bands
     val sh = df.select(col(pk).as("id"),
-      array_distinct(wordShingles(col(textCol), n)).as("sh"))
-      .filter(size($"sh") > 0)
+        sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+      .withColumn("sz", size($"sh")).filter($"sz" > 0)
+      .repartition(par, $"id")
+      .persist()
     val sig = sh.withColumn("sig", minhashSignature($"sh", numHashes))
-    // band buckets: (bandIdx, hash(slice of signature))
-    val banded = sig.select($"id", $"sh", posexplode(
+    // band buckets carry ONLY ids through the self-join — shingle sets are
+    // re-attached to the (much smaller) verified candidate set afterwards
+    val banded = sig.select($"id", posexplode(
       array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice($"sig", b * rows + 1, rows)), lit(b))): _*)))
+        xxhash64(slice($"sig", b * rows + 1, rows), lit(b))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-        $"a.sh".as("sh_a"), $"b.sh".as("sh_b"))
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+    cand
+      .join(sh.select($"id".as("id_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "id_a")
+      .join(sh.select($"id".as("id_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
+      .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
@@ -116,15 +144,16 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sigs = df.select(col(pk).as("id"),
-      simhash(tokens(col(textCol))).as("sig"))
+    val sigs = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(pk).as("id"), simhash(tokens(col(textCol))).as("sig"))
     val banded = sigs.select($"id", $"sig", posexplode(array((0 until 4).map(c =>
       shiftright($"sig", c * 16).bitwiseAND(0xffffL)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
     banded.as("a").join(banded.as("b"),
         $"a.chunk" === $"b.chunk" && $"a.piece" === $"b.piece" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-        hamming64($"a.sig", $"b.sig").as("hamming"))
+        hamming64($"a.sig", $"b.sig").cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter($"hamming" <= maxHamming)
   }
@@ -138,6 +167,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     v.as("a").join(v.as("b"), $"a.id" < $"b.id")
       .withColumn("score", cosineUnit($"a.v", $"b.v"))
       .filter($"score" > threshold)
@@ -148,7 +178,7 @@ object Dedup {
     * `planes` signs meet, then exact cosine verify. Recall tunable via
     * multiple tables (union of `tables` independent bucketings). */
   def embeddingPairsLsh(df: DataFrame, pk: String, vecCol: String,
-      threshold: Double, planes: Int = 8, tables: Int = 4,
+      threshold: Double, planes: Int = 8, tables: Int = 8,
       seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -50,16 +50,24 @@ object HybridSearch {
   }
 
   /** Reciprocal-rank fusion of a keyword ranking and a vector ranking.
-    * `corpus` must carry both `textCol` and unit-norm `vecCol`. */
+    * `corpus` must carry both `textCol` and unit-norm `vecCol`.
+    *
+    * Scale shape: each side is first truncated to a bounded candidate pool
+    * via `orderBy().limit()` (TakeOrderedAndProject — per-partition heaps,
+    * never a global single-partition window over the corpus); the global
+    * rank window then runs over <= 2*candN rows regardless of corpus size. */
   def search(corpus: DataFrame, pk: String, textCol: String, vecCol: String,
       query: String, queryVec: Array[Float], k: Int = 5,
       k0: Double = 60.0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val candN = math.max(k * 10, 100)
     val kw = bm25(corpus, pk, textCol, query)
+      .orderBy(desc("bm25"), $"id").limit(candN)
       .withColumn("kw_rank", row_number().over(Window.orderBy(desc("bm25"), $"id")))
     val vs = corpus.select(col(pk).as("id"),
         cosineUnit(col(vecCol), vecLit(queryVec)).as("vscore"))
+      .orderBy(desc("vscore"), $"id").limit(candN)
       .withColumn("v_rank", row_number().over(Window.orderBy(desc("vscore"), $"id")))
     kw.join(vs, Seq("id"), "full_outer")
       .withColumn("rrf",

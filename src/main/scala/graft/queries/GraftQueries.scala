@@ -225,7 +225,7 @@ object GraftQueries {
     * oracle; validated by its own spec against exact Jaccard). */
   def q20MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
-      n = 1, numHashes = 16, bands = 8, threshold = 0.9)
+      n = 1, numHashes = 48, bands = 6, threshold = 0.9)
 
   /** SimHash near-dup pairs. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =

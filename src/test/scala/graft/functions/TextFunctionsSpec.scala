@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def one(colExpr: org.apache.spark.sql.Column, text: String): Row = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(colExpr).head()
+  }
+
+  test("tokens: whitespace split, blanks dropped") {
+    one(T.tokens(col("t")), "the  quick\tbrown fox ").getSeq[String](0) shouldBe
+      Seq("the", "quick", "brown", "fox")
+    one(T.tokens(col("t")), "").getSeq[String](0) shouldBe Seq.empty
+    one(T.tokenCount(col("t")), "a b c").getInt(0) shouldBe 3
+  }
+
+  test("bpe-ish token count splits words and punctuation") {
+    one(T.bpeishTokenCount(col("t")), "don't stop, now!").getInt(0) shouldBe 7
+    // don + ' + t + stop + , + now + !
+  }
+
+  test("ratios and quality on empty text are 0, not NaN") {
+    one(T.punctRatio(col("t")), "").getDouble(0) shouldBe 0.0
+    one(T.stopwordRatio(col("t")), "").getDouble(0) shouldBe 0.0
+    one(T.meanTokenLen(col("t")), "").getDouble(0) shouldBe 0.0
+  }
+
+  test("stopword ratio and punct ratio hand-computed") {
+    one(T.stopwordRatio(col("t"), Seq("the", "a")), "the cat a hat dog")
+      .getDouble(0) shouldBe 0.4 +- 1e-9
+    one(T.punctRatio(col("t")), "ab,!").getDouble(0) shouldBe 0.5 +- 1e-9
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    one(T.langId(col("t")), "the cat and the dog is here").getString(0) shouldBe "en"
+    one(T.langId(col("t")), "der hund und die katze ist").getString(0) shouldBe "de"
+    one(T.langId(col("t")), "zzz qqq xxx").getString(0) shouldBe "und"
+  }
+
+  test("wordShingles and charShingles") {
+    one(T.wordShingles(col("t"), 2), "a b c d").getSeq[String](0) shouldBe
+      Seq("a b", "b c", "c d")
+    one(T.wordShingles(col("t"), 5), "a b").getSeq[String](0) shouldBe Seq.empty
+    one(T.charShingles(col("t"), 3), "abcd").getSeq[String](0) shouldBe
+      Seq("abc", "bcd")
+  }
+
+  test("jaccard of array columns") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    df.select(T.jaccard($"x", $"y")).head().getDouble(0) shouldBe 0.5 +- 1e-9
+  }
+
+  test("rolling fingerprint: Column and Scala mirrors agree") {
+    val texts = Seq("", "a", "hello world", "spark vector join", "ü ü ü")
+    import spark.implicits._
+    val got = texts.toDF("t")
+      .select(T.fingerprintRolling(col("t"))).collect().map(_.getLong(0))
+    got.toSeq shouldBe texts.map(RollingHash.fingerprint)
+  }
+
+  test("md5 fingerprint is the standard hex digest") {
+    one(T.fingerprintMd5(col("t")), "abc").getString(0) shouldBe
+      "900150983cd24fb0d6963f7d28e17f72"
+  }
+}

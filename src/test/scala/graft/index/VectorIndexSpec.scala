@@ -1,0 +1,78 @@
+package graft.index
+
+import graft.{SparkSpec, TestSpark}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class VectorIndexSpec extends SparkSpec {
+
+  private lazy val src = spark.read
+    .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+
+  test("build derives dim from data (NB:322) and registers (NB:384)") {
+    val idx = VectorIndex.build(src, "spec-exact", "vec_id", "embedding")
+    idx.dim shouldBe 64
+    idx.size shouldBe 500
+    VectorIndexCatalog.get("spec-exact") shouldBe idx
+  }
+
+  test("exact search matches brute-force ranking, shape [pk, cols..., score]") {
+    val idx = VectorIndex.build(src, "spec-exact2", "vec_id", "embedding")
+    val all = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = all(3L)
+    val want = all.toSeq
+      .map { case (id, v) => id -> VectorFunctions.dot(qv, v) }
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    val got = idx.search(qv, k = 5, columns = Seq("label")).collect()
+    got.map(_.getLong(0)).toSeq shouldBe want.map(_._1)
+    got.head.schema.fieldNames.toSeq shouldBe Seq("vec_id", "label", "score")
+    got.map(_.getDouble(2)).zip(want.map(_._2)).foreach { case (g, w) =>
+      g shouldBe w +- 1e-9 }
+  }
+
+  test("TRIGGERED refresh: version watermark upserts changed rows (NB:278/318)") {
+    val versioned = src.withColumn("version", lit(1L))
+    val idx = VectorIndex.build(versioned, "spec-refresh", "vec_id", "embedding")
+    idx.currentVersion shouldBe 1L
+    val n0 = idx.size
+    // append a new row at version 2: vec 0's embedding under pk 777777
+    val added = versioned.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(777777L)).withColumn("version", lit(2L))
+    idx.refresh(versioned.unionByName(added))
+    idx.currentVersion shouldBe 2L
+    idx.size shouldBe n0 + 1
+    // changed row replaces same-pk state: move vec 1 to vec 0's vector at v3
+    val qv0 = src.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray
+    val changed = versioned.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(1L)).withColumn("version", lit(3L))
+    idx.refresh(versioned.unionByName(added).unionByName(changed))
+    idx.size shouldBe n0 + 1 // upsert, not append
+    val top = idx.search(qv0, k = 3).collect().map(_.getLong(0)).toSet
+    top should contain allOf (0L, 1L, 777777L) // all three carry vec 0's vector
+  }
+
+  test("searchApprox (LSH) reaches recall >= 0.9 vs exact at k=5") {
+    val idx = VectorIndex.build(src, "spec-lsh", "vec_id", "embedding",
+      withLsh = true)
+    val queries = src.filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val hits = queries.map { case (_, qv) =>
+      val exact = idx.search(qv, k = 5).collect().map(_.getLong(0)).toSet
+      val approx = idx.searchApprox(qv, k = 5).collect().map(_.getLong(0)).toSet
+      (exact intersect approx).size.toDouble / 5.0
+    }
+    (hits.sum / hits.length) should be >= 0.9
+  }
+
+  test("dataArray positional parity with the reference result shape (NB:416)") {
+    val idx = VectorIndexCatalog.get("spec-exact")
+    val rows = idx.dataArray(
+      src.filter(col("vec_id") === 5).head().getSeq[Float](1).toArray,
+      k = 2, columns = Seq("label"))
+    rows.length shouldBe 2
+    rows.head.length shouldBe 3 // [pk, label, score]
+    rows.head.head shouldBe 5L  // self-match first
+  }
+}

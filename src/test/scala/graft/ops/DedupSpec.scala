@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.{SparkSpec, TestSpark}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet(s"${TestSpark.sf0001}/documents.parquet")
+
+  test("exact dedup keeps min-pk row per key") {
+    import spark.implicits._
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y"), (7L, "y"), (5L, "z"))
+      .toDF("id", "k")
+    val out = Dedup.exact(df, "id", Seq(col("k")))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    out shouldBe Map("x" -> 1L, "y" -> 2L, "z" -> 5L)
+  }
+
+  test("exactByFingerprint: identical text collapses, distinct survives") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByFingerprint(df, "doc_id", "text")
+    out.count() shouldBe 2
+    out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
+  }
+
+  test("minhash pairs approximate exact jaccard pairs (recall/precision)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1,
+      threshold = 0.9).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", n = 1,
+      numHashes = 16, bands = 8, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes precision exact; banding bounds recall
+    mh.subsetOf(exact) shouldBe true
+    exact.nonEmpty shouldBe true
+    (mh.size.toDouble / exact.size) should be >= 0.8
+  }
+
+  test("simhash: identical docs always pair at hamming 0") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words entirely unrelated"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.toSeq shouldBe Seq((1L, 2L, 0L))
+  }
+
+  test("embedding LSH pairs subset of exact pairs with decent recall") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // moderate-similarity pairs (cos>0.4) are the LSH worst case: with
+    // p1 = (1 - acos(0.4)/pi)^planes ~= 0.16 per table, 16 tables give
+    // expected recall ~0.94
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4,
+      planes = 4, tables = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.nonEmpty shouldBe true
+    lsh.subsetOf(exact) shouldBe true
+    (lsh.size.toDouble / exact.size) should be >= 0.7 // candidate recall floor
+  }
+
+  test("dropDuplicates: connected components keep min-pk representative") {
+    import spark.implicits._
+    val df = (1L to 8L).map(i => (i, s"row$i")).toDF("id", "v")
+    // components {1,2,3} (chain), {5,7}; 4,6,8 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.dropDuplicates(df, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    out shouldBe Set(1L, 4L, 5L, 6L, 8L)
+  }
+}
