@@ -1,0 +1,44 @@
+package graft
+
+import graft.expressions.{SortedCountCommon, VecDot}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the engine's native expressions. Install either at
+  * session build time:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  * or into a live session with [[GraftFunctions.register]]. Registered
+  * functions: `vec_dot(a, b)`, `vec_cosine(a, b)` (alias of dot for
+  * unit-norm vectors), `sorted_count_common(a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))),
+    ("vec_cosine", // alias: cosine == dot on the engine's unit-norm vectors
+      new ExpressionInfo(classOf[VecDot].getName, null, "vec_cosine"),
+      (es: Seq[Expression]) => VecDot(es(0), es(1))),
+    ("sorted_count_common",
+      new ExpressionInfo(classOf[SortedCountCommon].getName, null, "sorted_count_common"),
+      (es: Seq[Expression]) => SortedCountCommon(es(0), es(1))))
+
+  /** Register into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

@@ -151,5 +151,42 @@ object SparkEntry {
     "q19_binary_scan" ->
       """SELECT regexp_replace(filename, '^file:', '') AS path,
          CAST(size AS BIGINT) AS length
-         FROM read_blob('/root/testdata/sf0.01/*.parquet')""")
+         FROM read_blob('/root/testdata/sf0.01/*.parquet')""",
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q28_semi_anti" ->
+      """SELECT 'with_orders' AS tag, CAST(count(*) AS BIGINT) AS n
+         FROM customer WHERE EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT 'no_orders' AS tag, CAST(count(*) AS BIGINT) AS n
+         FROM customer WHERE NOT EXISTS
+           (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q29_sql_surface" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         sum(s_acctbal) AS total_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q30_case_date" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CASE WHEN o_totalprice > 400000 THEN 'big'
+              WHEN o_totalprice > 100000 THEN 'mid'
+              ELSE 'small' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS total
+         FROM orders GROUP BY 1, 2""",
+    "q31_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+         CAST(length(c_name) AS BIGINT) AS name_len,
+         substring(c_name, 1, 4) AS prefix,
+         concat_ws('|', c_mktsegment, c_name) AS tagged
+         FROM customer""",
+    "q32_sql_vec_dot" ->
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 1
+         ORDER BY score DESC, vec_id LIMIT 5""")
 }

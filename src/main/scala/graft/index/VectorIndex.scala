@@ -90,25 +90,32 @@ final class VectorIndex private (
     * semantics). */
   def refresh(source: DataFrame): this.type = synchronized {
     val hasVersion = source.columns.contains("version")
-    val stateCols = state.columns.toSeq
-    val next =
-      if (!hasVersion) source.select(stateCols.map(col): _*)
-      else {
-        // upsert: changed rows replace same-pk rows in current state
-        val changed = source.filter(col("version") > syncedVersion)
-          .select(stateCols.map(col): _*)
-        state.join(changed.select(primaryKey), Seq(primaryKey), "left_anti")
-          .unionByName(changed)
-      }
-    val old = state
-    state = next.persist(StorageLevel.MEMORY_AND_DISK)
-    state.count() // eager, _and_wait parity (NB:315)
-    old.unpersist()
-    if (hasVersion) {
-      val mx = source.agg(max(col("version"))).head().getLong(0)
-      syncedVersion = mx
+    if (!hasVersion) {
+      swapState(source.select(state.columns.toSeq.map(col): _*))
+    } else {
+      // upsert only rows changed since the watermark
+      upsert(source.filter(col("version") > syncedVersion))
+      syncedVersion = source.agg(max(col("version"))).head().getLong(0)
     }
     this
+  }
+
+  /** Upsert a batch of rows by primary key — the unit of incremental sync
+    * (each CDF micro-batch lands here, see [[graft.streaming.IndexSync]]). */
+  def upsert(changed: DataFrame): this.type = synchronized {
+    val stateCols = state.columns.toSeq
+    val c = changed.select(stateCols.map(col): _*)
+    swapState(
+      state.join(c.select(primaryKey), Seq(primaryKey), "left_anti")
+        .unionByName(c))
+    this
+  }
+
+  private def swapState(next: DataFrame): Unit = {
+    val old = state
+    state = next.localCheckpoint(eager = true) // cut lineage: repeated
+    // upserts otherwise stack anti-join plans unboundedly
+    old.unpersist()
   }
 }
 

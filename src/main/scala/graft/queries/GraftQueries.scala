@@ -278,6 +278,69 @@ object GraftQueries {
       .select(col("path"), col("image_meta.width").as("width"),
         col("image_meta.height").as("height"))
 
+  /** Rollup (grouping-sets family) with grouping_id disambiguation. */
+  def q27Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("grp"))
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS). */
+  def q28SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("with_orders"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("tag", lit("no_orders"))
+    semi.unionByName(anti).select(col("tag"), col("n"))
+  }
+
+  /** SQL-string surface (O17): temp views + spark.sql CTE join. */
+  def q29SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "supplier").createOrReplaceTempView("g_supplier")
+    t(spark, dir, "nation").createOrReplaceTempView("g_nation")
+    spark.sql(
+      """WITH s AS (SELECT s_nationkey, s_acctbal FROM g_supplier)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                sum(s_acctbal) AS total_bal
+         FROM s JOIN g_nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""")
+  }
+
+  /** CASE expression + date part extraction. */
+  def q30CaseDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .withColumn("bucket",
+        when(col("o_totalprice") > 400000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small"))
+      .groupBy(col("yr"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+
+  /** String scalar functions. */
+  def q31StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      length(col("c_name")).cast("long").as("name_len"),
+      substring(col("c_name"), 1, 4).as("prefix"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
+
+  /** SQL surface for the native expressions (GraftFunctions.register):
+    * vec_dot usable from plain SQL. */
+  def q32SqlVecDot(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("g_embeddings")
+    spark.sql(
+      """SELECT b.vec_id AS vec_id,
+                vec_dot(a.embedding, b.embedding) AS score
+         FROM g_embeddings a JOIN g_embeddings b ON a.vec_id = 1
+         ORDER BY score DESC, vec_id LIMIT 5""")
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -306,5 +369,11 @@ object GraftQueries {
     "q23_semantic_topk" -> (q23SemanticTopk _),
     "q24_ivf_topk" -> (q24IvfTopk _),
     "q25_hybrid" -> (q25Hybrid _),
-    "q26_image_meta" -> (q26ImageMeta _))
+    "q26_image_meta" -> (q26ImageMeta _),
+    "q27_rollup" -> (q27Rollup _),
+    "q28_semi_anti" -> (q28SemiAnti _),
+    "q29_sql_surface" -> (q29SqlSurface _),
+    "q30_case_date" -> (q30CaseDate _),
+    "q31_string_funcs" -> (q31StringFuncs _),
+    "q32_sql_vec_dot" -> (q32SqlVecDot _))
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events stream: watermarked
+  * tumbling-window aggregation (the streaming form of the batch hourly
+  * rollup, q10) and gap-based sessionization via custom keyed state
+  * (`flatMapGroupsWithState`).
+  *
+  * Scale notes: windowed aggregation shuffles on (window, event_type) with
+  * partial aggregation map-side; state store size is bounded by the
+  * watermark horizon. Sessionization keeps one small state object per user;
+  * event-time timeout evicts idle sessions, so state is proportional to
+  * *active* users, not history.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts/sums with a late-data watermark. */
+  def windowedAggregate(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Int, total: Double)
+  case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization: a session closes after `gapMs` of user
+    * inactivity (event-time timeout). Emits one row per closed session. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs), s.nEvents, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    nEvents = s.nEvents + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch mirror of [[windowedAggregate]] for oracle-style comparison —
+    * identical semantics on a bounded input. */
+  def windowedAggregateBatch(events: DataFrame, window_ : String = "1 hour")
+      : DataFrame =
+    events
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.{SparkSpec, TestSpark}
+import graft.index.VectorIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("IndexSync: streamed change rows upsert into the index (TRIGGERED)") {
+    import spark.implicits._
+    val src = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val idx = VectorIndex.build(src, "stream-sync", "vec_id", "embedding")
+    val n0 = idx.size
+
+    val qv = src.filter(col("vec_id") === 2).head().getSeq[Float](1).toArray
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float], Long)]
+    // one new row (vec 2's vector under pk 888888) + one changed row (vec 3
+    // also gets vec 2's vector)
+    stream.addData((888888L, qv, 2L), (3L, qv, 2L))
+    val changes = stream.toDF()
+      .select($"_1".as("vec_id"), $"_2".as("embedding"), $"_3".as("version"))
+      // align vector element type with the parquet schema (float, not double)
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+      // state carries (vec_id, embedding, label); fake a label for new rows
+      .withColumn("label", lit(-1))
+    val q = IndexSync.start(idx, changes.drop("version"),
+      s"/tmp/graft-ckpt-${System.nanoTime()}")
+    q.awaitTermination(60000)
+
+    idx.size shouldBe n0 + 1
+    val top = idx.search(qv, k = 3).collect().map(_.getLong(0)).toSet
+    top shouldBe Set(2L, 3L, 888888L) // all three now carry vec 2's vector
+  }
+
+  test("windowed aggregate: streaming result equals batch mirror") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts(1), "click", 1.0), (ts(5), "click", 2.0), (ts(7), "buy", 5.0),
+      (ts(61), "click", 3.0), (ts(65), "buy", 7.0))
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val sdf = EventStreams.windowedAggregate(
+      stream.toDF().toDF("ts", "event_type", "value"), "1 hour", "2 hours")
+    val q = sdf.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    // append mode only emits windows once the watermark passes them; a late
+    // far-future row flushes the earlier windows
+    stream.addData((Timestamp.valueOf("2024-01-02 00:00:00"), "noop", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("winagg")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = EventStreams.windowedAggregateBatch(
+      rows.toDF("ts", "event_type", "value"), "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    got.filter(_._2 != "noop") shouldBe want
+  }
+
+  test("sessionize: gap splits sessions, event-time timeout closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val out = EventStreams.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: events at 10:01 and 10:05 (one session), then 11:30 (new
+    // session after >30min gap); user 2: single event
+    stream.addData(
+      EventStreams.Event(1L, ts(1), 1.0),
+      EventStreams.Event(1L, ts(5), 2.0),
+      EventStreams.Event(1L, Timestamp.valueOf("2024-01-01 11:30:00"), 4.0),
+      EventStreams.Event(2L, ts(2), 9.0))
+    q.processAllAvailable()
+    // advance watermark far enough to time out everything still open
+    stream.addData(EventStreams.Event(99L,
+      Timestamp.valueOf("2024-01-02 12:00:00"), 0.0))
+    q.processAllAvailable()
+    stream.addData(EventStreams.Event(98L,
+      Timestamp.valueOf("2024-01-03 12:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions").as[EventStreams.Session].collect()
+      .filter(_.user_id < 90).sortBy(s => (s.user_id, s.start_ts.getTime))
+    sessions.length shouldBe 3
+    sessions(0).n_events shouldBe 2 // user 1, 10:01-10:05
+    sessions(0).total_value shouldBe 3.0 +- 1e-9
+    sessions(1).n_events shouldBe 1 // user 1, 11:30
+    sessions(2).user_id shouldBe 2L
+  }
+}
