@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the configs this engine assumes at scale.
+  *
+  * These mirror what a 1000-executor deployment would set cluster-side;
+  * locally they keep partition counts matched to cores instead of the
+  * 200-partition default.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .withExtensions(new GraftExtensions) // vec_dot & co in SQL
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE: runtime coalescing, skew-join splitting, plan re-optimization
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scans: 128m splits; small-file coalescing happens via AQE
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

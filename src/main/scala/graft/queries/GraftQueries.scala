@@ -341,6 +341,20 @@ object GraftQueries {
          ORDER BY score DESC, vec_id LIMIT 5""")
   }
 
+  /** The reference's flagship pipeline as one query (rows-only check):
+    * binary scan -> path normalize -> dense ids -> executor-side embed ->
+    * index -> text-query top-k (`NB:160-163, 224-272, 380-390` end to end,
+    * with the driver embed loop distributed). */
+  def q33ImagePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val embedder = new DeterministicEmbedder(32)
+    val binary = BinaryIngest.withDenseIds(
+      BinaryIngest.scan(spark, "/root/testdata/sf0.01", "*.parquet"))
+    val embedded = BinaryIngest.embedImages(binary, embedder, version = 1L)
+    SimilaritySearch.topK(embedded, "image_id", "embedding",
+      embedder.forQuery("columnar table of orders"), k = 5)
+      .select(col("image_id"), col("filepath"), col("score"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -375,5 +389,6 @@ object GraftQueries {
     "q29_sql_surface" -> (q29SqlSurface _),
     "q30_case_date" -> (q30CaseDate _),
     "q31_string_funcs" -> (q31StringFuncs _),
-    "q32_sql_vec_dot" -> (q32SqlVecDot _))
+    "q32_sql_vec_dot" -> (q32SqlVecDot _),
+    "q33_image_pipeline" -> (q33ImagePipeline _))
 }
