@@ -42,6 +42,14 @@ object Smoke {
     println(VectorIndexCatalog.list.mkString(", "))
     println(VectorIndexCatalog.get("smoke").dataArray(qv, k = 2).mkString("; "))
 
+    println("== salted skew join (orders heavily skewed to one customer) ==")
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val skewed = orders.withColumn("o_custkey", lit(1L)) // force skew
+    val joined = graft.ops.SkewJoin.saltedJoin(
+      skewed, customer, "o_custkey", "c_custkey", salts = 8)
+    println(s"salted join rows = ${joined.count()} (== ${skewed.count()} orders)")
+
     println("== dim-mismatch guard ==")
     try idx.search(Array(1.0f, 2.0f), k = 1).show()
     catch { case e: IllegalArgumentException => println(s"ok: ${e.getMessage}") }
