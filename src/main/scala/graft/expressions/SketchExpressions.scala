@@ -1,0 +1,161 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashing core shared by the sketch expressions and their generated code
+  * (generated Java calls these statics directly). splitmix64 finalizer over
+  * a polynomial byte fold — deterministic, fast, public-domain algorithm. */
+object SketchHash {
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hash(s: UTF8String, seed: Long): Long = {
+    val b = s.getBytes
+    var h = seed
+    var i = 0
+    while (i < b.length) { h = h * 31L + b(i); i += 1 }
+    mix(h)
+  }
+}
+
+/** MinHash signature of a string-array column: `numHashes` permutation
+  * minima via double hashing (`h1 + i*h2`, wrapping arithmetic — this is
+  * our own codegen, ANSI overflow semantics don't apply). One pass over the
+  * set per row; replaces `numHashes` interpreted HOF aggregates. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "minhash_signature needs an array<string> input")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h1 = SketchHash.hash(s, 0L)
+      val h2 = SketchHash.hash(s, 0x9e3779b9L) | 1L
+      var j = 0
+      while (j < numHashes) {
+        val v = h1 + j * h2
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2"); val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  long $h1 = graft.expressions.SketchHash.hash($s, 0L);
+         |  long $h2 = graft.expressions.SketchHash.hash($s, 0x9e3779b9L) | 1L;
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = $h1 + $j * $h2;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token-array column: sign-sum of per-token hash bits.
+  * Replaces 64 interpreted HOF aggregates with one tight loop. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "simhash64 needs an array<string> input")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = SketchHash.hash(arr.getUTF8String(i), 7L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (sums(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val sums = ctx.freshName("sums")
+      val sig = ctx.freshName("sigv")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2"); val h = ctx.freshName("h")
+      s"""
+         |int[] $sums = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = graft.expressions.SketchHash.hash($a.getUTF8String($i), 7L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $sums[$b]++; else $sums[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) { if ($sums[$b2] > 0) $sig |= (1L << $b2); }
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SketchExpressions {
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(shingles), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
+}

@@ -56,17 +56,22 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: fixed locals collide with enclosing generated code
+      // (janino "Redefinition of local variable")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       val get = (v: String, t: DataType) => t match {
-        case FloatType => s"(double)$v.getFloat(i)"
-        case _ => s"$v.getDouble(i)"
+        case FloatType => s"(double)$v.getFloat($i)"
+        case _ => s"$v.getDouble($i)"
       }
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ${get(a, elemType(left))} * ${get(b, elemType(right))};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, elemType(left))} * ${get(b, elemType(right))};
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -107,18 +112,22 @@ case class SortedCountCommon(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
       s"""
-         |int i = 0, j = 0, c = 0;
-         |int an = $a.numElements(), bn = $b.numElements();
-         |while (i < an && j < bn) {
-         |  int cmp = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
-         |  if (cmp == 0) { c++; i++; j++; }
-         |  else if (cmp < 0) { i++; }
-         |  else { j++; }
+         |int $i = 0, $j = 0, $c = 0;
+         |int $an = $a.numElements(), $bn = $b.numElements();
+         |while ($i < $an && $j < $bn) {
+         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; }
+         |  else { $j++; }
          |}
-         |${ev.value} = c;
-       """.stripMargin)
+         |${ev.value} = $c;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedCountCommon =

@@ -68,22 +68,12 @@ object Dedup {
         greatest($"a.id", $"b.id").as("id_b"), $"jaccard")
   }
 
-  /** MinHash signatures in ONE pass over the shingle set: per shingle two
-    * 31-bit base hashes, the i-th permutation hash is `h1 + i*h2` (classic
-    * double hashing; bounded < 2^37 so ANSI-safe); signature = element-wise
-    * min. A per-permutation aggregate would rescan the set `numHashes`
-    * times. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val mask = lit((1L << 31) - 1)
-    aggregate(shingles,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => {
-        val h1 = xxhash64(s).bitwiseAND(mask)
-        val h2 = xxhash64(s, lit(0x9e3779b9L)).bitwiseAND(mask).bitwiseOR(lit(1L))
-        zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-          (a, i) => least(a, h1 + i * h2))
-      })
-  }
+  /** MinHash signatures in ONE codegen'd pass over the shingle set
+    * ([[graft.expressions.MinHashSignature]]: double hashing `h1 + i*h2`,
+    * element-wise min). The earlier HOF formulation (one interpreted
+    * aggregate per permutation) rescanned the set `numHashes` times. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    graft.expressions.SketchExpressions.minhashSignature(shingles, numHashes)
 
   /** MinHash-LSH near-dup candidate pairs: signatures banded into
     * `bands`; pairs sharing any band bucket are candidates, then verified
@@ -122,20 +112,14 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
-  /** 64-bit SimHash of a token multiset: sign-sum of per-token xxhash64 bits.
-    * Near-dup pairs = signatures within `maxHamming`. Banding on 16-bit
-    * chunks (pigeonhole: hamming <= 3 means at least one of 4 chunks equal)
-    * keeps the candidate join linear. */
-  def simhash(tokensCol: Column): Column = {
-    val bitSums = (0 until 64).map { b =>
-      aggregate(tokensCol, lit(0),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-    }
-    bitSums.zipWithIndex.map { case (s, b) =>
-      when(s > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash of a token multiset: sign-sum of per-token hash bits
+    * ([[graft.expressions.SimHash64]], one codegen'd loop — the HOF
+    * formulation needed 64 interpreted aggregates). Near-dup pairs =
+    * signatures within `maxHamming`. Banding on 16-bit chunks (pigeonhole:
+    * hamming <= 3 means at least one of 4 chunks equal) keeps the candidate
+    * join linear. */
+  def simhash(tokensCol: Column): Column =
+    graft.expressions.SketchExpressions.simhash64(tokensCol)
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
