@@ -152,6 +152,33 @@ object SparkEntry {
       """SELECT regexp_replace(filename, '^file:', '') AS path,
          CAST(size AS BIGINT) AS length
          FROM read_blob('/root/testdata/sf0.01/*.parquet')""",
+    "q22_lang_id" ->
+      """WITH tok AS (SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0), x -> lower(x)) AS toks FROM documents),
+         scores AS (SELECT doc_id,
+           len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','zu'], x))) AS de,
+           len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','is','in','that','it'], x))) AS en,
+           len(list_filter(toks, x -> list_contains(
+             ['el','la','los','y','es','una','que','no'], x))) AS es,
+           len(list_filter(toks, x -> list_contains(
+             ['le','la','les','et','est','une','que','pas'], x))) AS fr,
+           len(list_filter(toks, x -> list_contains(
+             ['il','la','che','e','di','un','per','non'], x))) AS it,
+           len(list_filter(toks, x -> list_contains(
+             ['o','a','os','e','de','um','para','nao'], x))) AS pt
+           FROM tok)
+         SELECT doc_id, CASE
+           WHEN greatest(de, en, es, fr, it, pt) = 0 THEN 'und'
+           WHEN de >= en AND de >= es AND de >= fr AND de >= it AND de >= pt THEN 'de'
+           WHEN en >= es AND en >= fr AND en >= it AND en >= pt THEN 'en'
+           WHEN es >= fr AND es >= it AND es >= pt THEN 'es'
+           WHEN fr >= it AND fr >= pt THEN 'fr'
+           WHEN it >= pt THEN 'it'
+           ELSE 'pt' END AS lang_guess
+         FROM scores""",
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          CAST(count(*) AS BIGINT) AS n,

@@ -111,6 +111,11 @@ final class VectorIndex private (
     this
   }
 
+  /** Persist index state as parquet (the service's durable index analog);
+    * reload with [[VectorIndex.load]]. */
+  def save(path: String): Unit =
+    state.write.mode("overwrite").parquet(path)
+
   private def swapState(next: DataFrame): Unit = {
     val old = state
     state = next.localCheckpoint(eager = true) // cut lineage: repeated
@@ -153,6 +158,11 @@ object VectorIndex {
     VectorIndexCatalog.register(idx)
     idx
   }
+
+  /** Rebuild an index from a parquet dump written by [[VectorIndex.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String, name: String,
+      primaryKey: String, vectorCol: String, withLsh: Boolean = false): VectorIndex =
+    build(spark.read.parquet(path), name, primaryKey, vectorCol, withLsh = withLsh)
 }
 
 /** Name -> index registry — `vs_client.get_index` parity (`NB:384`). */
