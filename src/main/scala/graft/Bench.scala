@@ -28,6 +28,45 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** The sf0.1 embeddings table is tiny (2k rows); to measure the vector
+    * path at a meaningful scale, replicate it 100x in-flight (200k x 64-dim)
+    * and time exact top-k vs IVF cell-pruned search on the same corpus. */
+  private def scaledVectorBench(spark: SparkSession, sfDir: String)
+      : Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimilaritySearch
+    try {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val scaled = base
+        .crossJoin(spark.range(100).select(col("id").as("rep")))
+        .select((col("vec_id") * 100 + col("rep")).as("vec_id"), col("embedding"))
+        .repartition(32)
+        .persist()
+      val n = scaled.count() // materialize outside the timings
+      val qv = base.orderBy("vec_id").select("embedding")
+        .head().getSeq[Float](0).toArray
+
+      val t0 = System.nanoTime()
+      force(SimilaritySearch.topK(scaled, "vec_id", "embedding", qv, 10))
+      val exactSec = (System.nanoTime() - t0) / 1e9
+
+      val t1 = System.nanoTime()
+      val (indexed, cents) = SimilaritySearch.ivfBuild(scaled, "vec_id",
+        "embedding", nCells = 32)
+      val indexedP = indexed.persist()
+      indexedP.count()
+      val buildSec = (System.nanoTime() - t1) / 1e9
+
+      val t2 = System.nanoTime()
+      force(SimilaritySearch.ivfSearch(indexedP, cents, "vec_id", "embedding",
+        qv, 10, nProbe = 4))
+      val probeSec = (System.nanoTime() - t2) / 1e9
+      scaled.unpersist(); indexedP.unpersist()
+      Seq(s"x_vec_topk_${n / 1000}k" -> exactSec,
+        "x_ivf_build" -> buildSec, "x_ivf_probe" -> probeSec)
+    } catch { case _: Throwable => Seq("x_vec_scaled" -> -1.0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -53,7 +92,7 @@ object Bench {
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -1.0)
-    }
+    } ++ scaledVectorBench(spark, sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
