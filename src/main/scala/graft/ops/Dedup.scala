@@ -197,9 +197,13 @@ object Dedup {
     val edges = pairs.select($"id_a", $"id_b")
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       .distinct().persist()
+    // each round MUST cut lineage (localCheckpoint): iterating on the
+    // previous round's plan otherwise nests joins exponentially and blows
+    // the driver heap long before the data does
     var labels = edges.select($"id_a".as("id"))
       .union(edges.select($"id_b".as("id"))).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -208,13 +212,14 @@ object Dedup {
         .agg(min(col("label")).as("nlabel"))
       val merged = labels.join(next, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val changed = merged.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = merged
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     val victims = labels.filter(col("id") =!= col("label")).select(col("id"))
     df.join(victims, df(pk) === victims("id"), "left_anti")
   }

@@ -29,11 +29,17 @@ object HybridSearch {
       TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size($"toks").cast("double"))
       .persist()
-    val n = toks.count().toDouble
-    val avgdl = toks.agg(avg($"dl")).head().getDouble(0)
-    // doc frequency per query term (one small agg; result broadcast as a map)
-    val dfs = terms.map { t =>
-      t -> toks.filter(array_contains($"toks", t)).count().toDouble
+    // corpus size, avg doc length and every term's doc frequency in ONE
+    // aggregation job (a count() per term would launch a job per term)
+    val statCols = count(lit(1)).cast("double").as("n") +:
+      avg($"dl").as("avgdl") +:
+      terms.toSeq.map(t => sum(when(array_contains($"toks", t), 1L)
+        .otherwise(0L)).cast("double").as(s"df"))
+    val stats = toks.agg(statCols.head, statCols.tail: _*).head()
+    val n = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      t -> stats.getDouble(2 + i)
     }.toMap
     val scoreCols = terms.flatMap { t =>
       val df = dfs(t)

@@ -355,6 +355,18 @@ object GraftQueries {
       .select(col("image_id"), col("filepath"), col("score"))
   }
 
+  /** End-to-end dedup pipeline (rows-only): minhash-LSH candidate pairs ->
+    * connected components -> survivors (min-pk representative per duplicate
+    * cluster). The complete SemDeDup-style flow as one query. */
+  def q34DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 1, numHashes = 48, bands = 6, threshold = 0.9)
+    Dedup.dropDuplicates(docs, "doc_id", pairs)
+      .agg(count(lit(1)).as("survivors"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -390,5 +402,6 @@ object GraftQueries {
     "q30_case_date" -> (q30CaseDate _),
     "q31_string_funcs" -> (q31StringFuncs _),
     "q32_sql_vec_dot" -> (q32SqlVecDot _),
-    "q33_image_pipeline" -> (q33ImagePipeline _))
+    "q33_image_pipeline" -> (q33ImagePipeline _),
+    "q34_dedup_pipeline" -> (q34DedupPipeline _))
 }

@@ -63,6 +63,21 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP DATABASE graft_test")
   }
 
+  test("CSV and JSON source/sink round-trips preserve values") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-fmt")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    docs.write.mode("overwrite").json(s"$dir/json")
+    val csvBack = spark.read.option("header", "true").schema(docs.schema)
+      .csv(s"$dir/csv")
+    val jsonBack = spark.read.schema(docs.schema).json(s"$dir/json")
+    val want = docs.collect().map(_.toSeq).toSet
+    csvBack.collect().map(_.toSeq).toSet shouldBe want
+    jsonBack.collect().map(_.toSeq).toSet shouldBe want
+  }
+
   test("full reference pipeline: binary scan -> ids -> embed -> index -> search") {
     val embedder = new graft.embed.DeterministicEmbedder(32)
     val binary = BinaryIngest.withDenseIds(
