@@ -40,7 +40,7 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VecDot.checkedDim(x.numElements(), y.numElements())
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
@@ -66,7 +66,8 @@ case class VecDot(left: Expression, right: Expression)
         case _ => s"$v.getDouble($i)"
       }
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.expressions.VecDot.checkedDim(
+         |  $a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ${get(a, elemType(left))} * ${get(b, elemType(right))};
@@ -78,6 +79,17 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Dimension check shared by eval and generated code — silently scoring a
+    * truncated prefix on malformed data would produce plausible-but-wrong
+    * similarities; fail loudly instead (matches VectorFunctions.dot). */
+  def checkedDim(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"vec_dot: dimension mismatch $a != $b")
+    a
+  }
 }
 
 /** Count of common elements between two ASC-sorted string arrays (linear

@@ -93,18 +93,30 @@ final class VectorIndex private (
     if (!hasVersion) {
       swapState(source.select(state.columns.toSeq.map(col): _*))
     } else {
-      // upsert only rows changed since the watermark
-      upsert(source.filter(col("version") > syncedVersion))
+      // upsert only rows changed since the watermark (version column kept
+      // so upsert picks the latest row per pk)
+      upsert(source.filter(col("version") > syncedVersion)
+        .select((state.columns.toSeq :+ "version").distinct.map(col): _*))
       syncedVersion = source.agg(max(col("version"))).head().getLong(0)
     }
     this
   }
 
   /** Upsert a batch of rows by primary key — the unit of incremental sync
-    * (each CDF micro-batch lands here, see [[graft.streaming.IndexSync]]). */
+    * (each CDF micro-batch lands here, see [[graft.streaming.IndexSync]]).
+    * A batch may carry several rows for one pk (multiple versions in one
+    * micro-batch): only one survives — the highest `version` when the batch
+    * has that column, otherwise an arbitrary single row. */
   def upsert(changed: DataFrame): this.type = synchronized {
     val stateCols = state.columns.toSeq
-    val c = changed.select(stateCols.map(col): _*)
+    val latest =
+      if (changed.columns.contains("version")) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(primaryKey)).orderBy(desc("version"))
+        changed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+      } else changed.dropDuplicates(primaryKey)
+    val c = latest.select(stateCols.map(col): _*)
     swapState(
       state.join(c.select(primaryKey), Seq(primaryKey), "left_anti")
         .unionByName(c))

@@ -67,7 +67,7 @@ object BinaryIngest {
   def embedText(df: DataFrame, embedder: Embedder, textCol: String,
       pk: String, version: Long = 0L): DataFrame = {
     val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
+      StructField(pk, LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
       StructField("version", LongType, nullable = false)))
     val pkIdx = df.schema.fieldIndex(pk)

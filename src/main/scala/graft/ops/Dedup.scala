@@ -87,11 +87,15 @@ object Dedup {
     import graft.expressions.VectorExpressions.sortedCountCommon
     val par = spark.sessionState.conf.numShufflePartitions
     val rows = numHashes / bands
+    // localCheckpoint (not persist): shingle sets are reused by the band
+    // stage and both verify joins within this one query; an un-unpersisted
+    // cache would leak for the session lifetime, while the checkpoint's
+    // blocks are dropped with the DataFrame
     val sh = df.select(col(pk).as("id"),
         sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .withColumn("sz", size($"sh")).filter($"sz" > 0)
       .repartition(par, $"id")
-      .persist()
+      .localCheckpoint(true)
     val sig = sh.withColumn("sig", minhashSignature($"sh", numHashes))
     // band buckets carry ONLY ids through the self-join — shingle sets are
     // re-attached to the (much smaller) verified candidate set afterwards
@@ -123,16 +127,30 @@ object Dedup {
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with pigeonhole banding on 4 x 16-bit chunks. */
+  /** SimHash near-dup pairs with pigeonhole banding: the 64-bit signature is
+    * split into `maxHamming + 1` chunks, so any pair within `maxHamming`
+    * bit flips must agree on at least one whole chunk (pigeonhole) —
+    * candidate recall is guaranteed, not probabilistic. More chunks =
+    * smaller pieces = more candidates, the standard cost of a larger
+    * hamming budget. */
   def simhashPairs(df: DataFrame, pk: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
     val sigs = df
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(pk).as("id"), simhash(tokens(col(textCol))).as("sig"))
-    val banded = sigs.select($"id", $"sig", posexplode(array((0 until 4).map(c =>
-      shiftright($"sig", c * 16).bitwiseAND(0xffffL)): _*)))
+    val pieces = (0 until nChunks).map { c =>
+      val lo = c * width
+      val bits = math.min(width, 64 - lo)
+      if (bits <= 0) lit(0L)
+      else shiftright($"sig", lo).bitwiseAND((1L << bits) - 1)
+    }
+    val banded = sigs.select($"id", $"sig", posexplode(array(pieces: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
     banded.as("a").join(banded.as("b"),
         $"a.chunk" === $"b.chunk" && $"a.piece" === $"b.piece" && $"a.id" < $"b.id")
@@ -188,10 +206,14 @@ object Dedup {
 
   /** Collapse duplicate pairs into groups and keep one representative per
     * group: iterative min-label propagation (connected components) — each
-    * round every node adopts the smallest pk reachable in one hop; converges
-    * in O(log(diameter)) rounds. Returns `df` minus non-representative rows. */
+    * round every node adopts the smallest label among its neighbors, so
+    * convergence takes O(component diameter) rounds (NOT log — there is no
+    * pointer-doubling here). Duplicate clusters in practice have tiny
+    * diameters; the loop stops early on convergence and warns if `maxIter`
+    * was hit first (in which case some clusters keep >1 representative).
+    * Returns `df` minus non-representative rows. */
   def dropDuplicates(df: DataFrame, pk: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val edges = pairs.select($"id_a", $"id_b")
@@ -220,6 +242,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dropDuplicates: label propagation hit maxIter=$maxIter before " +
+          "convergence; some duplicate clusters may keep extra representatives")
     val victims = labels.filter(col("id") =!= col("label")).select(col("id"))
     df.join(victims, df(pk) === victims("id"), "left_anti")
   }

@@ -25,10 +25,13 @@ object HybridSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    // not persisted here: tokenization is recomputed once by the stats job
+    // and once by the caller's final action — cheaper than leaking a cached
+    // corpus copy per query (callers doing many queries should persist the
+    // tokenized corpus themselves)
     val toks = corpus.select(col(pk).as("id"),
       TextFunctions.tokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size($"toks").cast("double"))
-      .persist()
     // corpus size, avg doc length and every term's doc frequency in ONE
     // aggregation job (a count() per term would launch a job per term)
     val statCols = count(lit(1)).cast("double").as("n") +:

@@ -64,7 +64,10 @@ object SimilaritySearch {
     // centroid init: deterministic sample, then one Lloyd step executor-side
     val sample = corpus.select(col(vecCol)).orderBy(xxhash64(col(pk), lit(seed)))
       .limit(nCells * 8).collect().map(_.getSeq[Float](0).toArray)
-    val init = sample.take(nCells)
+    require(sample.nonEmpty, "ivfBuild: empty corpus")
+    // a corpus smaller than nCells gets one cell per row, not an exception
+    val cells = math.min(nCells, sample.length)
+    val init = sample.take(cells)
     val assigned = sample.map { v =>
       (init.indices.minBy(i => -dot(v, init(i))), v)
     }
@@ -76,7 +79,7 @@ object SimilaritySearch {
       while (i < dim) { acc(i) /= vs.length; i += 1 }
       c -> l2Normalize(acc)
     }
-    val cents = (0 until nCells).map(i => centroids.getOrElse(i, init(i))).toArray
+    val cents = (0 until cells).map(i => centroids.getOrElse(i, init(i))).toArray
     val centExprs = cents.zipWithIndex.map { case (c, i) =>
       struct((-cosineUnit(col(vecCol), vecLit(c))).as("negscore"), lit(i).as("cell"))
     }

@@ -19,6 +19,15 @@ object SkewJoin {
       smallKey: String, salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit each unmatched SMALL-side row once per
+    // salt replica — `salts`x duplication; only joins that never surface
+    // unmatched small-side rows are sound under replication
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+        allowed.contains(joinType.toLowerCase),
+      s"saltedJoin does not support '$joinType': unmatched small-side rows " +
+        "would be duplicated per salt (use AQE skew handling for outer joins)")
     // deterministic pseudo-random salt derived from the row, not rand():
     // keeps the operator reproducible and retry-safe (a task retry with
     // rand() could double-count rows)

@@ -46,25 +46,20 @@ object TopKAggregator {
   }
 
   /** Multi-query exact k-NN via aggregation: input rows
-    * `(query_id, corpus_id, score)`, output one row per (query, hit, rank). */
+    * `(query_id, corpus_id, score)`, output one row per (query, hit, rank).
+    * Uses the [[TopK]] Aggregator through `KeyValueGroupedDataset.agg`, so
+    * Spark performs map-side partial aggregation: each map partition
+    * reduces to at most k rows per query BEFORE the shuffle (mapGroups
+    * would move the whole scored relation). */
   def knnAggregate(scored: Dataset[(Long, Long, Double)], k: Int)
       : Dataset[(Long, Long, Double, Int)] = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored
+      .map { case (qid, id, s) => (qid, Scored(id, s)) }
       .groupByKey(_._1)
-      .mapGroups { (qid, rows) =>
-        // bounded insertion identical to TopK.insert, executed group-local
-        var buf = List.empty[Scored]
-        def lt(a: Scored, b: Scored) =
-          a.score < b.score || (a.score == b.score && a.id > b.id)
-        rows.foreach { case (_, id, s) =>
-          val x = Scored(id, s)
-          if (buf.length < k) buf = (x :: buf).sortWith(lt)
-          else if (!lt(x, buf.head)) buf = (x :: buf.tail).sortWith(lt)
-        }
-        qid -> buf.reverse
-      }
+      .mapValues(_._2)
+      .agg(new TopK(k).toColumn)
       .flatMap { case (qid, hits) =>
         hits.zipWithIndex.map { case (h, i) => (qid, h.id, h.score, i + 1) }
       }

@@ -69,7 +69,11 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // clamp: a late event (ts behind the watermark) would otherwise
+              // set a timeout in the past — setTimeoutTimestamp throws and
+              // kills the whole streaming query
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

@@ -24,8 +24,10 @@ object IndexSync {
     val writer = changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
+      // version column (if present) stays: upsert uses it to keep only the
+      // latest row when one micro-batch carries several versions of a pk
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        index.upsert(batch.drop("version")); ()
+        index.upsert(batch); ()
       }
     (if (triggered) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

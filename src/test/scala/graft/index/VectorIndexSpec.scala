@@ -53,6 +53,25 @@ class VectorIndexSpec extends SparkSpec {
     top should contain allOf (0L, 1L, 777777L) // all three carry vec 0's vector
   }
 
+  test("upsert: multi-version batch keeps one row per pk (latest version)") {
+    val versioned = src.withColumn("version", lit(1L))
+    val idx = VectorIndex.build(versioned, "spec-upsert", "vec_id", "embedding")
+    val n0 = idx.size
+    val qv5 = src.filter(col("vec_id") === 5).head().getSeq[Float](1).toArray
+    val qv6 = src.filter(col("vec_id") === 6).head().getSeq[Float](1).toArray
+    // one batch, two versions of pk 123456: v2 carries vec5, v3 carries vec6
+    val batch = versioned.filter(col("vec_id") === 5)
+      .withColumn("vec_id", lit(123456L)).withColumn("version", lit(2L))
+      .unionByName(versioned.filter(col("vec_id") === 6)
+        .withColumn("vec_id", lit(123456L)).withColumn("version", lit(3L)))
+    idx.upsert(batch)
+    idx.size shouldBe n0 + 1 // exactly one row survived
+    // the v3 row (vec 6's vector) won
+    idx.search(qv6, k = 2).collect().map(_.getLong(0)).toSet shouldBe
+      Set(6L, 123456L)
+    idx.search(qv5, k = 1).collect().head.getLong(0) shouldBe 5L
+  }
+
   test("searchApprox (LSH) reaches recall >= 0.9 vs exact at k=5") {
     val idx = VectorIndex.build(src, "spec-lsh", "vec_id", "embedding",
       withLsh = true)

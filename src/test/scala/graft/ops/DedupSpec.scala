@@ -50,6 +50,25 @@ class DedupSpec extends SparkSpec {
     pairs.toSeq shouldBe Seq((1L, 2L, 0L))
   }
 
+  test("simhashPairs finds ALL pairs within maxHamming (pigeonhole recall)") {
+    import spark.implicits._
+    // brute-force ground truth from the signatures themselves
+    val sigs = docs.limit(200)
+      .select($"doc_id", Dedup.simhash(
+        graft.functions.TextFunctions.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val maxHamming = 6
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+    } yield (ia, ib)).toSet
+    val got = Dedup.simhashPairs(docs.limit(200), "doc_id", "text", maxHamming)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe want // banding must be lossless for the requested budget
+    want.nonEmpty shouldBe true
+  }
+
   test("embedding LSH pairs subset of exact pairs with decent recall") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.4)
