@@ -115,7 +115,10 @@ case class SortedCountCommon(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     while (i < x.numElements() && j < y.numElements()) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      // binaryCompare, NOT compareTo: this Spark build's compareTo calls
+      // SparkEnvUtils.isTesting (a System.getenv per comparison!) — on a
+      // multi-million-pair merge that env lookup dominated the whole query
+      val cmp = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -132,7 +135,7 @@ case class SortedCountCommon(left: Expression, right: Expression)
          |int $i = 0, $j = 0, $c = 0;
          |int $an = $a.numElements(), $bn = $b.numElements();
          |while ($i < $an && $j < $bn) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  int $cmp = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; }
          |  else { $j++; }
@@ -146,6 +149,75 @@ case class SortedCountCommon(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Index of the centroid with the highest dot product against the input
+  * vector (IVF cell assignment). The centroid matrix rides into generated
+  * code as a reference object — one tight double loop per row instead of
+  * building and sorting a struct array per row. Ties break to the lower
+  * cell index. */
+case class NearestCentroid(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "nearest_centroid needs an array<float|double> input")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(cent.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * cent(i); i += 1
+      }
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val best = ctx.freshName("best"); val bestS = ctx.freshName("bestS")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val n = ctx.freshName("n")
+      val cent = ctx.freshName("cent")
+      val get = if (isFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $best = 0; double $bestS = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  float[] $cent = $cents[$c];
+         |  int $n = java.lang.Math.min($cent.length, $a.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $get * (double)$cent[$i]; }
+         |  if ($s > $bestS) { $bestS = $s; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -154,4 +226,7 @@ object VectorExpressions {
 
   def sortedCountCommon(a: Column, b: Column): Column =
     column(SortedCountCommon(expression(a), expression(b)))
+
+  def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
+    column(NearestCentroid(expression(v), centroids))
 }

@@ -80,11 +80,10 @@ object SimilaritySearch {
       c -> l2Normalize(acc)
     }
     val cents = (0 until cells).map(i => centroids.getOrElse(i, init(i))).toArray
-    val centExprs = cents.zipWithIndex.map { case (c, i) =>
-      struct((-cosineUnit(col(vecCol), vecLit(c))).as("negscore"), lit(i).as("cell"))
-    }
+    // codegen'd argmax over the centroid matrix (one loop per row; the
+    // struct-array + sort_array formulation was interpreted per row)
     val indexed = corpus.withColumn("cell",
-      sort_array(array(centExprs: _*)).getItem(0).getField("cell"))
+      graft.expressions.VectorExpressions.nearestCentroid(col(vecCol), cents))
     (indexed, cents)
   }
 
