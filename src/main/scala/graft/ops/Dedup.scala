@@ -54,7 +54,10 @@ object Dedup {
     val sh = df.select(col(pk).as("id"),
         sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      .repartition(par, $"id") // source may be a single small file
+      // 4x the core count: candidate fan-out per doc is uneven (popular
+      // set sizes match far more partners) — finer tasks even out the
+      // stragglers that otherwise serialize the verify stage
+      .repartition(par * 4, $"id")
     val probe = sh.withColumn("bucket",
       explode(sequence($"sz", floor($"sz" / lit(threshold)).cast("int"))))
     val cand = probe.as("a").join(sh.as("b"),
@@ -94,7 +97,7 @@ object Dedup {
     val sh = df.select(col(pk).as("id"),
         sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      .repartition(par, $"id")
+      .repartition(par * 4, $"id") // finer tasks: see ngramJaccardPairs
       .localCheckpoint(true)
     val sig = sh.withColumn("sig", minhashSignature($"sh", numHashes))
     // band buckets carry ONLY ids through the self-join — shingle sets are
