@@ -179,6 +179,12 @@ object SparkEntry {
            WHEN it >= pt THEN 'it'
            ELSE 'pt' END AS lang_guess
          FROM scores""",
+    "q24_ivf_topk" -> // full-probe IVF == exact top-k (same as q11's math)
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          CAST(count(*) AS BIGINT) AS n,

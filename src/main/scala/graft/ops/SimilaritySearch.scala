@@ -87,6 +87,28 @@ object SimilaritySearch {
     (indexed, cents)
   }
 
+  /** IVF with distributed KMeans centroids (MLlib) — the principled
+    * build path when the corpus is too large for a driver-side sample to
+    * represent: Lloyd iterations run as Spark jobs, only the k centroid
+    * vectors ever visit the driver. Assignment still uses the codegen
+    * [[graft.expressions.NearestCentroid]] argmax. */
+  def ivfBuildKMeans(corpus: DataFrame, pk: String, vecCol: String,
+      nCells: Int = 16, maxIter: Int = 5, seed: Long = 42L)
+      : (DataFrame, Array[Array[Float]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = corpus.withColumn("__vec",
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val model = new KMeans().setK(nCells).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("__vec").fit(withVec)
+    val cents = model.clusterCenters
+      .map(c => graft.functions.VectorFunctions.l2Normalize(
+        c.toArray.map(_.toFloat)))
+    val indexed = corpus.withColumn("cell",
+      graft.expressions.VectorExpressions.nearestCentroid(col(vecCol), cents))
+    (indexed, cents)
+  }
+
   /** IVF probe: score only rows in the `nProbe` cells closest to the query.
     * Cell pruning happens before any vector math touches the corpus. */
   def ivfSearch(indexed: DataFrame, centroids: Array[Array[Float]],

@@ -61,4 +61,16 @@ class SimilaritySearchSpec extends SparkSpec {
       qv, 5, nProbe = 2).collect().map(_.getLong(0)).toSet
     part should contain(0L)
   }
+
+  test("IVF with distributed KMeans centroids: total assignment, full probe exact") {
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(emb, "vec_id",
+      "embedding", nCells = 8, maxIter = 3)
+    indexed.count() shouldBe emb.count()
+    cents.length shouldBe 8
+    val qv = all(4L)
+    val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", qv, 5)
+      .collect().map(_.getLong(0)).toSet
+    SimilaritySearch.ivfSearch(indexed, cents, "vec_id", "embedding", qv, 5,
+      nProbe = 8).collect().map(_.getLong(0)).toSet shouldBe exact
+  }
 }
