@@ -2,7 +2,6 @@ package graft.ingest
 
 import graft.embed.Embedder
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,12 +27,23 @@ object BinaryIngest {
     df.write.mode("overwrite").saveAsTable(table)
 
   /** Dense sequential ids in path order (`NB:236-237`'s `enumerate`,
-    * distributed): row_number over a global path sort. The global sort is a
-    * range shuffle — acceptable because id assignment runs once per ingest;
-    * downstream joins use the id, not the order. */
-  def withDenseIds(df: DataFrame, idCol: String = "image_id"): DataFrame =
-    df.withColumn(idCol,
-      row_number().over(Window.orderBy(col("path"))).cast("long") - 1)
+    * distributed): two-pass partition-offset assignment. Pass 1 is a range
+    * shuffle on `path` with per-partition local sorts — parallelism stays at
+    * the shuffle-partition count, and the binary `content` bytes never
+    * funnel through one task (the global-window formulation this replaces
+    * did exactly that). Pass 2 (`zipWithIndex`) counts rows per partition in
+    * a lightweight job, then adds each partition's cumulative offset to the
+    * local row index; the sorted shuffle output is reused, not recomputed. */
+  def withDenseIds(df: DataFrame, idCol: String = "image_id"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col("path")).sortWithinPartitions("path")
+    val outSchema = StructType(
+      df.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, outSchema)
+  }
 
   /** Distributed embedding: model instantiated once per partition
     * (mapPartitions), rows with failed decodes dropped (`NB:211-213, 239`).

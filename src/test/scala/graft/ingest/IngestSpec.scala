@@ -78,6 +78,23 @@ class IngestSpec extends SparkSpec {
     jsonBack.collect().map(_.toSeq).toSet shouldBe want
   }
 
+  test("withDenseIds: dense path-ordered ids, no single-partition stage") {
+    val ids = BinaryIngest.withDenseIds(
+      BinaryIngest.scan(spark, "/root/testdata/sf0.001", "*.parquet"))
+    val rows = ids.select("path", "image_id").collect().sortBy(_.getLong(1))
+    rows.map(_.getLong(1)).toSeq shouldBe rows.indices.map(_.toLong)
+    rows.map(_.getString(0)).toSeq shouldBe
+      rows.map(_.getString(0)).toSeq.sorted
+    // scale guard: the old formulation was a global Window (one-partition
+    // exchange carrying the binary content); the two-pass shape must never
+    // reintroduce either
+    // (AQE may still coalesce a tiny input to one task — that's a runtime
+    // size decision, not a required-by-the-plan SinglePartition.)
+    val p = ids.queryExecution.executedPlan.toString
+    (p should not).include("SinglePartition")
+    (p should not).include("Window")
+  }
+
   test("full reference pipeline: binary scan -> ids -> embed -> index -> search") {
     val embedder = new graft.embed.DeterministicEmbedder(32)
     val binary = BinaryIngest.withDenseIds(

@@ -48,4 +48,8 @@ class PlanShapeSpec extends SparkSpec {
   test("q12: knn join broadcasts the query relation") {
     plan("q12_knn_join") should include("BroadcastNestedLoopJoin")
   }
+
+  test("q33: dense-id ingest never funnels through a single-partition exchange") {
+    (plan("q33_image_pipeline") should not).include("SinglePartition")
+  }
 }
