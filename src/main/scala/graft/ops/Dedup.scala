@@ -35,18 +35,38 @@ object Dedup {
     exact(df, pk, Seq(fingerprintMd5(col(textCol))))
 
   /** Candidate pairs `(pk_a, pk_b, jaccard)` with word-`n`-gram Jaccard above
-    * `threshold`. Blocking: size filtering — `jaccard >= t` forces
-    * `t*|b| <= |a| <= |b|/t`, so docs only meet partners whose distinct-set
-    * size is within the admissible band (equi-join on a smaller-side-emitted
-    * size bucket; each unordered pair is generated exactly once). The
-    * verification step is a codegen'd linear merge over the pre-sorted
-    * shingle sets — no per-pair set materialization.
+    * `threshold`. Both candidate generators are lossless and ids-only —
+    * the join carries `(id, sz, key)` rows, never shingle arrays; arrays are
+    * re-attached to the (much smaller) candidate set before the codegen'd
+    * sorted-merge verification, exactly like the minhash path.
     *
-    * (An inverted-index-on-shingle blocker looks natural but degenerates to
-    * ~all-pairs x shingle-multiplicity when shingles are common — size
-    * blocking is robust to skewed shingle frequency.) */
+    * `blocking` picks the candidate generator:
+    *   - `"prefix"` — prefix filtering (PPJoin family): order every doc's
+    *     shingles by ascending global document frequency; two sets with
+    *     `jaccard >= t` must share their globally-smallest common shingle
+    *     inside each one's first `sz - ceil(t*sz) + 1` shingles under that
+    *     order, so candidates join on prefix-shingle equality, pruned
+    *     further by the PPJoin position filter. Skew story: prefix keys are
+    *     each doc's RAREST shingles by construction, so join-key
+    *     frequencies stay bounded on Zipfian corpora — a shingle shared by
+    *     many docs is common, and common shingles never enter prefixes.
+    *   - `"size"` — size banding: `jaccard >= t` forces
+    *     `t*|b| <= |a| <= |b|/t`, so docs only meet partners in the
+    *     admissible size band; each unordered pair is generated exactly
+    *     once (no dedup stage). The build side is salted so a hot size
+    *     (Zipfian doc lengths) spreads across `saltR` tasks instead of one.
+    *   - `"auto"` (default) — one stats pass decides: prefix filtering
+    *     needs shingles that can be rare (vocabulary at least as large as
+    *     the corpus); a tiny shared vocabulary (every shingle common, sets
+    *     small) makes token blocking useless, and size banding — one
+    *     equi-join, no df pass, no dedup — wins.
+    * At 100 TB with a real (large-vocab) corpus, auto lands on prefix
+    * filtering; size banding is the degenerate-vocabulary fallback. */
   def ngramJaccardPairs(df: DataFrame, pk: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      blocking: String = "auto", saltR: Int = 8): DataFrame = {
+    require(Set("auto", "prefix", "size")(blocking),
+      s"blocking must be auto|prefix|size, got $blocking")
     val spark = df.sparkSession
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
@@ -54,21 +74,79 @@ object Dedup {
     val sh = df.select(col(pk).as("id"),
         sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      // 4x the core count: candidate fan-out per doc is uneven (popular
-      // set sizes match far more partners) — finer tasks even out the
-      // stragglers that otherwise serialize the verify stage
+      // 4x the core count: candidate fan-out per doc is uneven — finer
+      // tasks even out stragglers that otherwise serialize the verify stage
       .repartition(par * 4, $"id")
-    val probe = sh.withColumn("bucket",
-      explode(sequence($"sz", floor($"sz" / lit(threshold)).cast("int"))))
-    val cand = probe.as("a").join(sh.as("b"),
-      $"a.bucket" === $"b.sz" &&
-        ($"a.sz" < $"b.sz" || ($"a.sz" === $"b.sz" && $"a.id" < $"b.id")))
+      .localCheckpoint(true) // reused by stats/prefix passes + both re-attach joins
+    val block =
+      if (blocking != "auto") blocking
+      else {
+        val vocab = sh.select(explode($"sh").as("tok"))
+          .agg(approx_count_distinct($"tok")).head().getLong(0)
+        if (vocab >= sh.count()) "prefix" else "size"
+      }
+    val cand = if (block == "prefix") prefixCandidates(sh, threshold)
+               else sizeBandCandidates(sh, threshold, saltR)
     cand
-      .withColumn("common", sortedCountCommon($"a.sh", $"b.sh").cast("double"))
-      .withColumn("jaccard", $"common" / ($"a.sz" + $"b.sz" - $"common"))
+      .join(sh.select($"id".as("id_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "id_a")
+      .join(sh.select($"id".as("id_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "id_b")
+      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
+      .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** Prefix-filtering candidates (ids only, `id_a < id_b`, deduped).
+    * Lossless: the pair's globally-smallest common shingle always lies in
+    * both prefixes (the required overlap is at least `ceil(t*max(|a|,|b|))`
+    * and fewer positions than that remain after a prefix), and at that
+    * shingle every earlier element of either set is non-common, so the
+    * PPJoin position filter `1 + min(sz-rk) >= ceil(t/(1+t)*(sz_a+sz_b))`
+    * passes for it too. */
+  private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    // global document frequency per shingle (map-side combinable count)
+    val dfreq = sh.select(explode($"sh").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("dcount"))
+    // each doc's (sz - ceil(t*sz) + 1) rarest shingles under the global
+    // (dcount, tok) total order; per-doc window — never global
+    val w = Window.partitionBy($"id").orderBy($"dcount", $"tok")
+    val pref = sh.select($"id", $"sz", explode($"sh").as("tok"))
+      .join(dfreq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= $"sz" - ceil($"sz" * lit(threshold)) + lit(1))
+      .select($"id", $"sz", $"tok", $"rk")
+    // required overlap for a pair: jaccard >= t  =>  common >= t/(1+t)*(sa+sb)
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) * ($"a.sz" + $"b.sz"))
+    pref.as("a").join(pref.as("b"),
+        $"a.tok" === $"b.tok" && $"a.id" < $"b.id" &&
+          $"b.sz" >= ceil($"a.sz" * lit(threshold)) &&
+          $"a.sz" >= ceil($"b.sz" * lit(threshold)) &&
+          lit(1) + least($"a.sz" - $"a.rk", $"b.sz" - $"b.rk") >= alpha)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Size-band candidates (ids only, `id_a < id_b`, unique by
+    * construction): probe emits one row per admissible partner size; the
+    * build side is salted `saltR` ways so Zipf-hot sizes spread across
+    * tasks. Probe fan-out is `(1/t - 1)*sz * saltR` short rows per doc. */
+  private def sizeBandCandidates(sh: DataFrame, threshold: Double,
+      saltR: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val ids = sh.select($"id", $"sz")
+    val probe = ids
+      .withColumn("bucket",
+        explode(sequence($"sz", floor($"sz" / lit(threshold)).cast("int"))))
+      .withColumn("salt", explode(array((0 until saltR).map(lit(_)): _*)))
+    val build = ids.withColumn("salt", pmod(xxhash64($"id"), lit(saltR)).cast("int"))
+    probe.as("a").join(build.as("b"),
+        $"a.bucket" === $"b.sz" && $"a.salt" === $"b.salt" &&
+          ($"a.sz" < $"b.sz" || ($"a.sz" === $"b.sz" && $"a.id" < $"b.id")))
       .select(least($"a.id", $"b.id").as("id_a"),
-        greatest($"a.id", $"b.id").as("id_b"), $"jaccard")
+        greatest($"a.id", $"b.id").as("id_b"))
   }
 
   /** MinHash signatures in ONE codegen'd pass over the shingle set

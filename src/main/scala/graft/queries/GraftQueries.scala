@@ -249,16 +249,17 @@ object GraftQueries {
       .select(col("doc_id"), col("score"))
   }
 
-  /** IVF search, full probe: exercises the whole IVF machinery (centroid
-    * build, codegen cell assignment, cell-filtered scan) while probing ALL
-    * cells, so the result provably equals exact top-k and is
-    * oracle-checkable. The pruned-probe mode is benchmarked separately
-    * (`x_ivf_probe` in Bench). */
+  /** IVF search, full probe: exercises the whole IVF machinery (distributed
+    * KMeans centroid build, codegen cell assignment, cell-filtered scan)
+    * while probing ALL cells, so the result provably equals exact top-k and
+    * is oracle-checkable regardless of where the centroids land. The
+    * pruned-probe mode is benchmarked separately (`x_ivf_probe` in Bench). */
   def q24IvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
-    val (indexed, cents) = SimilaritySearch.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(e, "vec_id",
+      "embedding", nCells = 8)
     SimilaritySearch.ivfSearch(indexed, cents, "vec_id", "embedding", qv,
       k = 10, nProbe = 8).select(col("vec_id"), col("score"))
   }

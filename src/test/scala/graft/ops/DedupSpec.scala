@@ -26,6 +26,50 @@ class DedupSpec extends SparkSpec {
     out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L)
   }
 
+  test("ngramJaccardPairs: prefix and size blockers both match brute force") {
+    import spark.implicits._
+    def brute(rows: Seq[(Long, String)], t: Double): Set[(Long, Long)] = {
+      val sets = rows.map { case (id, txt) =>
+        id -> txt.split("\\s+").filter(_.nonEmpty).toSet
+      }.filter(_._2.nonEmpty)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        if sa.intersect(sb).size.toDouble / sa.union(sb).size >= t
+      } yield (ia, ib)).toSet
+    }
+    def got(df: org.apache.spark.sql.DataFrame, t: Double,
+        blocking: String): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 1, threshold = t,
+          blocking = blocking)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // large vocabulary (every doc mostly unique words + near-dup partner):
+    // the corpus shape where prefix filtering pays, and what auto picks
+    val bigRows = (1L to 60L).flatMap { k =>
+      val words = (1 to 10).map(i => s"w${k}_$i")
+      Seq((2 * k - 1, words.mkString(" ")),
+        (2 * k, (words.drop(1) :+ s"x$k").mkString(" ")))
+    }
+    val bigDf = bigRows.toDF("doc_id", "text")
+    val wantBig = brute(bigRows, 0.8)
+    wantBig.nonEmpty shouldBe true
+    got(bigDf, 0.8, "prefix") shouldBe wantBig
+    got(bigDf, 0.8, "size") shouldBe wantBig
+    got(bigDf, 0.8, "auto") shouldBe wantBig
+
+    // tiny shared vocabulary (the fixture corpus): auto falls back to size
+    // banding; both blockers still agree with brute force
+    val smallRows = docs.select("doc_id", "text").limit(150)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val smallDf = smallRows.toDF("doc_id", "text")
+    val wantSmall = brute(smallRows, 0.9)
+    wantSmall.nonEmpty shouldBe true
+    got(smallDf, 0.9, "prefix") shouldBe wantSmall
+    got(smallDf, 0.9, "size") shouldBe wantSmall
+    got(smallDf, 0.9, "auto") shouldBe wantSmall
+  }
+
   test("minhash pairs approximate exact jaccard pairs (recall/precision)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1,
       threshold = 0.9).select("id_a", "id_b").collect()
