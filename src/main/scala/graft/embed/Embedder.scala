@@ -39,8 +39,9 @@ trait Embedder extends Serializable {
   * transformer states — then masked mean-pool, layer-norm, L2-norm exactly as
   * `NB:364-378`.
   *
-  * Image path: byte 64-grams hashed the same way (stand-in for patch
-  * embeddings -> CLS token, `NB:206-209`); empty/blank content -> None.
+  * Image path: REAL decode (JDK `javax.imageio`) to 32x32 RGB, then pixel
+  * 64-grams hashed the same way (stand-in for patch embeddings -> CLS
+  * token, `NB:206-209`); undecodable content -> None.
   */
 final class DeterministicEmbedder(override val dim: Int = 64) extends Embedder {
 
@@ -78,15 +79,20 @@ final class DeterministicEmbedder(override val dim: Int = 64) extends Embedder {
     VectorFunctions.l2Normalize(VectorFunctions.layerNorm(pooled)) // NB:375-376
   }
 
-  override def embedImage(content: Array[Byte]): Option[Array[Float]] = {
-    if (content == null || content.isEmpty) return None // NB:211-213
-    val grams = content.grouped(64).map { g =>
-      var h = 1125899906842597L
-      var i = 0
-      while (i < g.length) { h = 31 * h + g(i); i += 1 }
-      tokenVector(h)
-    }.toArray
-    val pooled = VectorFunctions.maskedMeanPool(grams, Array.fill(grams.length)(1))
-    Some(VectorFunctions.l2Normalize(VectorFunctions.layerNorm(pooled)))
-  }
+  /** Real decode (`javax.imageio`) -> 32x32 RGB resample -> 64-byte pixel
+    * grams hashed into the feature space (stand-in for patch embeddings ->
+    * CLS token, `NB:206-209`). Undecodable bytes -> None, mirroring the
+    * reference's PIL decode-failure drop (`NB:211-213`); the model consumes
+    * PIXELS, never the container bytes. */
+  override def embedImage(content: Array[Byte]): Option[Array[Float]] =
+    graft.multimodal.Multimodal.MediaCodec.decodePixels(content, 32, 32).map { px =>
+      val grams = px.grouped(64).map { g =>
+        var h = 1125899906842597L
+        var i = 0
+        while (i < g.length) { h = 31 * h + g(i); i += 1 }
+        tokenVector(h)
+      }.toArray
+      val pooled = VectorFunctions.maskedMeanPool(grams, Array.fill(grams.length)(1))
+      VectorFunctions.l2Normalize(VectorFunctions.layerNorm(pooled))
+    }
 }

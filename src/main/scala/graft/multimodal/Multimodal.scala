@@ -1,5 +1,8 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,12 +10,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column support: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition batch operators.
   *
-  * The Spark-side plumbing (schemas, mapPartitions batching, null-safe
-  * decode-drop semantics mirroring the reference's `None` -> row-skip,
-  * `Nomic MultiModal Retrieval.py:211-213, 239`) is real and tested; the
-  * codec calls themselves are STUBBED behind [[MediaCodec]] with
-  * deterministic fakes — image/audio libraries are not present in this
-  * environment. Swapping in a real codec changes no plan shape.
+  * Image decode/resize is REAL — JDK-built-in `javax.imageio` (headless
+  * JPEG/PNG/GIF/BMP, zero external jars), mirroring the reference's
+  * PIL-decode-feeding-the-model contract with `None` -> row-skip on
+  * undecodable bytes (`Nomic MultiModal Retrieval.py:202-213, 239`).
+  * Only video frame-sampling remains a deterministic stub ([[MediaCodec
+  * .sampleFrames]]) — the JDK has no video codec; a real one slots in
+  * behind the same signature and changes no plan shape.
   */
 object Multimodal {
 
@@ -20,29 +24,84 @@ object Multimodal {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("channels", IntegerType), StructField("format", StringType)))
 
-  /** STUB decode boundary. Deterministic fakes derive pseudo-metadata and
-    * pseudo-pixels from the bytes so plumbing is testable end-to-end. */
+  /** Codec boundary. Image paths are real (`javax.imageio`); video is a
+    * deterministic stub. Stateless and Serializable so one instance ships
+    * to every executor. */
   object MediaCodec extends Serializable {
-    /** Real impl: JPEG/PNG header parse + pixel decode. */
-    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
-      if (bytes == null || bytes.length < 4) None // undecodable -> drop row
-      else {
-        val h = java.util.Arrays.hashCode(bytes)
-        Some((64 + math.abs(h % 1920), 64 + math.abs((h / 7) % 1080), 3,
-          if ((h & 1) == 0) "jpeg" else "png"))
+
+    /** Decode to a BufferedImage + normalized format name ("jpeg", "png",
+      * ...); None for bytes no installed reader accepts (corrupt/truncated/
+      * not an image — the reference's drop-row signal, `NB:211-213`). */
+    private[graft] def decodeBuffered(bytes: Array[Byte]): Option[(BufferedImage, String)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            Option(reader.read(0)).map(img => (img, fmt))
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Header + pixel decode: (width, height, channels, format). */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, String)] =
+      decodeBuffered(bytes).map { case (img, fmt) =>
+        (img.getWidth, img.getHeight, img.getRaster.getNumBands, fmt)
       }
+
+    /** Decode + resample to `w x h` RGB and return the raw interleaved
+      * pixel bytes (3 per pixel) — the model-input contract (decode ->
+      * resize -> normalize, `NB:202-209`): embedders consume PIXELS, never
+      * the container bytes. */
+    def decodePixels(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeBuffered(bytes).map { case (img, _) =>
+        val scaled = scaleRgb(img, w, h)
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        var o = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = scaled.getRGB(x, y)
+            px(o) = ((rgb >> 16) & 0xff).toByte
+            px(o + 1) = ((rgb >> 8) & 0xff).toByte
+            px(o + 2) = (rgb & 0xff).toByte
+            x += 1; o += 3
+          }
+          y += 1
+        }
+        px
+      }
+
+    /** Resample to `(w, h)` and re-encode as PNG; None on undecodable
+      * input (row dropped by [[resized]], reference semantics). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeBuffered(bytes).map { case (img, _) =>
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(scaleRgb(img, w, h), "png", out)
+        out.toByteArray
+      }
+
+    private def scaleRgb(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      dst
     }
 
-    /** Real impl: resample to (w, h); fake returns a content hash so tests
-      * can assert the call happened per-row with the right target size. */
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val out = new Array[Byte](math.min(64, bytes.length))
-      var i = 0
-      while (i < out.length) { out(i) = (bytes(i) ^ (w + h)).toByte; i += 1 }
-      out
-    }
-
-    /** Real impl: video frame sampling at `everyNth`; fake slices bytes. */
+    /** STUB — video frame sampling at `everyNth`; the JDK ships no video
+      * codec, so the fake slices fixed-size byte windows. A real decoder
+      * (e.g. an FFI wrapper) replaces only this body. */
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]] =
       if (bytes == null || bytes.isEmpty) Seq.empty
       else bytes.grouped(256).zipWithIndex
@@ -65,13 +124,16 @@ object Multimodal {
   }
 
   /** Resize a binary image column to fixed dims (thumbnailing / model-input
-    * prep). Map-only, no shuffle. */
+    * prep). Map-only, no shuffle; undecodable rows dropped. */
   def resized(df: DataFrame, w: Int, h: Int,
       contentCol: String = "content"): DataFrame = {
     val schema = df.schema.add(StructField("resized", BinaryType))
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+ MediaCodec.resize(r.getAs[Array[Byte]](idx), w, h)))
+      rows.flatMap { r =>
+        MediaCodec.resize(r.getAs[Array[Byte]](idx), w, h)
+          .map(b => Row.fromSeq(r.toSeq :+ b))
+      }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 

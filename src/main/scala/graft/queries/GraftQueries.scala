@@ -275,13 +275,17 @@ object GraftQueries {
       .select(col("id").as("doc_id"), col("rrf"))
   }
 
-  /** Multimodal metadata decode over binary rows (stubbed codec, real
-    * partition-batched plumbing). */
-  def q26ImageMeta(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.withImageMeta(
-        BinaryIngest.scan(spark, "/root/testdata/sf0.01", "*.parquet"))
+  /** Multimodal metadata decode over binary image rows: REAL JPEG/PNG
+    * decode (JDK `javax.imageio`) over the deterministic fixture corpus;
+    * the corrupt fixture is dropped (reference `None` -> row-skip,
+    * `NB:211-213`). */
+  def q26ImageMeta(spark: SparkSession, dir: String): DataFrame = {
+    val imgDir = graft.multimodal.ImageFixtures.ensure()
+    Multimodal.withImageMeta(BinaryIngest.scan(spark, imgDir, "*.{png,jpg}"))
       .select(col("path"), col("image_meta.width").as("width"),
-        col("image_meta.height").as("height"))
+        col("image_meta.height").as("height"),
+        col("image_meta.format").as("format"))
+  }
 
   /** Rollup (grouping-sets family) with grouping_id disambiguation. */
   def q27Rollup(spark: SparkSession, dir: String): DataFrame =
@@ -352,8 +356,9 @@ object GraftQueries {
     * with the driver embed loop distributed). */
   def q33ImagePipeline(spark: SparkSession, dir: String): DataFrame = {
     val embedder = new DeterministicEmbedder(32)
+    val imgDir = graft.multimodal.ImageFixtures.ensure()
     val binary = BinaryIngest.withDenseIds(
-      BinaryIngest.scan(spark, "/root/testdata/sf0.01", "*.parquet"))
+      BinaryIngest.scan(spark, imgDir, "*.{png,jpg}"))
     val embedded = BinaryIngest.embedImages(binary, embedder, version = 1L)
     SimilaritySearch.topK(embedded, "image_id", "embedding",
       embedder.forQuery("columnar table of orders"), k = 5)

@@ -29,11 +29,20 @@ class EmbedderSpec extends SparkSpec {
     q.toSeq shouldBe e.embedText("search_query: something foresty").toSeq
   }
 
-  test("image embedding: bytes -> unit vector; empty/null -> None (NB:211-213)") {
-    val bytes = Array.tabulate[Byte](300)(i => (i * 7).toByte)
+  test("image embedding: real decode -> unit vector; undecodable -> None (NB:211-213)") {
+    // a real in-memory PNG: decode must succeed and embed deterministically
+    val img = new java.awt.image.BufferedImage(20, 14,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 14) img.setRGB(x, y, x * 31 + y * 7)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val bytes = out.toByteArray
     val v = e.embedImage(bytes)
     v.isDefined shouldBe true
     VectorFunctions.norm(v.get) shouldBe 1.0 +- 1e-5
+    e.embedImage(bytes).get.toSeq shouldBe v.get.toSeq // deterministic
+    // non-image bytes, empty, null: decode failure -> None, row dropped
+    e.embedImage(Array.tabulate[Byte](300)(i => (i * 7).toByte)) shouldBe None
     e.embedImage(Array.empty[Byte]) shouldBe None
     e.embedImage(null) shouldBe None
   }

@@ -97,19 +97,21 @@ class IngestSpec extends SparkSpec {
 
   test("full reference pipeline: binary scan -> ids -> embed -> index -> search") {
     val embedder = new graft.embed.DeterministicEmbedder(32)
+    val imgDir = graft.multimodal.ImageFixtures.ensure()
     val binary = BinaryIngest.withDenseIds(
-      BinaryIngest.scan(spark, "/root/testdata/sf0.001", "*.parquet"))
+      BinaryIngest.scan(spark, imgDir, "*.{png,jpg}"))
     val embedded = BinaryIngest.embedImages(binary, embedder, version = 1L)
-    embedded.count() shouldBe 10
+    // every real fixture embeds; the corrupt one fails decode and drops
+    embedded.count() shouldBe graft.multimodal.ImageFixtures.images.size
     val idx = graft.index.VectorIndex.build(embedded, "pipeline-spec",
       "image_id", "embedding")
     idx.dim shouldBe 32
-    // self-query: the top hit for file 0's embedding is file 0
+    // self-query: the top hit for image 0's embedding is image 0
     val qv = embedded.filter(embedded("image_id") === 0)
       .head().getSeq[Float](2).toArray
     val hits = idx.search(qv, k = 3, columns = Seq("filepath")).collect()
     hits.head.getLong(0) shouldBe 0L
     hits.head.getDouble(2) shouldBe 1.0 +- 1e-6
-    hits.head.getString(1) should endWith(".parquet")
+    hits.head.getString(1) should endWith(".png")
   }
 }

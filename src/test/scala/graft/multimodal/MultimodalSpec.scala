@@ -2,44 +2,85 @@ package graft.multimodal
 
 import graft.SparkSpec
 import graft.ingest.BinaryIngest
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
 
 class MultimodalSpec extends SparkSpec {
+
+  private def encode(w: Int, h: Int, fmt: String, seed: Int = 0): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7 + seed * 101) & 0xffffff)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
 
   private def binDf = {
     import spark.implicits._
     Seq(
-      ("/img/a.jpg", Array.tabulate[Byte](600)(_.toByte)),
-      ("/img/b.jpg", Array.tabulate[Byte](1200)(i => (i * 3).toByte)),
-      ("/img/broken.jpg", Array[Byte](1, 2)) // undecodable: < 4 bytes
+      ("/img/a.png", encode(40, 30, "png")),
+      ("/img/b.jpg", encode(64, 48, "jpg", seed = 1)),
+      ("/img/broken.jpg", Array[Byte](1, 2, 3, 4, 5)) // not an image
     ).toDF("path", "content")
   }
 
-  test("withImageMeta: typed metadata struct; undecodable rows dropped") {
+  test("withImageMeta: real decode gives exact dims/format; undecodable dropped") {
     val out = Multimodal.withImageMeta(binDf)
     out.count() shouldBe 2 // broken row dropped (reference None semantics)
-    val r = out.filter(out("path") === "/img/a.jpg").head()
-    val meta = r.getStruct(r.fieldIndex("image_meta"))
-    meta.getInt(0) should be > 0 // width
-    meta.getInt(1) should be > 0 // height
-    Seq("jpeg", "png") should contain(meta.getString(3))
+    val rows = out.collect().map { r =>
+      val m = r.getStruct(r.fieldIndex("image_meta"))
+      r.getString(0) -> ((m.getInt(0), m.getInt(1), m.getInt(2), m.getString(3)))
+    }.toMap
+    rows("/img/a.png") shouldBe ((40, 30, 3, "png"))
+    rows("/img/b.jpg") shouldBe ((64, 48, 3, "jpeg"))
   }
 
-  test("resized: map-only, one row per input, deterministic") {
-    val out = Multimodal.resized(binDf, 128, 128)
-    out.count() shouldBe 3
-    val a1 = out.filter(out("path") === "/img/a.jpg")
+  test("resized: output re-decodes at the exact target size; undecodable dropped") {
+    val out = Multimodal.resized(binDf, 12, 9)
+    out.count() shouldBe 2 // broken row dropped
+    val a = out.filter(out("path") === "/img/a.png")
       .head().getAs[Array[Byte]]("resized")
-    val again = Multimodal.resized(binDf, 128, 128)
-    val a2 = again.filter(again("path") === "/img/a.jpg")
-      .head().getAs[Array[Byte]]("resized")
-    a1.toSeq shouldBe a2.toSeq
+    Multimodal.MediaCodec.decodeImage(a) shouldBe Some((12, 9, 3, "png"))
+    // deterministic
+    val again = Multimodal.resized(binDf, 12, 9)
+    again.filter(again("path") === "/img/a.png")
+      .head().getAs[Array[Byte]]("resized").toSeq shouldBe a.toSeq
   }
 
-  test("sampledFrames: explodes every-nth frame with indexes") {
-    val out = Multimodal.sampledFrames(binDf, everyNth = 2)
+  test("decodePixels: w*h*3 RGB bytes from decoded pixels, None on junk") {
+    val px = Multimodal.MediaCodec.decodePixels(encode(10, 8, "png"), 6, 4)
+    px.isDefined shouldBe true
+    px.get.length shouldBe 6 * 4 * 3
+    Multimodal.MediaCodec.decodePixels("junk".getBytes, 6, 4) shouldBe None
+  }
+
+  test("image fixtures: every fixture decodes at its declared dims; corrupt drops") {
+    val dir = ImageFixtures.ensure()
+    val out = Multimodal.withImageMeta(
+      BinaryIngest.scan(spark, dir, "*.{png,jpg}"))
+    // the corrupt fixture is scanned but dropped by decode
+    out.count() shouldBe ImageFixtures.images.size
+    val got = out.collect().map { r =>
+      val m = r.getStruct(r.fieldIndex("image_meta"))
+      new java.io.File(r.getString(0)).getName ->
+        ((m.getInt(0), m.getInt(1), m.getString(3)))
+    }.toMap
+    ImageFixtures.images.foreach { case (name, w, h, fmt) =>
+      got(name) shouldBe ((w, h, fmt))
+    }
+  }
+
+  test("sampledFrames: explodes every-nth frame with indexes (video stub)") {
+    import spark.implicits._
+    val df = Seq(
+      ("/v/a.bin", Array.tabulate[Byte](600)(_.toByte)),
+      ("/v/b.bin", Array.tabulate[Byte](1200)(i => (i * 3).toByte))
+    ).toDF("path", "content")
+    val out = Multimodal.sampledFrames(df, everyNth = 2)
     // a: 600B -> 3 chunks -> frames 0,2 kept = 2; b: 1200B -> 5 chunks -> 3
-    // broken: 2B -> 1 chunk -> 1
-    out.count() shouldBe 6
+    out.count() shouldBe 5
     out.select("frame_idx").collect().map(_.getInt(0)).max should be >= 1
   }
 
@@ -62,11 +103,12 @@ class MultimodalSpec extends SparkSpec {
     import spark.implicits._
     val embedder = new graft.embed.DeterministicEmbedder(16)
     val df = BinaryIngest.withDenseIds(
-      Seq(("/x/a.bin", Array.tabulate[Byte](100)(_.toByte)),
-        ("/x/bad.bin", Array.empty[Byte])).toDF("path", "content"))
+      Seq(("/x/a.png", encode(24, 18, "png")),
+        ("/x/bad.bin", Array.tabulate[Byte](100)(_.toByte)))
+        .toDF("path", "content"))
     val out = BinaryIngest.embedImages(df, embedder, version = 5L)
     out.columns.toSeq shouldBe Seq("image_id", "filepath", "embedding", "version")
-    out.count() shouldBe 1 // empty content embeds to None -> dropped
+    out.count() shouldBe 1 // undecodable content embeds to None -> dropped
     out.head().getSeq[Float](2).length shouldBe 16
   }
 }
