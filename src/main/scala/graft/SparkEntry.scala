@@ -24,8 +24,11 @@ object SparkEntry {
     GraftQueries.all
 
   /** DuckDB-equivalent SQL per query (same column names and value types).
-    * Queries absent here (minhash/simhash/langid/semantic/ivf/hybrid/
-    * multimodal) are not SQL-expressible — driver records rows-only. */
+    * Queries absent here are not SQL-expressible — the engine-side hash
+    * family (q20 banded minhash, q21 simhash, q23/q25 deterministic
+    * embedder, q26/q33 image decode) has no DuckDB mirror; each is instead
+    * spec-checked, and the machinery is oracle-covered by a deterministic
+    * twin where one exists (q20b for q20, q25b for q25's keyword side). */
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -152,6 +155,17 @@ object SparkEntry {
       """SELECT regexp_replace(filename, '^file:', '') AS path,
          CAST(size AS BIGINT) AS length
          FROM read_blob('/root/testdata/sf0.01/*.parquet')""",
+    "q20b_minhash_exact" -> // r=1 banding + exact verify == exact jaccard pairs
+      """WITH tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+         FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+         WHERE len(list_distinct(list_concat(a.w, b.w))) > 0
+           AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) >= 0.9""",
     "q22_lang_id" ->
       """WITH tok AS (SELECT doc_id,
              list_transform(list_filter(string_split_regex(text, '\s+'),
@@ -185,6 +199,36 @@ object SparkEntry {
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
          ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q25b_bm25" -> // BM25 (k1=1.2, b=0.75) over whitespace tokens,
+      // query terms: spark, vector, join — mirrors HybridSearch.bm25
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM tok),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             CAST(sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+           FROM d),
+         scored AS (SELECT doc_id,
+             (CASE WHEN df1 = 0 THEN 0.0 ELSE
+               ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) *
+               CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) * 2.2 /
+               (CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * dl / avgdl)) END)
+             + (CASE WHEN df2 = 0 THEN 0.0 ELSE
+               ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) *
+               CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) * 2.2 /
+               (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * dl / avgdl)) END)
+             + (CASE WHEN df3 = 0 THEN 0.0 ELSE
+               ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) *
+               CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2 /
+               (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * dl / avgdl)) END) AS bm25
+           FROM d, stats)
+         SELECT doc_id, bm25 FROM scored WHERE bm25 > 0""",
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          CAST(count(*) AS BIGINT) AS n,
@@ -221,5 +265,28 @@ object SparkEntry {
          list_dot_product(CAST(a.embedding AS DOUBLE[]),
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 1
-         ORDER BY score DESC, vec_id LIMIT 5""")
+         ORDER BY score DESC, vec_id LIMIT 5""",
+    "q34_dedup_pipeline" -> // exact-jaccard edges -> recursive-CTE min-label
+      // components -> survivors (mirrors Dedup.dropDuplicates semantics)
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+           WHERE len(list_distinct(list_concat(a.w, b.w))) > 0
+             AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.w, b.w))) >= 0.9),
+         edges AS (SELECT id_a, id_b FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         cc(id, label) AS (
+           SELECT DISTINCT id_a, id_a FROM edges
+           UNION
+           SELECT e.id_a, cc.label FROM edges e JOIN cc ON cc.id = e.id_b),
+         victims AS (
+           SELECT id FROM (SELECT id, min(label) AS label FROM cc GROUP BY id)
+           WHERE label <> id)
+         SELECT CAST(count(*) AS BIGINT) AS survivors,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)""")
 }

@@ -123,10 +123,16 @@ final class VectorIndex private (
     this
   }
 
-  /** Persist index state as parquet (the service's durable index analog);
-    * reload with [[VectorIndex.load]]. */
-  def save(path: String): Unit =
-    state.write.mode("overwrite").parquet(path)
+  /** Persist index state as parquet AND the fitted LSH model when present
+    * (the service's durable index analog); reload with [[VectorIndex.load]].
+    * Persisting the model matters: a refit would draw a fresh random hash
+    * family and silently change `searchApprox` results across the
+    * save/load cycle — the reference's durable service index never does
+    * that. */
+  def save(path: String): Unit = {
+    state.write.mode("overwrite").parquet(s"$path/state")
+    lshModel.foreach(_.write.overwrite().save(s"$path/lsh"))
+  }
 
   private def swapState(next: DataFrame): Unit = {
     val old = state
@@ -154,15 +160,7 @@ object VectorIndex {
       else state.select(size(col(vectorCol))).head().getInt(0) // NB:322
     state.count() // _and_wait
 
-    val lsh = if (withLsh) {
-      val withVec = state.withColumn("__vec", array_to_vector(
-        transform(col(vectorCol), x => x.cast("double"))))
-      val model = new BucketedRandomProjectionLSH()
-        .setInputCol("__vec").setOutputCol("__hashes")
-        .setBucketLength(2.0).setNumHashTables(3)
-        .fit(withVec)
-      Some(model)
-    } else None
+    val lsh = if (withLsh) Some(fitLsh(state, vectorCol)) else None
 
     val version = if (source.columns.contains("version"))
       source.agg(max(col("version"))).head().getLong(0) else 0L
@@ -171,10 +169,38 @@ object VectorIndex {
     idx
   }
 
-  /** Rebuild an index from a parquet dump written by [[VectorIndex.save]]. */
+  private def fitLsh(state: DataFrame,
+      vectorCol: String): BucketedRandomProjectionLSHModel = {
+    val withVec = state.withColumn("__vec", array_to_vector(
+      transform(col(vectorCol), x => x.cast("double"))))
+    new BucketedRandomProjectionLSH()
+      .setInputCol("__vec").setOutputCol("__hashes")
+      .setBucketLength(2.0).setNumHashTables(3)
+      .fit(withVec)
+  }
+
+  /** Rebuild an index from a dump written by [[VectorIndex.save]]. The
+    * persisted LSH model (same hash family -> identical `searchApprox`
+    * results) is restored when present; a legacy state-only dump falls back
+    * to a fresh fit with a warning-worthy caveat documented on `save`. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String, name: String,
-      primaryKey: String, vectorCol: String, withLsh: Boolean = false): VectorIndex =
-    build(spark.read.parquet(path), name, primaryKey, vectorCol, withLsh = withLsh)
+      primaryKey: String, vectorCol: String, withLsh: Boolean = false): VectorIndex = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    // legacy dumps stored the state parquet at the root
+    val statePath = if (exists(s"$path/state")) s"$path/state" else path
+    val idx = build(spark.read.parquet(statePath), name, primaryKey, vectorCol)
+    if (withLsh) {
+      idx.lshModel =
+        if (exists(s"$path/lsh"))
+          Some(BucketedRandomProjectionLSHModel.load(s"$path/lsh"))
+        else Some(fitLsh(idx.state, vectorCol))
+    }
+    idx
+  }
 }
 
 /** Name -> index registry — `vs_client.get_index` parity (`NB:384`). */

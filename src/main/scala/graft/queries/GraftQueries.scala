@@ -221,11 +221,21 @@ object GraftQueries {
 
   // ------------------------------------------------ no-oracle (rows-only)
 
-  /** MinHash-LSH near-dup pairs (hash family not reproducible in the
-    * oracle; validated by its own spec against exact Jaccard). */
+  /** MinHash-LSH near-dup pairs, production banding (hash family not
+    * reproducible in the oracle; validated by its own spec against exact
+    * Jaccard, and by [[q20bMinhashExact]]'s oracle on the r=1 config). */
   def q20MinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
       n = 1, numHashes = 48, bands = 6, threshold = 0.9)
+
+  /** MinHash with one hash per band (r=1): a pair with jaccard >= 0.9
+    * escapes candidacy with probability (1-j)^48 <= 1e-48, and the exact
+    * verify then makes the output PROVABLY equal to exact Jaccard pairs —
+    * so the whole minhash machinery (signatures, banding, candidate join,
+    * re-attach, verify) is oracle-checkable against q15's SQL. */
+  def q20bMinhashExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 1, numHashes = 48, bands = 48, threshold = 0.9)
 
   /** SimHash near-dup pairs. */
   def q21SimhashPairs(spark: SparkSession, dir: String): DataFrame =
@@ -263,6 +273,14 @@ object GraftQueries {
     SimilaritySearch.ivfSearch(indexed, cents, "vec_id", "embedding", qv,
       k = 10, nProbe = 8).select(col("vec_id"), col("score"))
   }
+
+  /** The BM25 keyword side of hybrid search alone — plain SQL in DuckDB,
+    * so the term-frequency/IDF/length-normalization math is oracle-checked
+    * even though the fused RRF ranking (vector side) is not. */
+  def q25bBm25(spark: SparkSession, dir: String): DataFrame =
+    HybridSearch.bm25(t(spark, dir, "documents"), "doc_id", "text",
+        "spark vector join")
+      .select(col("id").as("doc_id"), col("bm25"))
 
   /** Hybrid keyword+vector retrieval (O25, reciprocal-rank fusion). */
   def q25Hybrid(spark: SparkSession, dir: String): DataFrame = {
@@ -365,13 +383,15 @@ object GraftQueries {
       .select(col("image_id"), col("filepath"), col("score"))
   }
 
-  /** End-to-end dedup pipeline (rows-only): minhash-LSH candidate pairs ->
-    * connected components -> survivors (min-pk representative per duplicate
-    * cluster). The complete SemDeDup-style flow as one query. */
+  /** End-to-end dedup pipeline: exact Jaccard candidate pairs ->
+    * connected components (iterative min-label propagation) -> survivors
+    * (min-pk representative per duplicate cluster). The complete
+    * SemDeDup-style flow as one query, oracle-checked against a DuckDB
+    * recursive-CTE label propagation over the same exact pairs. */
   def q34DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-      n = 1, numHashes = 48, bands = 6, threshold = 0.9)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.9)
     Dedup.dropDuplicates(docs, "doc_id", pairs)
       .agg(count(lit(1)).as("survivors"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
@@ -400,11 +420,13 @@ object GraftQueries {
     "q18_fingerprint" -> (q18Fingerprint _),
     "q19_binary_scan" -> (q19BinaryScan _),
     "q20_minhash_pairs" -> (q20MinhashPairs _),
+    "q20b_minhash_exact" -> (q20bMinhashExact _),
     "q21_simhash_pairs" -> (q21SimhashPairs _),
     "q22_lang_id" -> (q22LangId _),
     "q23_semantic_topk" -> (q23SemanticTopk _),
     "q24_ivf_topk" -> (q24IvfTopk _),
     "q25_hybrid" -> (q25Hybrid _),
+    "q25b_bm25" -> (q25bBm25 _),
     "q26_image_meta" -> (q26ImageMeta _),
     "q27_rollup" -> (q27Rollup _),
     "q28_semi_anti" -> (q28SemiAnti _),

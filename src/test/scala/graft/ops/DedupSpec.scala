@@ -113,6 +113,37 @@ class DedupSpec extends SparkSpec {
     want.nonEmpty shouldBe true
   }
 
+  test("simhash multi-index generates fewer candidates than thin-chunk banding") {
+    import spark.implicits._
+    val maxHamming = 6
+    val sigs = docs.limit(200)
+      .select($"doc_id", Dedup.simhash(
+        graft.functions.TextFunctions.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // the retired scheme: maxHamming+1 thin chunks, exact-equality buckets
+    val nThin = maxHamming + 1
+    val wThin = (64 + nThin - 1) / nThin
+    val candThin = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if (0 until nThin).exists { c =>
+        val lo = c * wThin; val bits = math.min(wThin, 64 - lo)
+        bits > 0 && ((sa >>> lo) & ((1L << bits) - 1)) ==
+          ((sb >>> lo) & ((1L << bits) - 1))
+      }
+    } yield 1).size
+    // the current scheme: four 16-bit chunks, <= floor(h/4) flips expanded
+    val e = maxHamming / 4
+    val candWide = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if (0 until 4).exists { c =>
+        java.lang.Long.bitCount(((sa ^ sb) >>> (c * 16)) & 0xffffL) <= e
+      }
+    } yield 1).size
+    withClue(s"wide=$candWide thin=$candThin: ") {
+      candWide should be < candThin
+    }
+  }
+
   test("embedding LSH pairs subset of exact pairs with decent recall") {
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", 0.4)

@@ -53,4 +53,19 @@ class TopKAggregatorSpec extends SparkSpec {
       "vec_id", "embedding")
     reloaded.search(qv, k = 5).collect().map(_.toSeq).toSeq shouldBe before
   }
+
+  test("LSH model persists through save/load: searchApprox rows identical") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val idx = graft.index.VectorIndex.build(emb, "lsh-save-spec", "vec_id",
+      "embedding", withLsh = true)
+    val qv = emb.filter(col("vec_id") === 3).head().getSeq[Float](1).toArray
+    val before = idx.searchApprox(qv, k = 5).collect().map(_.toSeq).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh").toString + "/idx"
+    idx.save(path)
+    val reloaded = graft.index.VectorIndex.load(spark, path, "lsh-save-spec-2",
+      "vec_id", "embedding", withLsh = true)
+    // identical hash family -> identical approximate results (a refit would
+    // re-randomize and silently change them)
+    reloaded.searchApprox(qv, k = 5).collect().map(_.toSeq).toSeq shouldBe before
+  }
 }
