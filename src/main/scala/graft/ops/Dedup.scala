@@ -71,12 +71,15 @@ object Dedup {
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
     val par = spark.sessionState.conf.numShufflePartitions
-    val sh = df.select(col(pk).as("id"),
+    // repartition the RAW docs before tokenizing: tokenize parallelism must
+    // come from the shuffle, not the input layout (a small parquet reads as
+    // one partition and would tokenize single-threaded). 4x the core count:
+    // candidate fan-out per doc is uneven — finer tasks even out stragglers
+    // that otherwise serialize the verify stage
+    val sh = df.repartition(par * 4, col(pk))
+      .select(col(pk).as("id"),
         sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      // 4x the core count: candidate fan-out per doc is uneven — finer
-      // tasks even out stragglers that otherwise serialize the verify stage
-      .repartition(par * 4, $"id")
       .localCheckpoint(true) // reused by stats/prefix passes + both re-attach joins
     val block =
       if (blocking != "auto") blocking
@@ -172,10 +175,11 @@ object Dedup {
     // stage and both verify joins within this one query; an un-unpersisted
     // cache would leak for the session lifetime, while the checkpoint's
     // blocks are dropped with the DataFrame
-    val sh = df.select(col(pk).as("id"),
+    // raw docs repartitioned before tokenize — see ngramJaccardPairs
+    val sh = df.repartition(par * 4, col(pk))
+      .select(col(pk).as("id"),
         sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      .repartition(par * 4, $"id") // finer tasks: see ngramJaccardPairs
       .localCheckpoint(true)
     val sig = sh.withColumn("sig", minhashSignature($"sh", numHashes))
     // band buckets carry ONLY ids through the self-join — shingle sets are
