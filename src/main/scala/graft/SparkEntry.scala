@@ -229,6 +229,24 @@ object SparkEntry {
                 + 1.2 * (0.25 + 0.75 * dl / avgdl)) END) AS bm25
            FROM d, stats)
          SELECT doc_id, bm25 FROM scored WHERE bm25 > 0""",
+    "q26_image_meta" -> // golden expected table: the fixture corpus declares
+      // its dimensions by construction (ImageFixtures.images), so the
+      // oracle is the spec the real decoder must recover; the corrupt
+      // fixture must NOT appear (decode-failure drop)
+      """SELECT * FROM (VALUES
+           ('/root/repo/fixtures/images/img_00.png', 16, 12, 'png'),
+           ('/root/repo/fixtures/images/img_01.png', 20, 15, 'png'),
+           ('/root/repo/fixtures/images/img_02.png', 24, 18, 'png'),
+           ('/root/repo/fixtures/images/img_03.png', 28, 21, 'png'),
+           ('/root/repo/fixtures/images/img_04.png', 32, 24, 'png'),
+           ('/root/repo/fixtures/images/img_05.png', 36, 27, 'png'),
+           ('/root/repo/fixtures/images/img_06.png', 40, 30, 'png'),
+           ('/root/repo/fixtures/images/img_07.png', 44, 33, 'png'),
+           ('/root/repo/fixtures/images/img_08.jpg', 48, 36, 'jpeg'),
+           ('/root/repo/fixtures/images/img_09.jpg', 52, 39, 'jpeg'),
+           ('/root/repo/fixtures/images/img_10.jpg', 56, 42, 'jpeg'),
+           ('/root/repo/fixtures/images/img_11.jpg', 60, 45, 'jpeg')
+         ) AS t(path, width, height, format)""",
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
          CAST(count(*) AS BIGINT) AS n,
