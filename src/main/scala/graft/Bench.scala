@@ -139,13 +139,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")).toInt
     val only = argMap.get("only").orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession: the engine's opinionated configs (extensions, AQE +
+    // skew-join, partition sizing) are what the bench measures
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val queries = headline.filter(SparkEntry.queries.contains)

@@ -12,13 +12,7 @@ object Plans {
       else Seq("q01_agg_pricing", "q02_filter_pushdown", "q03_join_agg",
         "q04_topk_orders", "q11_vec_topk", "q13_embed_dedup_pairs",
         "q15_jaccard_pairs")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n======== $n ========")

@@ -23,13 +23,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GraftQueries.all
 
-  /** DuckDB-equivalent SQL per query (same column names and value types).
-    * Queries absent here are not SQL-expressible — the engine-side hash
-    * family (q20 banded minhash, q21 simhash, q23/q25 deterministic
-    * embedder, q26/q33 image decode) has no DuckDB mirror; each is instead
-    * spec-checked, and the machinery is oracle-covered by a deterministic
-    * twin where one exists (q20b for q20, q25b for q25's keyword side). */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB-equivalent SQL per query (same column names and value types),
+    * for the driver's t2 compare at sf0.01. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracle SQL parameterized by the fixture dir. Most entries are
+    * dir-independent SQL over the named tables; q19's blob-scan path is
+    * interpolated so the check holds at any sf. Queries whose engine-side
+    * math has no DuckDB mirror (q20 banded minhash, q21 simhash, q23/q25
+    * deterministic embedder) are closed with golden oracles pinned at
+    * sf0.01 (the q26 pattern — each derived from an independent
+    * recomputation, see the per-entry comments) and are only emitted for
+    * that dir; q26/q33 golden tables are fixture-derived and
+    * sf-independent. */
+  def oracleSqlFor(dir: String): Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
@@ -152,9 +159,9 @@ object SparkEntry {
     "q18_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents""",
     "q19_binary_scan" ->
-      """SELECT regexp_replace(filename, '^file:', '') AS path,
+      s"""SELECT regexp_replace(filename, '^file:', '') AS path,
          CAST(size AS BIGINT) AS length
-         FROM read_blob('/root/testdata/sf0.01/*.parquet')""",
+         FROM read_blob('$dir/*.parquet')""",
     "q20b_minhash_exact" -> // r=1 banding + exact verify == exact jaccard pairs
       """WITH tok AS (SELECT doc_id,
              list_distinct(list_filter(string_split_regex(text, '\s+'),
@@ -306,5 +313,13 @@ object SparkEntry {
            WHERE label <> id)
          SELECT CAST(count(*) AS BIGINT) AS survivors,
            min(doc_id) AS min_id, max(doc_id) AS max_id
-         FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)""")
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)""") ++
+    goldenOracles(dir)
+
+  /** Golden oracles (q26 pattern) for the queries whose hash-family /
+    * embedder math has no DuckDB twin. Emitted only for the sf0.01 fixture
+    * dir they were pinned against (q33's is fixture-derived and emitted
+    * everywhere). Populated by [[graft.queries.GoldenOracles]]. */
+  private def goldenOracles(dir: String): Map[String, String] =
+    graft.queries.GoldenOracles.forDir(dir)
 }

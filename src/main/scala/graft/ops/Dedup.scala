@@ -276,7 +276,16 @@ object Dedup {
 
   /** Scale path: random-hyperplane sign buckets; pairs agreeing on all
     * `planes` signs meet, then exact cosine verify. Recall tunable via
-    * multiple tables (union of `tables` independent bucketings). */
+    * multiple tables (union of `tables` independent bucketings).
+    *
+    * Same candidate shape as [[minhashPairs]]: the bucket self-join carries
+    * ONLY `(id, table, bucket)` rows — vectors are projected away before the
+    * shuffle and re-attached to the (much smaller) deduplicated candidate
+    * set for the cosine verify. At 768-dim float the old vector-carrying
+    * join shipped ~6 KB per candidate through the exchange; ids-only ships
+    * 8 bytes. All-near-duplicate corpora collapsing into few hot buckets
+    * are handled by AQE skew-join splitting (GraftSession enables it) —
+    * salting a pair-generating self-join would lose cross-salt pairs. */
   def embeddingPairsLsh(df: DataFrame, pk: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 8,
       seed: Long = 42L): DataFrame = {
@@ -284,19 +293,26 @@ object Dedup {
     import spark.implicits._
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val rng = new scala.util.Random(seed)
+    // localCheckpoint: reused by every table's bucket pass + both re-attach
+    // joins; blocks are dropped with the DataFrame (a persist would leak)
     val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
     val bucketed = (0 until tables).map { t =>
       val planeCols = (0 until planes).map { _ =>
         val plane = Array.fill(dim)(rng.nextGaussian().toFloat)
         when(cosineUnit($"v", vecLit(plane)) >= 0, "1").otherwise("0")
       }
-      v.withColumn("table", lit(t))
-        .withColumn("bucket", concat(planeCols: _*))
+      // ids-only: the vector feeds the sign computation map-side and is
+      // dropped before anything shuffles
+      v.select($"id", lit(t).as("table"), concat(planeCols: _*).as("bucket"))
     }.reduce(_ unionByName _)
-    bucketed.as("a").join(bucketed.as("b"),
+    val cand = bucketed.as("a").join(bucketed.as("b"),
         $"a.table" === $"b.table" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"), $"a.v".as("va"), $"b.v".as("vb"))
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    cand
+      .join(v.select($"id".as("id_a"), $"v".as("va")), "id_a")
+      .join(v.select($"id".as("id_b"), $"v".as("vb")), "id_b")
       .withColumn("score", cosineUnit($"va", $"vb"))
       .filter($"score" > threshold)
       .select($"id_a", $"id_b", $"score")

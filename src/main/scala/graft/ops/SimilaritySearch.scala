@@ -29,18 +29,38 @@ object SimilaritySearch {
 
   /** Multi-query exact k-NN join: broadcast the (small) query relation
     * against the corpus, score map-side, rank per query. Deterministic
-    * tie-break on corpus pk. */
+    * tie-break on corpus pk.
+    *
+    * Two physical strategies behind one result:
+    *   - window (default): rank `row_number() over (partition by query)` —
+    *     shuffles EVERY scored row to its query's partition before ranking;
+    *     fine when the corpus is modest or k is a large fraction of it;
+    *   - `viaAggregator = true`: [[TopKAggregator.knnAggregate]] — map-side
+    *     partial aggregation reduces each partition to <= k rows per query
+    *     BEFORE the shuffle, so the exchange carries O(k * partitions) rows
+    *     per query instead of O(corpus). The scale path when corpus >>
+    *     k * partitions (the common 100 TB shape); integer pks and the
+    *     `(query_id, pk, score, rank)` projection only (re-attach other
+    *     corpus columns by joining on pk afterwards). */
   def knnJoin(queries: DataFrame, corpus: DataFrame, qPk: String,
-      cPk: String, vecCol: String, k: Int): DataFrame = {
+      cPk: String, vecCol: String, k: Int,
+      viaAggregator: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val q = queries.select(col(qPk).as("query_id"), col(vecCol).as("__qv"))
     val scored = corpus.crossJoin(broadcast(q))
       .withColumn("score", cosineUnit(col(vecCol), $"__qv"))
-    val w = Window.partitionBy($"query_id").orderBy(desc("score"), col(cPk))
-    scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .drop("__qv", vecCol)
+    if (viaAggregator) {
+      val tuples = scored.select($"query_id".cast("long"),
+        col(cPk).cast("long"), $"score".cast("double")).as[(Long, Long, Double)]
+      TopKAggregator.knnAggregate(tuples, k)
+        .toDF("query_id", cPk, "score", "rank")
+    } else {
+      val w = Window.partitionBy($"query_id").orderBy(desc("score"), col(cPk))
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+        .drop("__qv", vecCol)
+    }
   }
 
   /** Threshold similarity join (all pairs above `minScore`), query side
@@ -91,16 +111,33 @@ object SimilaritySearch {
     * build path when the corpus is too large for a driver-side sample to
     * represent: Lloyd iterations run as Spark jobs, only the k centroid
     * vectors ever visit the driver. Assignment still uses the codegen
-    * [[graft.expressions.NearestCentroid]] argmax. */
+    * [[graft.expressions.NearestCentroid]] argmax.
+    *
+    * The fit runs on a DISTRIBUTED sample of ~`fitRowsPerCell` rows per
+    * cell (never collected — sampling, `ml.Vector` conversion, and Lloyd
+    * iterations all stay executor-side): centroid quality needs row
+    * density per cell, not the whole corpus, so fitting 32k sampled rows
+    * instead of 200M costs per-iteration work proportional to the sample
+    * while the resulting cells partition the full corpus identically in
+    * expectation. `setTol` stops Lloyd early once centroids move < 1e-4. */
   def ivfBuildKMeans(corpus: DataFrame, pk: String, vecCol: String,
-      nCells: Int = 16, maxIter: Int = 5, seed: Long = 42L)
-      : (DataFrame, Array[Array[Float]]) = {
+      nCells: Int = 16, maxIter: Int = 5, seed: Long = 42L,
+      fitRowsPerCell: Int = 1024): (DataFrame, Array[Array[Float]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val withVec = corpus.withColumn("__vec",
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))))
+    val total = corpus.count()
+    val target = nCells.toLong * fitRowsPerCell
+    val sampled =
+      if (total <= target) corpus
+      else corpus.sample(withReplacement = false,
+        // small over-draw so the sample rarely lands under target
+        math.min(1.0, target.toDouble / total * 1.05), seed)
+    val fitSet = sampled.select(array_to_vector(
+        transform(col(vecCol), x => x.cast("double"))).as("__vec"))
+      .persist()
     val model = new KMeans().setK(nCells).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("__vec").fit(withVec)
+      .setTol(1e-4).setFeaturesCol("__vec").fit(fitSet)
+    fitSet.unpersist()
     val cents = model.clusterCenters
       .map(c => graft.functions.VectorFunctions.l2Normalize(
         c.toArray.map(_.toFloat)))

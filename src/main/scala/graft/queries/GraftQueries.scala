@@ -212,11 +212,12 @@ object GraftQueries {
 
   // ------------------------------------------- sources / multimodal / misc
 
-  /** Binary-file scan (O3) + scheme strip (O4): reads the sf0.01 parquet
-    * files themselves as opaque binaries. Path is pinned to the t2 fixture
-    * dir in BOTH engines (the oracle SQL is static text). */
+  /** Binary-file scan (O3) + scheme strip (O4): reads the sf dir's parquet
+    * files themselves as opaque binaries. The oracle SQL interpolates the
+    * same dir ([[graft.SparkEntry.oracleSqlFor]]), so the check holds at
+    * any sf. */
   def q19BinaryScan(spark: SparkSession, dir: String): DataFrame =
-    BinaryIngest.scan(spark, "/root/testdata/sf0.01", "*.parquet")
+    BinaryIngest.scan(spark, dir, "*.parquet")
       .select(col("path"), col("length"))
 
   // ------------------------------------------------ no-oracle (rows-only)
