@@ -1,12 +1,130 @@
 package graft.queries
 
-/** Golden oracle tables for the queries whose engine-side math (minhash
-  * banding, simhash, deterministic embedder) has no DuckDB twin — the q26
-  * pattern: pin the expected result as a literal VALUES table, derived from
-  * an independent recomputation where one exists (see per-entry notes).
-  * Placeholder — populated in this round once the pinned values are
-  * recomputed.
+/** Golden oracle tables (the q26 pattern) for the five queries whose
+  * engine-side math — minhash banding, simhash, the deterministic
+  * embedder — has no computable DuckDB twin. Each pins a deterministic
+  * expected result as literal SQL:
+  *
+  *   - q20: NOT a raw pin — the banded minhash output is a provable subset
+  *     of the exact-Jaccard pair set (verify stage recomputes true Jaccard,
+  *     so no false positives can enter), and q20b's r=1 config already
+  *     oracles the full signature/band machinery against q15's SQL. The
+  *     oracle is therefore q15's (independently hash-matched) exact-pair
+  *     SQL minus the pinned 107-pair banding miss-list — ids only; the
+  *     jaccard values come from the SAME DuckDB computation q15 matches.
+  *   - q21: pinned (id_a, id_b, hamming) rows — integers only, seeded hash
+  *     family, spec-guarded by the pigeonhole-recall property test.
+  *   - q23/q25: pinned (doc_id, score) top-k — the deterministic embedder's
+  *     scores are bit-stable (fixed left-fold dot); q25's BM25 keyword side
+  *     is independently oracled by q25b and the RRF fusion is spec-checked.
+  *   - q33: pinned (image_id, filepath, score) over the fixture image
+  *     corpus — fixture-derived like q26, valid at ANY sf dir.
+  *
+  * All but q33 are pinned against the sf0.01 documents/embeddings fixtures
+  * and are emitted only for that dir (a different sf would need re-pinning;
+  * the driver's t2 gate always runs sf0.01).
   */
 object GoldenOracles {
-  def forDir(dir: String): Map[String, String] = Map.empty
+
+  def forDir(dir: String): Map[String, String] = {
+    val sfPinned = dir.replaceAll("/+$", "").endsWith("sf0.01")
+    val always = Map("q33_image_pipeline" -> q33)
+    if (sfPinned)
+      always ++ Map(
+        "q20_minhash_pairs" -> q20,
+        "q21_simhash_pairs" -> q21,
+        "q23_semantic_topk" -> q23,
+        "q25_hybrid" -> q25)
+    else always
+  }
+
+  /** q15's exact-Jaccard SQL (hash-matched independently) minus the pinned
+    * banding misses: banded-minhash output == exact pairs \ misses, because
+    * the exact verify makes false positives impossible and the 48-hash/6-band
+    * S-curve miss set is deterministic under the pinned seed. */
+  private val q20: String =
+    """WITH tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents),
+         exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+         FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+         WHERE len(list_distinct(list_concat(a.w, b.w))) > 0
+           AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) >= 0.9),
+         miss(m_a, m_b) AS (VALUES
+           (32,154), (56,234), (56,458), (57,234), (57,458), (92,450), (98,234), (98,458),
+           (100,234), (100,458), (111,234), (111,458), (127,215), (127,380), (128,197), (128,410),
+           (142,234), (142,458), (147,234), (147,458), (153,201), (153,336), (154,197), (154,258),
+           (154,410), (167,234), (167,458), (173,234), (173,458), (184,215), (184,380), (197,201),
+           (197,217), (197,223), (197,247), (197,336), (197,415), (197,442), (201,215), (201,380),
+           (201,410), (210,215), (210,380), (215,241), (215,249), (215,270), (215,276), (215,336),
+           (215,346), (215,386), (215,434), (216,234), (216,458), (217,410), (223,410), (233,234),
+           (233,458), (234,251), (234,264), (234,272), (234,274), (234,280), (234,294), (234,299),
+           (234,311), (234,319), (234,328), (234,354), (234,417), (234,426), (234,429), (234,441),
+           (234,453), (234,463), (234,466), (241,380), (247,410), (249,380), (251,458), (264,458),
+           (270,380), (272,458), (274,458), (276,380), (280,458), (290,442), (290,462), (294,458),
+           (299,458), (311,458), (319,458), (328,458), (336,380), (336,410), (346,380), (354,458),
+           (380,386), (380,434), (410,415), (410,442), (417,458), (426,458), (429,458), (441,458),
+           (453,458), (458,463), (458,466))
+         SELECT id_a, id_b, jaccard FROM exact
+         WHERE NOT EXISTS (SELECT 1 FROM miss
+           WHERE m_a = id_a AND m_b = id_b)"""
+
+  private val q21: String =
+    """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS BIGINT) AS hamming
+         FROM (VALUES
+           (8,195,6), (8,245,4), (18,386,6), (24,216,6), (24,369,5),
+           (24,447,6), (31,383,2), (32,451,6), (34,121,3), (34,200,6),
+           (34,460,6), (35,60,6), (44,446,2), (45,267,1), (45,413,1),
+           (58,293,2), (60,66,6), (61,185,1), (63,179,6), (63,210,6),
+           (66,145,4), (66,182,6), (66,336,6), (66,344,6), (66,453,6),
+           (66,473,6), (70,415,5), (70,447,2), (72,377,0), (73,177,6),
+           (77,145,6), (84,489,6), (85,234,6), (92,450,3), (98,290,0),
+           (102,195,4), (107,387,3), (109,426,6), (109,466,6), (120,332,2),
+           (126,285,6), (126,429,6), (135,280,4), (139,415,6), (141,193,6),
+           (142,197,6), (142,280,5), (145,167,5), (145,182,6), (145,235,5),
+           (145,344,6), (151,369,6), (151,412,5), (151,453,6), (152,178,2),
+           (156,212,6), (165,209,6), (166,323,0), (174,235,5), (174,376,6),
+           (176,453,5), (182,336,6), (182,387,6), (182,429,6), (182,473,6),
+           (184,356,5), (190,267,6), (190,413,6), (195,245,6), (195,280,6),
+           (195,344,6), (196,320,6), (197,353,6), (205,434,5), (210,234,6),
+           (217,322,5), (220,496,6), (224,280,5), (235,376,5), (241,316,6),
+           (242,354,5), (249,453,6), (258,489,6), (261,429,5), (261,432,6),
+           (264,498,6), (267,413,0), (270,385,6), (270,453,6), (272,352,6),
+           (277,437,6), (280,344,6), (285,301,1), (285,429,6), (285,434,6),
+           (301,423,6), (302,346,6), (307,344,6), (310,389,6), (311,369,6),
+           (314,353,6), (318,434,6), (321,438,6), (322,434,6), (326,457,2),
+           (336,429,6), (336,453,6), (336,479,6), (344,356,4), (344,369,6),
+           (344,424,6), (344,452,6), (346,354,6), (346,356,5), (349,442,6),
+           (354,356,5), (367,491,6), (387,473,6), (393,420,0), (417,466,6),
+           (429,432,5), (434,489,6), (442,453,6), (447,470,6), (458,462,3),
+           (487,490,6)) AS t(id_a, id_b, hamming)"""
+
+  private val q23: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, score FROM (VALUES
+           (46,5.02630101710951571e-01), (80,4.84973562372987610e-01),
+           (106,5.39104913140169506e-01), (146,5.33293182738104887e-01),
+           (276,4.72482786717778935e-01), (296,4.65310179987279193e-01),
+           (337,4.80873025786992536e-01), (438,4.93160586296807257e-01),
+           (478,5.39006048077651734e-01), (479,4.73407273309873478e-01)) AS t(doc_id, score)"""
+
+  private val q25: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf FROM (VALUES
+           (97,3.00179211469534038e-02), (146,3.05788982259570484e-02),
+           (229,2.73672687465790904e-02), (276,2.89855072463768119e-02),
+           (292,2.58937520882058132e-02), (296,3.06791569086651075e-02),
+           (337,3.03099885189437451e-02), (420,2.61449077238550924e-02),
+           (478,3.10544053923928753e-02), (479,2.82193958664546905e-02)) AS t(doc_id, rrf)"""
+
+  private val q33: String =
+    """SELECT CAST(image_id AS BIGINT) AS image_id, filepath, score
+         FROM (VALUES
+           (1,'/root/repo/fixtures/images/img_01.png',8.06290007791083119e-02),
+           (4,'/root/repo/fixtures/images/img_04.png',2.02169230966506075e-01),
+           (6,'/root/repo/fixtures/images/img_06.png',1.40910238011360184e-01),
+           (7,'/root/repo/fixtures/images/img_07.png',2.92403701356917928e-02),
+           (9,'/root/repo/fixtures/images/img_09.jpg',3.87356582385107867e-02)) AS t(image_id, filepath, score)"""
 }
