@@ -46,20 +46,48 @@ final class VectorIndex private (
 
   def currentVersion: Long = syncedVersion
 
-  /** Exact top-k: cosine score (== dot on unit vectors) then
-    * `orderBy desc limit k` which Catalyst plans as TakeOrderedAndProject —
-    * per-partition heaps, no global sort. Result shape `[pk, cols..., score]`
-    * mirrors the service's `data_array` rows (`NB:388, 416`). */
+  /** Top-k search. `queryType` mirrors the reference's (declared, disabled)
+    * `query_type` parameter (`NB:386-387`):
+    *   - `"ANN"` (default): cosine score (== dot on unit vectors) then
+    *     `orderBy desc limit k` which Catalyst plans as
+    *     TakeOrderedAndProject — per-partition heaps, no global sort;
+    *   - `"HYBRID"`: keyword (BM25) + vector rankings fused with
+    *     reciprocal-rank fusion, delegated to [[graft.ops.HybridSearch]];
+    *     needs `queryText` and a `textCol` present in the index state;
+    *     `score` is the RRF score.
+    * Result shape `[pk, cols..., score]` in both modes — the service's
+    * `data_array` rows (`NB:388, 416`). */
   def search(queryVec: Array[Float], k: Int = 5,
-      columns: Seq[String] = Seq.empty): DataFrame = {
+      columns: Seq[String] = Seq.empty, queryType: String = "ANN",
+      queryText: String = null, textCol: String = "text"): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val cols = if (columns.isEmpty)
       state.columns.filterNot(_ == vectorCol).toSeq else columns
-    state
-      .withColumn("score", cosineUnit(col(vectorCol), vecLit(queryVec)))
-      .orderBy(desc("score"), col(primaryKey))
-      .limit(k)
-      .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col) :+ col("score"): _*)
+    val ordered = (primaryKey +: cols.filterNot(_ == primaryKey)).map(col) :+ col("score")
+    queryType.toUpperCase match {
+      case "ANN" =>
+        state
+          .withColumn("score", cosineUnit(col(vectorCol), vecLit(queryVec)))
+          .orderBy(desc("score"), col(primaryKey))
+          .limit(k)
+          .select(ordered: _*)
+      case "HYBRID" =>
+        require(queryText != null, "HYBRID search requires queryText")
+        require(state.columns.contains(textCol),
+          s"HYBRID search requires text column '$textCol' in the index state")
+        val hits = graft.ops.HybridSearch.search(state, primaryKey, textCol,
+          vectorCol, queryText, queryVec, k)
+          .select(col("id").as(primaryKey), col("rrf").as("score"))
+        // re-attach projected columns to the k fused hits — the k-row hit
+        // side broadcasts, so this is a map-side join over the state scan
+        state.select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col): _*)
+          .join(broadcast(hits), Seq(primaryKey))
+          .orderBy(desc("score"), col(primaryKey))
+          .select(ordered: _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"queryType must be ANN or HYBRID, got $other")
+    }
   }
 
   /** Approximate top-k via LSH bucket probing. */

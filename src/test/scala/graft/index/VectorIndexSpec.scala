@@ -94,4 +94,30 @@ class VectorIndexSpec extends SparkSpec {
     rows.head.length shouldBe 3 // [pk, label, score]
     rows.head.head shouldBe 5L  // self-match first
   }
+
+  test("queryType=HYBRID on the index == HybridSearch.search (NB:386-387)") {
+    val embedder = new graft.embed.DeterministicEmbedder(64)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val withVec = graft.ingest.BinaryIngest
+      .embedText(docs, embedder, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val idx = VectorIndex.build(withVec, "spec-hybrid", "doc_id", "embedding")
+    val q = "spark vector join"
+    val qv = embedder.forQuery(q)
+    val want = graft.ops.HybridSearch.search(withVec, "doc_id", "text",
+        "embedding", q, qv, k = 5)
+      .select(col("id"), col("rrf")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = idx.search(qv, k = 5, columns = Seq("text"),
+      queryType = "HYBRID", queryText = q)
+    // shape [pk, cols..., score] — same surface as ANN mode
+    got.schema.fieldNames.toSeq shouldBe Seq("doc_id", "text", "score")
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    gotMap shouldBe want
+    // unknown query types rejected; hybrid without text rejected
+    an[IllegalArgumentException] should be thrownBy
+      idx.search(qv, queryType = "FULLTEXT")
+    an[IllegalArgumentException] should be thrownBy
+      idx.search(qv, queryType = "HYBRID")
+  }
 }

@@ -161,6 +161,33 @@ class DedupSpec extends SparkSpec {
     (lsh.size.toDouble / exact.size) should be >= 0.7 // candidate recall floor
   }
 
+  test("embedding LSH ids-only rewrite: identical output to exact on a " +
+      "clustered fixture where recall is ~certain") {
+    import spark.implicits._
+    // 20 clusters x 3 near-identical unit vectors (cos >= 0.999 within,
+    // low across): P(a within-pair misses all 16 tables) ~ (1-p1^4)^16
+    // with p1 = 1 - acos(0.999)/pi ~ 0.9857 -> ~1e-20, and the seed is
+    // pinned — so LSH output must EQUAL exact output, pairs and scores
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 20).flatMap { c =>
+      val base = Array.fill(dim)(rng.nextGaussian().toFloat)
+      (0 until 3).map { j =>
+        val v = base.zipWithIndex.map { case (x, i) =>
+          x + 0.001f * rng.nextGaussian().toFloat }
+        (c * 3L + j, graft.functions.VectorFunctions.l2Normalize(v))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = asMap(Dedup.embeddingPairsExact(df, "vec_id", "embedding", 0.9))
+    val lsh = asMap(Dedup.embeddingPairsLsh(df, "vec_id", "embedding", 0.9,
+      planes = 4, tables = 16))
+    exact.size shouldBe 60 // 3 pairs per cluster
+    lsh shouldBe exact
+  }
+
   test("dropDuplicates: connected components keep min-pk representative") {
     import spark.implicits._
     val df = (1L to 8L).map(i => (i, s"row$i")).toDF("id", "v")

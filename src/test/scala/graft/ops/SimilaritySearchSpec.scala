@@ -34,6 +34,20 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("knnJoin viaAggregator: identical (query, id, score, rank) tuples " +
+      "to the window path") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def tuples(viaAgg: Boolean) =
+      SimilaritySearch.knnJoin(queries, emb, "vec_id", "vec_id",
+        "embedding", k = 4, viaAggregator = viaAgg)
+        .select(col("query_id"), col("vec_id"), col("score"),
+          col("rank").cast("int"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    tuples(viaAgg = true) shouldBe tuples(viaAgg = false)
+  }
+
   test("thresholdJoin returns exactly the pairs above minScore") {
     val queries = emb.filter(col("vec_id") === 2)
     val want = all.toSeq

@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.{SparkSpec, TestSpark}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.types.ArrayType
 
 /** Plan-shape guards: the physical properties the 100 TB design depends on,
   * asserted so a regression fails tests rather than only showing up in
@@ -14,6 +16,38 @@ class PlanShapeSpec extends SparkSpec {
     spark.sqlContext.clearCache()
     GraftQueries.all(name)(spark, TestSpark.sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** The ids-only invariant for the dedup family (the round-1 q15
+    * regression class): the candidate self-join — the join whose equi-keys
+    * are BLOCKING keys (shingle/bucket/band/chunk keys) — must consume no
+    * array column on either side. Shingle sets and vectors may only meet a
+    * join on the id-keyed re-attach, after candidacy bounded the row count.
+    * Checked on the join inputs rather than only Exchange nodes so the
+    * guard holds whether Catalyst picks a shuffled join (the 100 TB plan)
+    * or broadcasts a tiny side (the sf0.001 test plan) — either way, a
+    * blocking join input carrying arrays means arrays moved over the
+    * network per-candidate. */
+  private def assertBlockingJoinsIdsOnly(df: DataFrame): Unit = {
+    val blockingKeys =
+      Set("tok", "bucket", "band", "chunk", "piece", "probe", "salt", "sz", "table")
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val blocking = joins.filter { j =>
+      (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name))
+        .exists(blockingKeys.contains)
+    }
+    withClue("expected at least one blocking-keyed candidate join") {
+      blocking should not be empty
+    }
+    blocking.foreach { j =>
+      val arrayCols = (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[ArrayType])
+      withClue(s"candidate join on ${j.leftKeys.mkString(",")} carries arrays: ") {
+        arrayCols shouldBe empty
+      }
+    }
   }
 
   test("q02: every predicate reaches the parquet scan; schema pruned") {
@@ -51,5 +85,22 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q33: dense-id ingest never funnels through a single-partition exchange") {
     (plan("q33_image_pipeline") should not).include("SinglePartition")
+  }
+
+  test("q15/q20/q21: dedup candidate joins never shuffle shingle/signature arrays") {
+    spark.sqlContext.clearCache()
+    for (name <- Seq("q15_jaccard_pairs", "q20_minhash_pairs", "q21_simhash_pairs"))
+      withClue(s"$name: ") {
+        assertBlockingJoinsIdsOnly(
+          GraftQueries.all(name)(spark, TestSpark.sf0001))
+      }
+  }
+
+  test("embeddingPairsLsh: bucket self-join carries ids only, never vectors") {
+    spark.sqlContext.clearCache()
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    assertBlockingJoinsIdsOnly(
+      graft.ops.Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4,
+        planes = 4, tables = 4))
   }
 }
