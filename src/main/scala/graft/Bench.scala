@@ -99,6 +99,14 @@ object Bench {
         force(SimilaritySearch.topK(scaled, "vec_id", "embedding", qv, 10))
       })
 
+      // untimed warmup for the build path (parity with the per-query
+      // warmups): a tiny fit exercises MLlib class-loading/codegen once so
+      // the timed build measures the algorithm, not JVM cold-start
+      locally {
+        val (wix, _) = SimilaritySearch.ivfBuildKMeans(base.limit(512),
+          "vec_id", "embedding", nCells = 4)
+        wix.count()
+      }
       var indexedP: DataFrame = null
       var cents: Array[Array[Float]] = null
       val build = timed {
@@ -112,14 +120,80 @@ object Bench {
         force(SimilaritySearch.ivfSearch(indexedP, cents, "vec_id", "embedding",
           qv, 10, nProbe = 4))
       })
+
+      // multi-query knn over the 200k corpus, window vs aggregator path:
+      // the aggregator's map-side partial top-k shrinks the shuffle from
+      // O(corpus * queries) to O(k * partitions * queries)
+      val queries = base.filter(col("vec_id") < 32)
+      val knnWin = (1 to reps).map(_ => timed {
+        force(SimilaritySearch.knnJoin(queries, scaled, "vec_id", "vec_id",
+          "embedding", k = 10))
+      })
+      val knnAgg = (1 to reps).map(_ => timed {
+        force(SimilaritySearch.knnJoin(queries, scaled, "vec_id", "vec_id",
+          "embedding", k = 10, viaAggregator = true))
+      })
       scaled.unpersist(); indexedP.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
-        "x_ivf_build" -> build, "x_ivf_probe" -> probe.min)
+        "x_ivf_build" -> build, "x_ivf_probe" -> probe.min,
+        "x_knn_window_32q" -> knnWin.min, "x_knn_agg_32q" -> knnAgg.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
-        "x_ivf_build" -> build, "x_ivf_probe" -> med(probe))
+        "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
+        "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }
+  }
+
+  /** The dedup family at ~50k docs, each scheme on the corpus shape it is
+    * the scale path for (candidate-count scaling for both shapes is
+    * measured separately by [[DedupStress]], recorded in NOTES_r3.md):
+    *   - minhash + simhash on the REPLICATED FIXTURE (10x, per-replica
+    *     perturbation): tiny-vocab corpora are exactly where sketch
+    *     blocking must hold, and their candidates stay near the true pair
+    *     count there;
+    *   - exact-Jaccard (auto -> prefix filtering) on the SYNTHETIC
+    *     LARGE-VOCAB corpus: token blocking needs tokens that can be rare.
+    *     On a tiny-vocab 50k corpus no content blocking is sub-quadratic
+    *     for EXACT pair enumeration (~10^8 candidates, measured) — the
+    *     right tool there is minhash, which is what the row above times.
+    * One timing each — these are the bench's heaviest rows. */
+  private def scaledDedupBench(spark: SparkSession, sfDir: String)
+      : Seq[(String, Double)] = {
+    import graft.ops.Dedup
+    // the fixture's tiny vocabulary makes ~1/3 of all pairs minhash
+    // candidates, so the verify join moves ~40M rows carrying ~1 KB shingle
+    // payloads at 10x scale: partition the shuffle to the DATA (40M rows /
+    // 256 ~ 160k rows per task sort), not the core count — the same sizing
+    // rule a 100 TB job applies via spark.sql.shuffle.partitions; AQE
+    // coalesces the small stages back down. Restored after the block.
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    // headline/vector runs leave dead localCheckpoint RDDs behind; a GC
+    // lets ContextCleaner drop their blocks before the heaviest section
+    System.gc()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val scaled = DedupStress.replicateDocs(docs, 10)
+        .repartition(32).persist()
+      val n = scaled.count() / 1000
+      val mh = timed { force(Dedup.minhashPairs(scaled, "doc_id", "text",
+        n = 1, numHashes = 48, bands = 6, threshold = 0.9)) }
+      val sh = timed { force(Dedup.simhashPairs(scaled, "doc_id", "text",
+        maxHamming = 6)) }
+      scaled.unpersist()
+      val synth = DedupStress.syntheticDocs(spark, 50000)
+        .repartition(32).persist()
+      val sn = synth.count() / 1000
+      val jac = timed { force(Dedup.ngramJaccardPairs(synth, "doc_id",
+        "text", n = 1, threshold = 0.9)) }
+      synth.unpersist()
+      Seq(s"x_dedup_minhash_${n}k" -> mh, s"x_dedup_simhash_${n}k" -> sh,
+        s"x_dedup_jaccard_${sn}k" -> jac)
+    } catch { case _: Throwable => Seq("x_dedup_scaled" -> -1.0)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    }
   }
 
   private def jsonMap(kvs: Seq[(String, Double)]): String =
@@ -163,12 +237,14 @@ object Bench {
     val (vecMin, vecMed) =
       if (only.isEmpty) scaledVectorBench(spark, sfDir, reps)
       else (Seq.empty, Seq.empty)
+    val dedupScaled =
+      if (only.isEmpty) scaledDedupBench(spark, sfDir) else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++ vecMin
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++ vecMin ++ dedupScaled
     val meds = runs.map { case (n, ts) =>
-      n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++ vecMed
+      n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++ vecMed ++ dedupScaled
     val sent = Seq(
       "cpu_before_min" -> sentBefore("cpu").min,
       "cpu_after_min" -> sentAfter("cpu").min,

@@ -70,17 +70,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
-    val par = spark.sessionState.conf.numShufflePartitions
-    // repartition the RAW docs before tokenizing: tokenize parallelism must
-    // come from the shuffle, not the input layout (a small parquet reads as
-    // one partition and would tokenize single-threaded). 4x the core count:
-    // candidate fan-out per doc is uneven — finer tasks even out stragglers
-    // that otherwise serialize the verify stage
-    val sh = df.repartition(par * 4, col(pk))
-      .select(col(pk).as("id"),
-        sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
-      .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      .localCheckpoint(true) // reused by stats/prefix passes + both re-attach joins
+    val sh = shingleSets(df, pk, textCol, n)
     val block =
       if (blocking != "auto") blocking
       else {
@@ -99,6 +89,27 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Sorted distinct word-shingle sets `(id, sh, sz)` — the shared first
+    * stage of the Jaccard family. Repartitions the RAW docs before
+    * tokenizing: tokenize parallelism must come from the shuffle, not the
+    * input layout (a small parquet reads as one partition and would
+    * tokenize single-threaded); 4x the core count because candidate
+    * fan-out per doc is uneven — finer tasks even out stragglers that
+    * otherwise serialize the verify stage. localCheckpoint (not persist):
+    * reused by stats/prefix passes + both re-attach joins within one
+    * query; blocks are dropped with the DataFrame. */
+  private[graft] def shingleSets(df: DataFrame, pk: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = spark.sessionState.conf.numShufflePartitions
+    df.repartition(par * 4, col(pk))
+      .select(col(pk).as("id"),
+        sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+      .withColumn("sz", size($"sh")).filter($"sz" > 0)
+      .localCheckpoint(true)
+  }
+
   /** Prefix-filtering candidates (ids only, `id_a < id_b`, deduped).
     * Lossless: the pair's globally-smallest common shingle always lies in
     * both prefixes (the required overlap is at least `ceil(t*max(|a|,|b|))`
@@ -106,7 +117,7 @@ object Dedup {
     * shingle every earlier element of either set is non-common, so the
     * PPJoin position filter `1 + min(sz-rk) >= ceil(t/(1+t)*(sz_a+sz_b))`
     * passes for it too. */
-  private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
     // global document frequency per shingle (map-side combinable count)
@@ -135,7 +146,7 @@ object Dedup {
     * construction): probe emits one row per admissible partner size; the
     * build side is salted `saltR` ways so Zipf-hot sizes spread across
     * tasks. Probe fan-out is `(1/t - 1)*sz * saltR` short rows per doc. */
-  private def sizeBandCandidates(sh: DataFrame, threshold: Double,
+  private[graft] def sizeBandCandidates(sh: DataFrame, threshold: Double,
       saltR: Int): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
@@ -169,29 +180,8 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
-    val par = spark.sessionState.conf.numShufflePartitions
-    val rows = numHashes / bands
-    // localCheckpoint (not persist): shingle sets are reused by the band
-    // stage and both verify joins within this one query; an un-unpersisted
-    // cache would leak for the session lifetime, while the checkpoint's
-    // blocks are dropped with the DataFrame
-    // raw docs repartitioned before tokenize — see ngramJaccardPairs
-    val sh = df.repartition(par * 4, col(pk))
-      .select(col(pk).as("id"),
-        sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
-      .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      .localCheckpoint(true)
-    val sig = sh.withColumn("sig", minhashSignature($"sh", numHashes))
-    // band buckets carry ONLY ids through the self-join — shingle sets are
-    // re-attached to the (much smaller) verified candidate set afterwards
-    val banded = sig.select($"id", posexplode(
-      array((0 until bands).map(b =>
-        xxhash64(slice($"sig", b * rows + 1, rows), lit(b))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val sh = shingleSets(df, pk, textCol, n)
+    val cand = minhashCandidates(sh, numHashes, bands)
     cand
       .join(sh.select($"id".as("id_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "id_a")
       .join(sh.select($"id".as("id_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "id_b")
@@ -199,6 +189,25 @@ object Dedup {
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** MinHash-banded candidate pairs (ids only, `id_a < id_b`, deduped):
+    * band buckets carry ONLY ids through the self-join — shingle sets are
+    * re-attached to the (much smaller) verified candidate set afterwards. */
+  private[graft] def minhashCandidates(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val sig = sh.withColumn("sig", minhashSignature($"sh", numHashes))
+    val banded = sig.select($"id", posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(slice($"sig", b * rows + 1, rows), lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash of a token multiset: sign-sum of per-token hash bits
@@ -227,6 +236,18 @@ object Dedup {
     * and a coarser sketch (minhash) is the right tool. */
   def simhashPairs(df: DataFrame, pk: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    simhashCandidates(df, pk, textCol, maxHamming)
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** SimHash multi-index candidate pairs (ids + hamming, `id_a < id_b`,
+    * deduped, NOT yet hamming-filtered) — split out so candidate growth is
+    * measurable independently of the verify filter
+    * ([[graft.DedupStress]]). */
+  private[graft] def simhashCandidates(df: DataFrame, pk: String,
+      textCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 12,
       s"maxHamming must be in [0, 12), got $maxHamming")
     val spark = df.sparkSession
@@ -255,7 +276,6 @@ object Dedup {
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         hamming64($"a.sig", $"b.sig").cast("long").as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .filter($"hamming" <= maxHamming)
   }
 
   /** Embedding near-dup pairs: cosine above `threshold`. Exact mode scores

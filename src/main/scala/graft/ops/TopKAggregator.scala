@@ -30,11 +30,17 @@ object TopKAggregator {
     override def merge(a: List[Scored], b: List[Scored]): List[Scored] =
       b.foldLeft(a)(insert)
 
+    // buf kept ascending (worst first), length <= k: a full-list sort per
+    // insert was O(k log k) per row; ordered insertion touches only the
+    // prefix below x — O(k) worst case, O(1) for the common below-floor row
     private def insert(buf: List[Scored], x: Scored): List[Scored] = {
-      // buf kept ascending (worst first), length <= k
-      if (buf.length < k) (x :: buf).sortWith(lt)
+      def place(rest: List[Scored]): List[Scored] = rest match {
+        case h :: t if lt(h, x) => h :: place(t)
+        case _ => x :: rest
+      }
+      if (buf.length < k) place(buf)
       else if (lt(x, buf.head)) buf
-      else (x :: buf.tail).sortWith(lt)
+      else place(buf.tail)
     }
 
     override def finish(buf: List[Scored]): Seq[Scored] = buf.reverse
