@@ -113,7 +113,26 @@ object SparkEntry {
                         b.vec_id) AS rnk
            FROM embeddings a JOIN embeddings b
              ON a.vec_id < 5 AND a.vec_id <> b.vec_id) WHERE rnk <= 3""",
+    "q12b_knn_agg" -> // aggregator knn path: q12's math, self-matches kept
+      """SELECT query_id, vec_id, score, rnk FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id < 5) WHERE rnk <= 3""",
     "q13_embed_dedup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) > 0.45""",
+    "q13b_embed_dedup_lsh" -> // LSH path == exact pairs at this config
+      // (total candidate recall under the pinned seed + exact verify)
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(CAST(a.embedding AS DOUBLE[]),
                           CAST(b.embedding AS DOUBLE[])) AS score
@@ -313,7 +332,22 @@ object SparkEntry {
            WHERE label <> id)
          SELECT CAST(count(*) AS BIGINT) AS survivors,
            min(doc_id) AS min_id, max(doc_id) AS max_id
-         FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)""") ++
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)""",
+    "q35_audio_meta" -> // fixture-spec oracle (AudioFixtures.clips): the
+      // real WAV decoder must recover the spec; the corrupt fixture must
+      // NOT appear. duration = frames / rate computed as the same IEEE
+      // double division on both sides.
+      """SELECT path, sample_rate, channels, 16 AS bits,
+           CAST(frames AS BIGINT) AS frames,
+           CAST(frames AS DOUBLE) / sample_rate AS duration_sec
+         FROM (VALUES
+           ('/root/repo/fixtures/audio/aud_00.wav', 8000, 1, 800),
+           ('/root/repo/fixtures/audio/aud_01.wav', 8000, 2, 1600),
+           ('/root/repo/fixtures/audio/aud_02.wav', 16000, 1, 2400),
+           ('/root/repo/fixtures/audio/aud_03.wav', 16000, 2, 3200),
+           ('/root/repo/fixtures/audio/aud_04.wav', 44100, 1, 4410),
+           ('/root/repo/fixtures/audio/aud_05.wav', 44100, 2, 8820)
+         ) AS t(path, sample_rate, channels, frames)""") ++
     goldenOracles(dir)
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

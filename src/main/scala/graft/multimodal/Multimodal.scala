@@ -106,6 +106,55 @@ object Multimodal {
       if (bytes == null || bytes.isEmpty) Seq.empty
       else bytes.grouped(256).zipWithIndex
         .collect { case (g, i) if i % everyNth == 0 => g }.toSeq
+
+    /** REAL audio header decode — JDK-built-in `javax.sound.sampled`
+      * (WAV/AIFF/AU): (sampleRate, channels, bitsPerSample, frames);
+      * None for bytes no installed reader accepts. */
+    def decodeAudioMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          Some((f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, ais.getFrameLength))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** REAL PCM decode to mono float samples in [-1, 1]: channels averaged,
+      * 16-bit little-endian signed (the WAV default this engine writes and
+      * the overwhelmingly common interchange form); None for undecodable
+      * bytes or non-PCM16 encodings. */
+    def decodeSamplesMono(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.isBigEndian) return None
+          val ch = f.getChannels
+          val raw = ais.readAllBytes()
+          val frames = raw.length / (2 * ch)
+          val out = new Array[Float](frames)
+          var n = 0
+          while (n < frames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < ch) {
+              val o = (n * ch + c) * 2
+              acc += (((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort / 32768.0f)
+              c += 1
+            }
+            out(n) = acc / ch
+            n += 1
+          }
+          Some(out)
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
   }
 
   /** Decode metadata for a binary image column; undecodable rows dropped
@@ -133,6 +182,58 @@ object Multimodal {
       rows.flatMap { r =>
         MediaCodec.resize(r.getAs[Array[Byte]](idx), w, h)
           .map(b => Row.fromSeq(r.toSeq :+ b))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("bits", IntegerType), StructField("frames", LongType),
+    StructField("duration_sec", DoubleType)))
+
+  /** Decode metadata for a binary audio column (REAL `javax.sound.sampled`
+    * WAV/AIFF/AU header decode); undecodable rows dropped, same drop-on-
+    * failure contract as [[withImageMeta]]. Map-only, no shuffle. */
+  def withAudioMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val schema = df.schema.add(StructField("audio_meta", audioMetaSchema))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeAudioMeta(r.getAs[Array[Byte]](idx)).map {
+          case (sr, ch, bits, frames) =>
+            Row.fromSeq(r.toSeq :+ Row(sr, ch, bits, frames,
+              frames.toDouble / sr))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Signal-level audio features over the decoded mono PCM — RMS energy,
+    * peak amplitude, zero-crossing rate — the audio analog of the image
+    * featurizer's pixel contract: features consume SAMPLES, never container
+    * bytes. Undecodable / non-PCM16 rows dropped. */
+  def withAudioFeatures(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val schema = df.schema
+      .add(StructField("rms", DoubleType))
+      .add(StructField("peak", DoubleType))
+      .add(StructField("zcr", DoubleType))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.decodeSamplesMono(r.getAs[Array[Byte]](idx))
+          .filter(_.nonEmpty).map { s =>
+            var sq = 0.0; var peak = 0.0; var zc = 0L
+            var i = 0
+            while (i < s.length) {
+              val v = s(i).toDouble
+              sq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+              i += 1
+            }
+            Row.fromSeq(r.toSeq :+ math.sqrt(sq / s.length) :+ peak :+
+              zc.toDouble / s.length)
+          }
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

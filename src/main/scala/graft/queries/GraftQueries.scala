@@ -171,7 +171,30 @@ object GraftQueries {
     Dedup.embeddingPairsExact(t(spark, dir, "embeddings"), "vec_id",
       "embedding", threshold = 0.45)
 
+  /** The LSH scale path under the same oracle as q13: at planes=4 /
+    * tables=48 with the pinned seed, candidate recall on this fixture is
+    * total (per-pair miss probability (1-p1^4)^48 with p1 = 1-theta/pi;
+    * verified equal to exact), and the cosine verify makes false positives
+    * impossible — so the ids-only bucket machinery, dedup, re-attach and
+    * verify stages all hash-match the exact-pair SQL. */
+  def q13bEmbedDedupLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsLsh(t(spark, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.45, planes = 4, tables = 48)
+
   // ------------------------------------------------------------------ text
+
+  /** Multi-query k-NN through the AGGREGATOR path (map-side partial top-k,
+    * O(k*partitions) shuffle instead of O(corpus)) under a full DuckDB
+    * oracle — same math as q12 but without self-exclusion, so the
+    * Aggregator's merge/finish order and tie-breaks are hash-checked, not
+    * just spec-checked. */
+  def q12bKnnAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    SimilaritySearch.knnJoin(e.filter(col("vec_id") < 5), e,
+        "vec_id", "vec_id", "embedding", k = 3, viaAggregator = true)
+      .select(col("query_id"), col("vec_id"), col("score"),
+        col("rank").cast("long").as("rnk"))
+  }
 
   /** Exact dedup groups: canonical representative (min pk) per key. */
   def q14DedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -306,6 +329,22 @@ object GraftQueries {
         col("image_meta.format").as("format"))
   }
 
+  /** Multimodal audio metadata decode: REAL WAV header decode (JDK
+    * `javax.sound.sampled`) over the deterministic fixture corpus; the
+    * corrupt fixture must be dropped. The oracle is the fixture SPEC
+    * ([[graft.multimodal.AudioFixtures.clips]]) — an independent
+    * derivation, like q26's image-dims oracle. */
+  def q35AudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val audDir = graft.multimodal.AudioFixtures.ensure()
+    Multimodal.withAudioMeta(BinaryIngest.scan(spark, audDir, "*.wav"))
+      .select(col("path"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.bits").as("bits"),
+        col("audio_meta.frames").as("frames"),
+        col("audio_meta.duration_sec").as("duration_sec"))
+  }
+
   /** Rollup (grouping-sets family) with grouping_id disambiguation. */
   def q27Rollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -413,7 +452,9 @@ object GraftQueries {
     "q10_hourly_events" -> (q10HourlyEvents _),
     "q11_vec_topk" -> (q11VecTopk _),
     "q12_knn_join" -> (q12KnnJoin _),
+    "q12b_knn_agg" -> (q12bKnnAgg _),
     "q13_embed_dedup_pairs" -> (q13EmbedDedupPairs _),
+    "q13b_embed_dedup_lsh" -> (q13bEmbedDedupLsh _),
     "q14_dedup_exact" -> (q14DedupExact _),
     "q15_jaccard_pairs" -> (q15JaccardPairs _),
     "q16_text_quality" -> (q16TextQuality _),
@@ -436,5 +477,6 @@ object GraftQueries {
     "q31_string_funcs" -> (q31StringFuncs _),
     "q32_sql_vec_dot" -> (q32SqlVecDot _),
     "q33_image_pipeline" -> (q33ImagePipeline _),
-    "q34_dedup_pipeline" -> (q34DedupPipeline _))
+    "q34_dedup_pipeline" -> (q34DedupPipeline _),
+    "q35_audio_meta" -> (q35AudioMeta _))
 }

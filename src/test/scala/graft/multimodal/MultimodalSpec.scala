@@ -99,6 +99,39 @@ class MultimodalSpec extends SparkSpec {
     ids shouldBe (0L until 10L)
   }
 
+  test("audio: real WAV decode recovers the fixture spec; corrupt dropped") {
+    val dir = AudioFixtures.ensure()
+    val out = Multimodal.withAudioMeta(BinaryIngest.scan(spark, dir, "*.wav"))
+    val rows = out.select("path", "audio_meta.sample_rate",
+        "audio_meta.channels", "audio_meta.bits", "audio_meta.frames")
+      .collect()
+      .map(r => (new java.io.File(r.getString(0)).getName,
+        r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    rows shouldBe AudioFixtures.clips
+      .map { case (n, sr, ch, f) => (n, sr, ch, 16, f) }.toSet
+    // 7 files on disk, corrupt one dropped by decode
+    BinaryIngest.scan(spark, dir, "*.wav").count() shouldBe 7
+    out.count() shouldBe 6
+  }
+
+  test("audio features: sine-wave RMS ~ A/sqrt(2), zcr ~ 2f/sr") {
+    val dir = AudioFixtures.ensure()
+    val feats = Multimodal.withAudioFeatures(
+        BinaryIngest.scan(spark, dir, "*.wav"))
+      .select("path", "rms", "peak", "zcr").collect()
+      .map(r => new java.io.File(r.getString(0)).getName ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    feats.size shouldBe 6
+    AudioFixtures.clips.zipWithIndex.foreach { case ((name, sr, _, _), idx) =>
+      val (rms, peak, zcr) = feats(name)
+      val a = AudioFixtures.amplitude / 32768.0
+      // full periods per clip -> analytic sine stats (quantization ~1e-4)
+      rms shouldBe (a / math.sqrt(2.0)) +- 0.01
+      peak shouldBe a +- 0.01
+      zcr shouldBe (2.0 * AudioFixtures.freqOf(idx) / sr) +- 0.01
+    }
+  }
+
   test("embedImages: distributed embed keeps schema and drops failures") {
     import spark.implicits._
     val embedder = new graft.embed.DeterministicEmbedder(16)
