@@ -41,6 +41,13 @@ final class VectorIndex private (
     private var lshModel: Option[BucketedRandomProjectionLSHModel],
     private var syncedVersion: Long) extends Serializable {
 
+  /** IVF cell centroids when [[buildIvf]] ran; the state then carries a
+    * `cell` column (internal — excluded from default search projections). */
+  private var ivfCents: Option[Array[Array[Float]]] = None
+
+  private def defaultCols: Seq[String] =
+    state.columns.filterNot(c => c == vectorCol || c == "cell").toSeq
+
   /** Current indexed row count (metadata, like the service's row count). */
   def size: Long = state.count()
 
@@ -61,8 +68,7 @@ final class VectorIndex private (
       columns: Seq[String] = Seq.empty, queryType: String = "ANN",
       queryText: String = null, textCol: String = "text"): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
-    val cols = if (columns.isEmpty)
-      state.columns.filterNot(_ == vectorCol).toSeq else columns
+    val cols = if (columns.isEmpty) defaultCols else columns
     val ordered = (primaryKey +: cols.filterNot(_ == primaryKey)).map(col) :+ col("score")
     queryType.toUpperCase match {
       case "ANN" =>
@@ -90,6 +96,35 @@ final class VectorIndex private (
     }
   }
 
+  /** Attach an IVF (inverted-file) layout to the index: distributed
+    * spherical-KMeans centroids, every indexed row assigned to its nearest
+    * cell ([[graft.ops.SimilaritySearch.ivfBuildKMeans]]). After this,
+    * [[searchIvf]] probes cells; later [[upsert]]s assign incoming rows to
+    * the FIXED centroid set (standard IVF maintenance — re-run `buildIvf`
+    * to refit drifted centroids). */
+  def buildIvf(nCells: Int = 16, maxIter: Int = 5,
+      seed: Long = 42L): this.type = synchronized {
+    val (indexed, cents) = graft.ops.SimilaritySearch.ivfBuildKMeans(
+      state.drop("cell"), primaryKey, vectorCol, nCells, maxIter, seed)
+    ivfCents = Some(cents)
+    swapState(indexed)
+    this
+  }
+
+  /** IVF cell-pruned top-k: scores only the `nProbe` cells closest to the
+    * query — the scale ANN path (scan ~nProbe/nCells of the corpus).
+    * `nProbe >= nCells` provably equals exact [[search]]. */
+  def searchIvf(queryVec: Array[Float], k: Int = 5, nProbe: Int = 4,
+      columns: Seq[String] = Seq.empty): DataFrame = {
+    require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
+    val cents = ivfCents.getOrElse(
+      throw new IllegalStateException(s"index $name has no IVF layout; run buildIvf"))
+    val cols = if (columns.isEmpty) defaultCols else columns
+    graft.ops.SimilaritySearch.ivfSearch(state, cents, primaryKey,
+        vectorCol, queryVec, k, nProbe)
+      .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col) :+ col("score"): _*)
+  }
+
   /** Approximate top-k via LSH bucket probing. */
   def searchApprox(queryVec: Array[Float], k: Int = 5,
       columns: Seq[String] = Seq.empty): DataFrame = {
@@ -99,8 +134,7 @@ final class VectorIndex private (
       transform(col(vectorCol), x => x.cast("double"))))
     val q = org.apache.spark.ml.linalg.Vectors.dense(queryVec.map(_.toDouble))
     val hits = model.approxNearestNeighbors(withVec, q, k).toDF()
-    val cols = if (columns.isEmpty)
-      state.columns.filterNot(_ == vectorCol).toSeq else columns
+    val cols = if (columns.isEmpty) defaultCols else columns
     hits
       .withColumn("score", lit(1.0) - pow(col("distCol"), 2) / 2.0) // unit vecs: cos = 1 - d^2/2
       .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col) :+ col("score"): _*)
@@ -118,13 +152,22 @@ final class VectorIndex private (
     * semantics). */
   def refresh(source: DataFrame): this.type = synchronized {
     val hasVersion = source.columns.contains("version")
+    // the source never carries the internal IVF `cell` column — full
+    // rebuilds re-assign it against the fixed centroids; the upsert path
+    // assigns per incoming batch
+    val srcCols = state.columns.filterNot(_ == "cell").toSeq
     if (!hasVersion) {
-      swapState(source.select(state.columns.toSeq.map(col): _*))
+      val base = source.select(srcCols.map(col): _*)
+      swapState(ivfCents match {
+        case Some(cents) => base.withColumn("cell",
+          graft.expressions.VectorExpressions.nearestCentroid(col(vectorCol), cents))
+        case None => base
+      })
     } else {
       // upsert only rows changed since the watermark (version column kept
       // so upsert picks the latest row per pk)
       upsert(source.filter(col("version") > syncedVersion)
-        .select((state.columns.toSeq :+ "version").distinct.map(col): _*))
+        .select((srcCols :+ "version").distinct.map(col): _*))
       syncedVersion = source.agg(max(col("version"))).head().getLong(0)
     }
     this
@@ -144,7 +187,15 @@ final class VectorIndex private (
         changed.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
       } else changed.dropDuplicates(primaryKey)
-    val c = latest.select(stateCols.map(col): _*)
+    // IVF maintenance: incoming rows join the fixed centroid set's nearest
+    // cell (re-run buildIvf to refit centroids after heavy drift)
+    val celled = ivfCents match {
+      case Some(cents) if !latest.columns.contains("cell") =>
+        latest.withColumn("cell",
+          graft.expressions.VectorExpressions.nearestCentroid(col(vectorCol), cents))
+      case _ => latest
+    }
+    val c = celled.select(stateCols.map(col): _*)
     swapState(
       state.join(c.select(primaryKey), Seq(primaryKey), "left_anti")
         .unionByName(c))
@@ -160,6 +211,15 @@ final class VectorIndex private (
   def save(path: String): Unit = {
     state.write.mode("overwrite").parquet(s"$path/state")
     lshModel.foreach(_.write.overwrite().save(s"$path/lsh"))
+    // IVF centroids persist with the index (same durability contract as
+    // the LSH model: reload must NOT change search results)
+    ivfCents.foreach { cents =>
+      val spark = state.sparkSession
+      import spark.implicits._
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/ivf")
+    }
   }
 
   private def swapState(next: DataFrame): Unit = {
@@ -226,6 +286,11 @@ object VectorIndex {
         if (exists(s"$path/lsh"))
           Some(BucketedRandomProjectionLSHModel.load(s"$path/lsh"))
         else Some(fitLsh(idx.state, vectorCol))
+    }
+    if (exists(s"$path/ivf")) {
+      idx.ivfCents = Some(spark.read.parquet(s"$path/ivf")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Float](1).toArray)) // k centroid rows only
     }
     idx
   }

@@ -95,6 +95,37 @@ class VectorIndexSpec extends SparkSpec {
     rows.head.head shouldBe 5L  // self-match first
   }
 
+  test("IVF behind the index handle: full probe == exact, upserts join " +
+      "cells, centroids durable across save/load") {
+    val idx = VectorIndex.build(src, "spec-ivf", "vec_id", "embedding")
+      .buildIvf(nCells = 8)
+    val all = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = all(3L)
+    val exact = idx.search(qv, k = 5).collect().map(_.getLong(0)).toSeq
+    idx.searchIvf(qv, k = 5, nProbe = 8).collect()
+      .map(_.getLong(0)).toSeq shouldBe exact
+    // pruned probe still returns k rows, internal `cell` never projected
+    val pruned = idx.searchIvf(qv, k = 5, nProbe = 2)
+    pruned.count() shouldBe 5
+    (pruned.columns should not).contain("cell")
+    // an upserted row (vec 3's embedding under a new pk) gets a cell on
+    // the fixed centroids and is immediately searchable: score ties at
+    // 1.0, pk tie-break puts 3 before the new id
+    idx.upsert(src.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(999999L)))
+    idx.searchIvf(qv, k = 2, nProbe = 8).collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(3L, 999999L)
+    // durability: reload must answer identically (centroids persisted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.save(dir)
+    val re = VectorIndex.load(spark, dir, "spec-ivf-re", "vec_id", "embedding")
+    re.searchIvf(qv, k = 5, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq shouldBe
+      idx.searchIvf(qv, k = 5, nProbe = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+  }
+
   test("queryType=HYBRID on the index == HybridSearch.search (NB:386-387)") {
     val embedder = new graft.embed.DeterministicEmbedder(64)
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
