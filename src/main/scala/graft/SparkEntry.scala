@@ -347,7 +347,98 @@ object SparkEntry {
            ('/root/repo/fixtures/audio/aud_03.wav', 16000, 2, 3200),
            ('/root/repo/fixtures/audio/aud_04.wav', 44100, 1, 4410),
            ('/root/repo/fixtures/audio/aud_05.wav', 44100, 2, 8820)
-         ) AS t(path, sample_rate, channels, frames)""") ++
+         ) AS t(path, sample_rate, channels, frames)""",
+    "q36_asof_join" -> // DuckDB's native ASOF JOIN is the independent
+      // oracle for the union+carry-forward merge formulation
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us,
+           c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.ts >= c.ts""",
+    "q37_stratified_sample" -> // md5-bucket thresholds: 0.5*2^16=0x8000,
+      // 0.25->0x4000, default 0.125->0x2000
+      """SELECT doc_id, lang FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           CASE WHEN lang = 'de' THEN '4000'
+                WHEN lang = 'en' THEN '8000'
+                ELSE '2000' END""",
+    "q38_token_quantiles" ->
+      """WITH tok AS (SELECT lang,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS DOUBLE) AS nt FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(nt, 0.25) AS p25,
+           quantile_cont(nt, 0.5) AS p50,
+           quantile_cont(nt, 0.75) AS p75,
+           max(nt) AS max_tokens
+         FROM tok GROUP BY lang""",
+    "q39_span_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         g AS (SELECT doc_id, md5(array_to_string(toks[s+1:s+5], ' ')) AS gram
+               FROM tok, UNNEST(range(0, len(toks)-4)) AS t(s)
+               WHERE len(toks) >= 5),
+         d AS (SELECT gram FROM g GROUP BY gram
+               HAVING count(DISTINCT doc_id) > 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+         FROM g JOIN d USING (gram) GROUP BY doc_id""",
+    "q40_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com from 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.1' AS a
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(a,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(a,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+             AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(a,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g') AS redacted
+         FROM aug""",
+    "q41_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_transform(list_filter(
+               string_split_regex(text, '\s+'), x -> len(x) > 0),
+               x -> lower(x))) AS term FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term,
+             CAST(tf AS DOUBLE) *
+               ln((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+           FROM tf JOIN dfreq USING (term), stats)
+         SELECT doc_id, term, tfidf, rnk FROM (
+           SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+           FROM scored) WHERE rnk <= 3""",
+    "q42_sessionize" -> // 30-min gap; strictly-greater closes (matches the
+      // streaming flatMapGroupsWithState semantics)
+      """WITH lagd AS (SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         flag AS (SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s FROM lagd),
+         sess AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid FROM flag)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value
+         FROM sess GROUP BY user_id, sid""") ++
     goldenOracles(dir)
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

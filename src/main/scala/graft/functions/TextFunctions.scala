@@ -122,6 +122,29 @@ object TextFunctions {
         i => substring(text, i, lit(n))))
   }
 
+  /** PII patterns kept to the regex subset shared by Java's engine and
+    * RE2-family engines (no lookarounds, no backrefs) so scrubbing is
+    * oracle-mirrorable and portable. Deliberately precision-leaning:
+    * training-data scrubbing wants few false redactions. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Count of email-shaped substrings. */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  /** Count of IPv4-shaped substrings. */
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
+
+  /** Redact emails then IPv4s with typed placeholder tags. Email first:
+    * an address can embed an IP-shaped host, and the reverse order would
+    * split it. Pure `regexp_replace` chain — codegen'd, map-only. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
   /** Jaccard similarity of the distinct-element sets of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

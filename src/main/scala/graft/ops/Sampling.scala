@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling for training-data selection.
+  *
+  * A row is kept iff the first 16 bits of `md5(id)` (as 4 lowercase hex
+  * chars) fall below `floor(rate * 2^16)`. The properties that matter at
+  * 100 TB, and that `df.sample()` / RNG sampling lack:
+  *
+  *  - **Retry-stable**: the decision is a pure function of the row id, so
+  *    task retries, partition re-splits, and AQE re-plans cannot change the
+  *    sample (seeded `sample()` changes with partitioning).
+  *  - **Map-only**: a scan-level filter — no shuffle, no sort; combines
+  *    with predicate pushdown on everything else in the query.
+  *  - **Nested**: a 10% sample is a strict subset of a 20% sample (same
+  *    hash, larger threshold), so sample-size sweeps reuse the cache.
+  *  - **Engine-portable**: any system with md5 reproduces the exact row
+  *    set — which is also what makes it oracle-checkable bit-for-bit.
+  */
+object Sampling {
+
+  /** 16-bit hash bucket of an id as 4 lowercase hex chars ('0000'..'ffff');
+    * lexicographic order on the fixed-width hex = numeric order. */
+  def hashBucket(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 4)
+
+  /** Threshold hex string for a sampling rate in [0, 1). */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0 && rate < 1, s"rate must be in [0,1), got $rate")
+    f"${math.floor(rate * 65536).toInt}%04x"
+  }
+
+  /** Uniform deterministic sample at `rate`. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit(thresholdHex(rate)))
+
+  /** Stratified deterministic sample: per-stratum rates with a default for
+    * unlisted strata. Each stratum is an independent uniform hash sample,
+    * so observed per-stratum fractions concentrate around the requested
+    * rates (binomial, not exact-count sampling — exact-count would need a
+    * per-stratum total first, i.e. an extra pass). */
+  def stratifiedHashSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (stratum, rate)) =>
+        val hex = lit(thresholdHex(rate))
+        Some(acc.fold(when(col(stratumCol) === stratum, hex))(
+          _.when(col(stratumCol) === stratum, hex)))
+      }
+      .fold(lit(thresholdHex(defaultRate)))(
+        _.otherwise(lit(thresholdHex(defaultRate))))
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+}

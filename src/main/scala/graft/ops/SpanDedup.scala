@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-span detection at word granularity — the "exact
+  * substring dedup" family (Lee et al. 2022, *Deduplicating Training Data
+  * Makes Language Models Better*), re-expressed relationally: a span is a
+  * contiguous window of `n` whitespace tokens, and a span is *duplicated*
+  * when it occurs in more than one distinct document.
+  *
+  * The paper builds a corpus-wide suffix array; the Spark-native shape is
+  * an n-gram inverted index: tokenize -> slide an n-window (all inside one
+  * projection, no shuffle) -> hash each span to a 16-byte md5 digest ->
+  * ONE shuffle on the digest (never the span text) with map-side partial
+  * aggregation -> join span occurrences back to the duplicated-digest set.
+  * Shuffled bytes per span are constant (16 B + id) regardless of n, the
+  * digest keys are uniform (no skew salt needed), and the output is a
+  * per-document count, so nothing document-sized crosses an exchange.
+  */
+object SpanDedup {
+
+  /** Per-document count of n-token span occurrences whose span also appears
+    * in at least one OTHER document. Documents with no duplicated span are
+    * absent from the output (count 0). Output: (<idCol>, n_dup_spans). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // sequence(a, b) counts DOWN when b < a — guard short docs to an empty
+    // span list instead
+    val spans = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        s => md5(concat_ws(" ", slice(toks, s + 1, lit(n))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+
+    val grams = df.select(col(idCol), explode(spans).as("__g"))
+    val dup = grams.groupBy(col("__g"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__g"))
+    grams.join(dup, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, attach the single right
+  * row with the greatest right-time <= the left row's time, within the same
+  * equality key — the classic "latest quote at or before the trade"
+  * operator.
+  *
+  * Implemented as union + ordered carry-forward, NOT as a range join: both
+  * sides are tagged and unioned, then `last(<right payload>, ignoreNulls)`
+  * runs over a (key, time)-ordered window. The whole operator is ONE
+  * shuffle on the key followed by a single sort-merge pass; per-row state
+  * is one carried struct. The naive formulation — an inequality join
+  * `l.key = r.key AND l.t >= r.t` plus an argmax — degenerates to a per-key
+  * cartesian product before filtering (every left row pairs with ALL
+  * earlier right rows), which is quadratic in the per-key row count and
+  * would not survive 100 TB; the merge formulation is linear.
+  *
+  * Determinism: ordering is (time, side, payload), so right rows at the
+  * exact left timestamp ARE visible (inclusive <=, matching SQL ASOF JOIN
+  * semantics) and ties between identical-time right rows resolve by payload
+  * order rather than partition layout.
+  */
+object TemporalJoin {
+
+  /** @param left         probe side (all its columns are preserved)
+    * @param right        reference side
+    * @param keyCol       equality key present on both sides
+    * @param leftTimeCol  event-time column on `left`
+    * @param rightTimeCol event-time column on `right`
+    * @param rightPayload columns of `right` to attach, emitted as
+    *                     `matched_<name>`; the match's time is always
+    *                     emitted as `matched_<rightTimeCol>`
+    * @param inner        true drops left rows with no at-or-before match
+    *                     (ASOF inner); false keeps them with null payload
+    *                     (ASOF left-outer)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightPayload: Seq[String], inner: Boolean = true): DataFrame = {
+    val payloadCols = (rightTimeCol +: rightPayload.filterNot(_ == rightTimeCol))
+    val refStruct = struct(payloadCols.map(col): _*)
+    val refType = right.select(refStruct).schema.head.dataType
+
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+
+    // Identical shapes so the union is by position: (key, time, side, ref, row)
+    val taggedRight = right.select(
+      col(keyCol).as("__k"), col(rightTimeCol).as("__t"),
+      lit(0).as("__side"), refStruct.as("__ref"),
+      lit(null).cast(leftType).as("__row"))
+    val taggedLeft = left.select(
+      col(keyCol).as("__k"), col(leftTimeCol).as("__t"),
+      lit(1).as("__side"), lit(null).cast(refType).as("__ref"),
+      leftStruct.as("__row"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__ref"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__m", last(col("__ref"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val kept = if (inner) carried.filter(col("__m").isNotNull) else carried
+    val leftOut = left.columns.toIndexedSeq.map(c => col(s"__row.$c").as(c))
+    val matchOut = payloadCols.map(c => col(s"__m.$c").as(s"matched_$c"))
+    kept.select(leftOut ++ matchOut: _*)
+  }
+}

@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Dedup, HybridSearch, SimilaritySearch}
+import graft.ops.{Dedup, HybridSearch, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,7 +30,10 @@ object GraftQueries {
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: SQL fractional division goes through double,
+      // which has only ~9e15 integral precision — epoch-nanos (~1.7e18)
+      // round by hundreds of ns and the derived micros come out off by one
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
   }
 
   /** Literal cast to a column's own (timestamp) type so comparisons stay
@@ -253,10 +256,13 @@ object GraftQueries {
       n = 1, numHashes = 48, bands = 6, threshold = 0.9)
 
   /** MinHash with one hash per band (r=1): a pair with jaccard >= 0.9
-    * escapes candidacy with probability (1-j)^48 <= 1e-48, and the exact
-    * verify then makes the output PROVABLY equal to exact Jaccard pairs —
-    * so the whole minhash machinery (signatures, banding, candidate join,
-    * re-attach, verify) is oracle-checkable against q15's SQL. */
+    * escapes candidacy with probability (1-j)^48 <= 1e-48 — overwhelming
+    * but probabilistic; under the pinned seed the equality to exact
+    * Jaccard pairs is deterministically VERIFIED (the exact verify stage
+    * guarantees no false positives, and the fixture's qualifying pairs all
+    * surface as candidates) — so the whole minhash machinery (signatures,
+    * banding, candidate join, re-attach, verify) is oracle-checkable
+    * against q15's SQL. */
   def q20bMinhashExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(spark, dir, "documents"), "doc_id", "text",
       n = 1, numHashes = 48, bands = 48, threshold = 0.9)
@@ -437,6 +443,114 @@ object GraftQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** As-of join (point-in-time): each error event picks up the latest click
+    * at-or-before it by the same user. Single-shuffle merge formulation
+    * ([[TemporalJoin.asOf]]), oracle-checked against DuckDB's native
+    * ASOF JOIN. Timestamps exported as epoch micros so the engines'
+    * timestamp internals never meet. */
+  def q36AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    TemporalJoin.asOf(errors, clicks, "user_id", "ts", "ts",
+        rightPayload = Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("matched_event_id").as("click_event_id"),
+        unix_micros(col("matched_ts")).as("click_ts_us"),
+        col("matched_value").as("click_value"))
+  }
+
+  /** Deterministic stratified hash sampling (training-data selection):
+    * retry-stable, map-only, nested across rates — and therefore exactly
+    * mirrorable in the oracle, unlike RNG `sample()`. */
+  def q37StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(t(spark, dir, "documents"), "doc_id",
+        "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.125)
+      .select(col("doc_id"), col("lang"))
+
+  /** Corpus-distribution report: exact token-count quantiles per language
+    * (the pre-training length-distribution audit). Quantiles pinned to
+    * exact binary fractions so both engines' type-7 interpolation is
+    * bit-identical on integral token counts. */
+  def q38TokenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).cast("double").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("nt"), array(lit(0.25), lit(0.5), lit(0.75))).as("q"),
+        max(col("nt")).as("max_tokens"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        col("max_tokens"))
+
+  /** Exact duplicated-span detection (word-5-gram inverted index, the
+    * relational form of exact substring dedup — [[SpanDedup]]). */
+  def q39SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.duplicatedSpans(t(spark, dir, "documents"), "doc_id", "text",
+      n = 5)
+
+  /** PII scrubbing: detect + redact emails and IPv4s. The fixture corpus
+    * carries no PII, so both sides append the same synthetic contact tail
+    * (a pure function of doc_id) before scrubbing — the oracle then
+    * exercises real matches, not a no-op passthrough. */
+  def q40PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".1"))
+    t(spark, dir, "documents").select(col("doc_id"),
+      emailCount(aug).cast("long").as("n_emails"),
+      ipv4Count(aug).cast("long").as("n_ips"),
+      redactPii(aug).as("redacted"))
+  }
+
+  /** Keyword extraction: top-3 terms per document by smoothed tf-idf.
+    * Two short-key shuffles (term-frequency agg, document-frequency agg on
+    * the term), corpus size broadcast, per-document rank window bounded by
+    * the document's own vocabulary. */
+  def q41TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val terms = d.select(col("doc_id"),
+      explode(transform(tokens(col("text")), lower _)).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("tfidf", col("tf").cast("double") *
+        log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** Gap-based sessionization, batch form: same 30-min-gap semantics as the
+    * streaming [[graft.streaming.EventStreams.sessionize]] (a gap STRICTLY
+    * greater than 30 min closes the session), oracle-checked as plain
+    * window SQL. One shuffle on user_id; the lag/flag/cumsum all ride the
+    * same sort order. */
+  def q42SessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, dir).select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -478,5 +592,12 @@ object GraftQueries {
     "q32_sql_vec_dot" -> (q32SqlVecDot _),
     "q33_image_pipeline" -> (q33ImagePipeline _),
     "q34_dedup_pipeline" -> (q34DedupPipeline _),
-    "q35_audio_meta" -> (q35AudioMeta _))
+    "q35_audio_meta" -> (q35AudioMeta _),
+    "q36_asof_join" -> (q36AsofJoin _),
+    "q37_stratified_sample" -> (q37StratifiedSample _),
+    "q38_token_quantiles" -> (q38TokenQuantiles _),
+    "q39_span_dedup" -> (q39SpanDedup _),
+    "q40_pii_redact" -> (q40PiiRedact _),
+    "q41_tfidf_terms" -> (q41TfidfTerms _),
+    "q42_sessionize" -> (q42SessionizeBatch _))
 }

@@ -68,4 +68,23 @@ class TextFunctionsSpec extends SparkSpec {
     one(T.fingerprintMd5(col("t")), "abc").getString(0) shouldBe
       "900150983cd24fb0d6963f7d28e17f72"
   }
+
+  test("pii: email and ipv4 detection counts") {
+    val t = "mail a.b+c@ex-ample.org or root@10.1.2.3 node at 192.168.0.1 done"
+    // root@10.1.2.3 is NOT email-shaped (digit TLD) — it stays an IP hit
+    one(T.emailCount(col("t")), t).getInt(0) shouldBe 1
+    one(T.ipv4Count(col("t")), t).getInt(0) shouldBe 2
+    one(T.emailCount(col("t")), "no pii here").getInt(0) shouldBe 0
+  }
+
+  test("pii: redaction replaces all occurrences, emails before ips") {
+    val t = "a@b.co and c@d.io from 1.2.3.4"
+    one(T.redactPii(col("t")), t).getString(0) shouldBe
+      "<EMAIL> and <EMAIL> from <IP>"
+    // an address with an IP-shaped host must redact as ONE email, not
+    // leave a dangling ip fragment
+    one(T.redactPii(col("t")), "x root@10.1.2.3.net y").getString(0) shouldBe
+      "x <EMAIL> y"
+    one(T.redactPii(col("t")), "plain text").getString(0) shouldBe "plain text"
+  }
 }
