@@ -96,6 +96,21 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("q36: as-of join is join-free — one key shuffle, no range explosion") {
+    val p = plan("q36_asof_join")
+    // the merge formulation has NO join operator at all (union + window);
+    // a Join node here would mean the quadratic range-join shape came back
+    (p should not).include("Join")
+    "\\) Exchange".r.findAllIn(p).length shouldBe 1
+    p should include("hashpartitioning(__k")
+  }
+
+  test("q37: hash sampling is a scan-level filter, no exchange at all") {
+    val p = plan("q37_stratified_sample")
+    (p should not).include("Exchange")
+    p should include("PushedFilters") // scan-level pruning still live
+  }
+
   test("embeddingPairsLsh: bucket self-join carries ids only, never vectors") {
     spark.sqlContext.clearCache()
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")

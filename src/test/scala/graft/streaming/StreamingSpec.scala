@@ -100,4 +100,58 @@ class StreamingSpec extends SparkSpec {
     sessions(1).n_events shouldBe 1 // user 1, 11:30
     sessions(2).user_id shouldBe 2L
   }
+
+  test("sessionize: streaming equals the batch window mirror on the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${graft.TestSpark.sf0001}/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000L")))
+      .select($"user_id", $"ts", $"value")
+    val rows = ev.as[EventStreams.Event].collect().toSeq
+
+    val stream = MemoryStream[EventStreams.Event]
+    val out = EventStreams.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sess_fixture")
+      .outputMode("append").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // flush: push the watermark past every open session's timeout
+    stream.addData(EventStreams.Event(999999L,
+      Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+    q.processAllAvailable()
+    stream.addData(EventStreams.Event(999998L,
+      Timestamp.valueOf("2031-01-01 00:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_fixture").as[EventStreams.Session].collect()
+      .filter(_.user_id < 999000L)
+      .map(s => (s.user_id, s.start_ts.getTime, s.end_ts.getTime,
+        s.n_events, math.round(s.total_value * 1e6)))
+      .toSet
+
+    // batch mirror: the q42 lag/flag/cumsum formulation
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts")
+    val want = ev
+      .withColumn("prev", lag($"ts", 1).over(wOrd))
+      .withColumn("new_s", when($"prev".isNull ||
+        unix_micros($"ts") - unix_micros($"prev") > 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum($"new_s").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ts").as("start_ts"), max($"ts").as("end_ts"),
+        count(lit(1)).as("n"), sum($"value").as("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getLong(4).toInt,
+        math.round(r.getDouble(5) * 1e6)))
+      .toSet
+    got shouldBe want
+  }
 }
