@@ -39,7 +39,11 @@ object Bench {
     "q11_vec_topk", "q12_knn_join", "q13_embed_dedup_pairs",
     "q15_jaccard_pairs", "q16_text_quality", "q18_fingerprint",
     "q20_minhash_pairs", "q21_simhash_pairs", "q23_semantic_topk",
-    "q25_hybrid")
+    "q25_hybrid",
+    // round-3 additions (new anchors — no BASELINE rows before r03):
+    // as-of merge join, span dedup, tf-idf, sessionization, corpus pipeline
+    "q36_asof_join", "q39_span_dedup", "q41_tfidf_terms",
+    "q42_sessionize", "q43_corpus_pipeline")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

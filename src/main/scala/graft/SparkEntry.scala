@@ -438,7 +438,49 @@ object SparkEntry {
            max(epoch_us(ts)) AS session_end_us,
            CAST(count(*) AS BIGINT) AS n_events,
            sum(value) AS sum_value
-         FROM sess GROUP BY user_id, sid""") ++
+         FROM sess GROUP BY user_id, sid""",
+    "q43_corpus_pipeline" -> // q16 token gate + q22 lang-ID + q14-style md5
+      // dedup (QUALIFY min-pk) + q37 hash sampling, composed end to end;
+      // thresholds: 0.75->0xc000, 0.5->0x8000, default 0.25->0x4000
+      """WITH tok AS (SELECT doc_id, source, text,
+             list_transform(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0), x -> lower(x)) AS toks FROM documents),
+         scores AS (SELECT doc_id, source, text,
+           CAST(len(toks) AS BIGINT) AS nt,
+           len(list_filter(toks, x -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','zu'], x))) AS de,
+           len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','is','in','that','it'], x))) AS en,
+           len(list_filter(toks, x -> list_contains(
+             ['el','la','los','y','es','una','que','no'], x))) AS es,
+           len(list_filter(toks, x -> list_contains(
+             ['le','la','les','et','est','une','que','pas'], x))) AS fr,
+           len(list_filter(toks, x -> list_contains(
+             ['il','la','che','e','di','un','per','non'], x))) AS it,
+           len(list_filter(toks, x -> list_contains(
+             ['o','a','os','e','de','um','para','nao'], x))) AS pt
+           FROM tok),
+         langed AS (SELECT doc_id, source, text, nt, CASE
+           WHEN greatest(de, en, es, fr, it, pt) = 0 THEN 'und'
+           WHEN de >= en AND de >= es AND de >= fr AND de >= it AND de >= pt THEN 'de'
+           WHEN en >= es AND en >= fr AND en >= it AND en >= pt THEN 'en'
+           WHEN es >= fr AND es >= it AND es >= pt THEN 'es'
+           WHEN fr >= it AND fr >= pt THEN 'fr'
+           WHEN it >= pt THEN 'it'
+           ELSE 'pt' END AS lg FROM scores),
+         gated AS (SELECT * FROM langed
+           WHERE nt BETWEEN 20 AND 500 AND lg = 'en'),
+         deduped AS (SELECT * FROM gated
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+             ORDER BY doc_id) = 1),
+         sampled AS (SELECT * FROM deduped
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             CASE WHEN source = 'src0' THEN 'c000'
+                  WHEN source = 'src1' THEN '8000'
+                  ELSE '4000' END)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens, min(doc_id) AS min_id
+         FROM sampled GROUP BY source""") ++
     goldenOracles(dir)
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

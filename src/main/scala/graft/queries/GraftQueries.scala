@@ -551,6 +551,28 @@ object GraftQueries {
         count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
   }
 
+  /** Training-corpus construction as ONE query — the north-star
+    * composition: quality gate (token range) -> language gate (detected
+    * English) -> exact content dedup (min-pk per md5 digest) ->
+    * deterministic stratified sampling by source -> per-source corpus
+    * stats. Every stage is individually oracled (q16/q22/q14/q37); this
+    * oracles the COMPOSITION end to end. All stages before the final agg
+    * are map-only or one-short-key-shuffle — the whole pipeline is three
+    * shuffles (digest, sample is free, final agg) regardless of corpus
+    * size. */
+  def q43CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val gated = t(spark, dir, "documents")
+      .withColumn("nt", tokenCount(col("text")).cast("long"))
+      .withColumn("lg", langId(col("text")))
+      .filter(col("nt").between(20, 500) && col("lg") === "en")
+    val deduped = Dedup.exactByFingerprint(gated, "doc_id", "text")
+    Sampling.stratifiedHashSample(deduped, "doc_id", "source",
+        Map("src0" -> 0.75, "src1" -> 0.5), defaultRate = 0.25)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+        min(col("doc_id")).as("min_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -599,5 +621,6 @@ object GraftQueries {
     "q39_span_dedup" -> (q39SpanDedup _),
     "q40_pii_redact" -> (q40PiiRedact _),
     "q41_tfidf_terms" -> (q41TfidfTerms _),
-    "q42_sessionize" -> (q42SessionizeBatch _))
+    "q42_sessionize" -> (q42SessionizeBatch _),
+    "q43_corpus_pipeline" -> (q43CorpusPipeline _))
 }
