@@ -480,7 +480,15 @@ object SparkEntry {
                   ELSE '4000' END)
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(nt) AS BIGINT) AS total_tokens, min(doc_id) AS min_id
-         FROM sampled GROUP BY source""") ++
+         FROM sampled GROUP BY source""",
+    "q44_pq_topk" -> // two-stage PQ == exact top-k at the pinned refine
+      // depth (candidate coverage spec-verified), so the oracle is the
+      // same exact-search SQL as q11
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
     goldenOracles(dir)
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

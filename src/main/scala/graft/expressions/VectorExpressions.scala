@@ -218,6 +218,129 @@ case class NearestCentroid(child: org.apache.spark.sql.catalyst.expressions.Expr
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: split the vector into `codebooks.length`
+  * contiguous subspaces and emit, per subspace, the index of the L2-nearest
+  * codeword — M bytes per vector (a 64-dim float embedding compresses
+  * 256 B -> M B). Codebooks ride into generated code as a reference object;
+  * one tight loop per row. `ksub` must be <= 256 (codes are bytes). Ties
+  * break to the lower codeword index. */
+case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    codebooks: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.length <= 256),
+    "pq_encode: ksub must be <= 256 per subspace")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_encode needs an array<float> input")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    PqEncode.encode(v, codebooks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val books = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+      s"${ev.value} = graft.expressions.PqEncode.encode($a, $books);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Shared by eval and generated code: argmin-L2 per subspace. Subspace
+    * boundaries derive from the codeword dims (`offset` advances by each
+    * subspace's own width), so ragged splits (dim % m != 0) encode
+    * correctly. */
+  def encode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var off = 0
+    var sub = 0
+    while (sub < m) {
+      val book = codebooks(sub)
+      val dsub = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < book.length) {
+        val cw = book(k)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v.getFloat(off + i).toDouble - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(sub) = best.toByte
+      off += dsub
+      sub += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric-distance (ADC) approximate dot product: sum, over subspaces,
+  * of a precomputed lookup `lut(m)(code)` where
+  * `lut(m)(k) = dot(query_m, codebook(m)(k))`. The corpus side touches only
+  * the M-byte code — the decompression never materializes. */
+case class PqAdcDot(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    lut: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_adc_dot needs a binary (pq code) input")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    PqAdcDot.score(input.asInstanceOf[Array[Byte]], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val l = ctx.addReferenceObj("lut", lut, "double[][]")
+      s"${ev.value} = graft.expressions.PqAdcDot.score($a, $l);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): PqAdcDot =
+    copy(child = newChild)
+}
+
+object PqAdcDot {
+  def score(codes: Array[Byte], lut: Array[Array[Double]]): Double = {
+    val m = if (codes.length < lut.length) {
+      throw new IllegalArgumentException(
+        s"pq_adc_dot: code has ${codes.length} subspaces, lut has ${lut.length}")
+    } else lut.length
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += lut(i)(codes(i) & 0xff); i += 1 }
+    s
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -229,4 +352,10 @@ object VectorExpressions {
 
   def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column =
     column(NearestCentroid(expression(v), centroids))
+
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqEncode(expression(v), codebooks))
+
+  def pqAdcDot(codes: Column, lut: Array[Array[Double]]): Column =
+    column(PqAdcDot(expression(codes), lut))
 }

@@ -204,6 +204,169 @@ object SimilaritySearch {
     (indexed, cents)
   }
 
+  /** Product-quantization model: `codebooks(m)(k)` is the k-th codeword of
+    * subspace m (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"). A D-dim float vector encodes to `m` bytes — at
+    * 100 TB of 768-dim embeddings (~3 TB of raw vectors per billion rows)
+    * the 96-byte codes keep the scan working set ~32x smaller, and the
+    * ADC scan never decompresses. */
+  case class PqModel(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def dim: Int = codebooks.map(_(0).length).sum
+
+    /** Query-side lookup table: `lut(m)(k) = dot(query_m, codebook(m)(k))`
+      * — computed ONCE per query on the driver (m*ksub*dsub flops), then
+      * broadcast inside the scoring expression. */
+    def lut(query: Array[Float]): Array[Array[Double]] = {
+      require(query.length == dim,
+        s"pq lut: query dim ${query.length} != model dim $dim")
+      var off = 0
+      codebooks.map { book =>
+        val dsub = book(0).length
+        val t = book.map { cw =>
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += query(off + i).toDouble * cw(i); i += 1 }
+          s
+        }
+        off += dsub
+        t
+      }
+    }
+  }
+
+  /** Train PQ codebooks: per-subspace k-means, ALL subspaces fitted in the
+    * same pass — each Lloyd iteration is ONE `treeAggregate` over a cached
+    * distributed sample (same discipline as [[ivfBuildKMeans]]: only
+    * codebooks visit the driver, iteration runs a reused JVM closure with
+    * the codebooks broadcast, assignment is argmin-L2 per subspace). */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8,
+      ksub: Int = 256, maxIter: Int = 5, seed: Long = 42L,
+      fitRowsPerCodeword: Int = 256, tol: Double = 1e-6): PqModel = {
+    require(ksub <= 256, s"pq codes are bytes: ksub $ksub > 256")
+    val total = corpus.count()
+    require(total > 0, "pqTrain: empty corpus")
+    val k = math.min(ksub.toLong, total).toInt
+    val target = k.toLong * fitRowsPerCodeword
+    val sampled =
+      if (total <= target) corpus
+      else corpus.sample(withReplacement = false,
+        math.min(1.0, target.toDouble / total * 1.05), seed)
+    val fit = sampled.select(col(vecCol))
+      .rdd.map(_.getSeq[Float](0).toArray).persist()
+    val init = fit.takeSample(withReplacement = false, k, seed)
+    val dim = init.head.length
+    require(dim >= m, s"pqTrain: dim $dim < m $m")
+    // subspace widths: dim/m, first (dim % m) subspaces one wider
+    val widths = Array.tabulate(m)(i => dim / m + (if (i < dim % m) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { sub =>
+      Array.tabulate(k)(j =>
+        java.util.Arrays.copyOfRange(init(j), offsets(sub), offsets(sub + 1)))
+    }
+    val sc = corpus.sparkSession.sparkContext
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val bc = sc.broadcast(books)
+      val (sums, counts) = fit.treeAggregate(
+        (Array.tabulate(m)(s => Array.fill(k)(new Array[Double](widths(s)))),
+          Array.fill(m)(new Array[Long](k))))(
+        seqOp = { case ((s, n), v) =>
+          val bs = bc.value
+          var sub = 0
+          while (sub < m) {
+            val book = bs(sub)
+            val off = offsets(sub)
+            val w = widths(sub)
+            var best = 0; var bestD = Double.MaxValue; var j = 0
+            while (j < book.length) {
+              val cw = book(j)
+              var d = 0.0; var i = 0
+              while (i < w) {
+                val diff = v(off + i).toDouble - cw(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            var i = 0
+            while (i < w) { s(sub)(best)(i) += v(off + i); i += 1 }
+            n(sub)(best) += 1
+            sub += 1
+          }
+          (s, n)
+        },
+        combOp = { case ((s1, n1), (s2, n2)) =>
+          var sub = 0
+          while (sub < m) {
+            var j = 0
+            while (j < k) {
+              var i = 0
+              while (i < widths(sub)) { s1(sub)(j)(i) += s2(sub)(j)(i); i += 1 }
+              n1(sub)(j) += n2(sub)(j); j += 1
+            }
+            sub += 1
+          }
+          (s1, n1)
+        })
+      bc.destroy()
+      moved = 0.0
+      books = Array.tabulate(m) { sub =>
+        Array.tabulate(k) { j =>
+          if (counts(sub)(j) == 0) books(sub)(j) // keep empty cells
+          else {
+            val nn = sums(sub)(j).map(x => (x / counts(sub)(j)).toFloat)
+            var d = 0.0; var i = 0
+            while (i < nn.length) {
+              val diff = (books(sub)(j)(i) - nn(i)).toDouble; d += diff * diff
+              i += 1
+            }
+            moved = math.max(moved, d)
+            nn
+          }
+        }
+      }
+      iter += 1
+    }
+    fit.unpersist()
+    PqModel(books)
+  }
+
+  /** Attach the M-byte PQ code (`pq_code`, binary). A production corpus
+    * persists `(pk, pq_code)` WITHOUT the raw vector — that is the point. */
+  def pqEncode(corpus: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    corpus.withColumn("pq_code",
+      graft.expressions.VectorExpressions.pqEncode(col(vecCol),
+        model.codebooks))
+
+  /** Two-stage PQ search: (1) ADC scan over the M-byte codes — map-only,
+    * `TakeOrderedAndProject` keeps `k * refine` candidates; (2) exact
+    * re-rank — the candidate pk set (bounded, driver-safe) joins back to
+    * `exactSource` as a BROADCAST pk lookup, so the refine stage reads
+    * `k * refine` raw vectors, never the corpus. With `refine` large enough
+    * that candidates cover the true top-k, the result EQUALS exact search
+    * (spec-verified; q44 oracles it against the q11 SQL). `exactSource =
+    * None` skips the re-rank and returns ADC scores directly. */
+  def pqSearch(encoded: DataFrame, model: PqModel, pk: String,
+      query: Array[Float], k: Int, refine: Int = 8,
+      exactSource: Option[(DataFrame, String)] = None): DataFrame = {
+    val lut = model.lut(query)
+    val candidates = encoded
+      .withColumn("adc_score",
+        graft.expressions.VectorExpressions.pqAdcDot(col("pq_code"), lut))
+      .orderBy(desc("adc_score"), col(pk))
+      .limit(k * refine)
+    exactSource match {
+      case None => candidates.drop("pq_code").limit(k)
+      case Some((source, vecCol)) =>
+        val cand = broadcast(candidates.select(col(pk)))
+        source.join(cand, pk)
+          .withColumn("score", cosineUnit(col(vecCol), vecLit(query)))
+          .orderBy(desc("score"), col(pk))
+          .limit(k)
+          .drop(vecCol)
+    }
+  }
+
   /** IVF probe: score only rows in the `nProbe` cells closest to the query.
     * Cell pruning happens before any vector math touches the corpus. */
   def ivfSearch(indexed: DataFrame, centroids: Array[Array[Float]],

@@ -573,6 +573,24 @@ object GraftQueries {
         min(col("doc_id")).as("min_id"))
   }
 
+  /** Product-quantization search, two-stage: ADC scan over 16-byte codes
+    * (the corpus side never touches raw vectors) -> exact re-rank of the
+    * bounded candidate set via broadcast pk lookup. With this refine depth
+    * the candidates cover the true top-10 on the fixture (spec-verified),
+    * so the result EQUALS exact search and the whole PQ machinery — train,
+    * encode, LUT, ADC, re-rank — hash-checks against q11's plain SQL. */
+  def q44PqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val model = SimilaritySearch.pqTrain(e, "embedding", m = 16, ksub = 32)
+    val encoded = SimilaritySearch.pqEncode(e, "embedding", model)
+      .select(col("vec_id"), col("pq_code"))
+    SimilaritySearch.pqSearch(encoded, model, "vec_id", qv, k = 10,
+        refine = 16, exactSource = Some((e, "embedding")))
+      .select(col("vec_id"), col("score"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -622,5 +640,6 @@ object GraftQueries {
     "q40_pii_redact" -> (q40PiiRedact _),
     "q41_tfidf_terms" -> (q41TfidfTerms _),
     "q42_sessionize" -> (q42SessionizeBatch _),
-    "q43_corpus_pipeline" -> (q43CorpusPipeline _))
+    "q43_corpus_pipeline" -> (q43CorpusPipeline _),
+    "q44_pq_topk" -> (q44PqTopk _))
 }
