@@ -84,6 +84,8 @@ object Bench {
     * and time exact top-k vs IVF cell-pruned search on the same corpus.
     * The IVF build uses the distributed-KMeans path (the 100 TB default);
     * build runs once, searches get the full rep treatment. */
+  private var pqModelHolder: graft.ops.SimilaritySearch.PqModel = null
+
   private def scaledVectorBench(spark: SparkSession, sfDir: String, reps: Int)
       : (Seq[(String, Double)], Seq[(String, Double)]) = {
     import org.apache.spark.sql.functions._
@@ -137,13 +139,31 @@ object Bench {
         force(SimilaritySearch.knnJoin(queries, scaled, "vec_id", "vec_id",
           "embedding", k = 10, viaAggregator = true))
       })
-      scaled.unpersist(); indexedP.unpersist()
+      // PQ on the same 200k corpus: one-time train+encode (like the IVF
+      // build row), then the ADC+exact-refine search per rep — the
+      // compressed-scan path whose corpus side reads 16 B/row, not 256 B
+      var encodedP: DataFrame = null
+      val pqBuild = timed {
+        val model = SimilaritySearch.pqTrain(scaled, "embedding",
+          m = 16, ksub = 32)
+        encodedP = SimilaritySearch.pqEncode(scaled, "embedding", model)
+          .select(col("vec_id"), col("pq_code")).persist()
+        encodedP.count()
+        pqModelHolder = model
+      }
+      val pqSearchT = (1 to reps).map(_ => timed {
+        force(SimilaritySearch.pqSearch(encodedP, pqModelHolder, "vec_id",
+          qv, 10, refine = 16, exactSource = Some((scaled, "embedding"))))
+      })
+      scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
         "x_ivf_build" -> build, "x_ivf_probe" -> probe.min,
-        "x_knn_window_32q" -> knnWin.min, "x_knn_agg_32q" -> knnAgg.min)
+        "x_knn_window_32q" -> knnWin.min, "x_knn_agg_32q" -> knnAgg.min,
+        "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
         "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
-        "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg))
+        "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg),
+        "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }
