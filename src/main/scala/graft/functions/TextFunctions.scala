@@ -77,14 +77,21 @@ object TextFunctions {
     * "und" (undetermined) when nothing matches. Deterministic tie-break by
     * language code. */
   def langId(text: Column): Column = {
-    val toks = transform(tokens(text), lower _)
-    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val wl = array(words.map(lit): _*)
-      struct((-size(filter(toks, t => array_contains(wl, t)))).as("neghits"),
-        lit(lang).as("lang"))
-    }
-    val best = sort_array(array(scored: _*)).getItem(0)
-    when(best.getField("neghits") < 0, best.getField("lang")).otherwise("und")
+    // let-bind the lowered token array (one-element-array transform, the
+    // wordShingles trick): the 6 per-language filters below all reference
+    // it, and HOF lambdas get no common-subexpression elimination — an
+    // inline `toks` expression re-tokenized the text once PER LANGUAGE
+    element_at(
+      transform(array(transform(tokens(text), lower _)), toks => {
+        val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+          val wl = array(words.map(lit): _*)
+          struct((-size(filter(toks, t => array_contains(wl, t)))).as("neghits"),
+            lit(lang).as("lang"))
+        }
+        val best = sort_array(array(scored: _*)).getItem(0)
+        when(best.getField("neghits") < 0, best.getField("lang"))
+          .otherwise("und")
+      }), 1)
   }
 
   /** Stable 128-bit content fingerprint (hex) for exact dedup; md5 keeps the

@@ -45,8 +45,14 @@ final class VectorIndex private (
     * `cell` column (internal — excluded from default search projections). */
   private var ivfCents: Option[Array[Array[Float]]] = None
 
+  /** PQ codebooks when [[buildPq]] ran; the state then carries a `pq_code`
+    * binary column (internal, like `cell`). */
+  private var pqModel: Option[graft.ops.SimilaritySearch.PqModel] = None
+
+  private val internalCols = Set("cell", "pq_code")
+
   private def defaultCols: Seq[String] =
-    state.columns.filterNot(c => c == vectorCol || c == "cell").toSeq
+    state.columns.filterNot(c => c == vectorCol || internalCols(c)).toSeq
 
   /** Current indexed row count (metadata, like the service's row count). */
   def size: Long = state.count()
@@ -125,6 +131,40 @@ final class VectorIndex private (
       .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col) :+ col("score"): _*)
   }
 
+  /** Attach a product-quantization layout: train codebooks on the indexed
+    * vectors ([[graft.ops.SimilaritySearch.pqTrain]]) and materialize the
+    * M-byte `pq_code` per row. [[searchPq]] then runs the compressed
+    * two-stage scan; later [[upsert]]s encode incoming rows against the
+    * FIXED codebooks (standard PQ maintenance — re-run `buildPq` to refit
+    * after heavy drift). */
+  def buildPq(m: Int = 16, ksub: Int = 32, seed: Long = 42L): this.type =
+    synchronized {
+      val model = graft.ops.SimilaritySearch.pqTrain(
+        state, vectorCol, m = m, ksub = ksub, seed = seed)
+      pqModel = Some(model)
+      swapState(graft.ops.SimilaritySearch.pqEncode(
+        state.drop("pq_code"), vectorCol, model))
+      this
+    }
+
+  /** PQ two-stage top-k: ADC scan over the M-byte codes picks `k * refine`
+    * candidates, exact re-rank follows on just those rows — the scan
+    * working set is the code column, not the vectors. With `refine` deep
+    * enough that candidates cover the true top-k this equals exact
+    * [[search]] (spec-verified on the fixture). */
+  def searchPq(queryVec: Array[Float], k: Int = 5, refine: Int = 16,
+      columns: Seq[String] = Seq.empty): DataFrame = {
+    require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
+    val model = pqModel.getOrElse(
+      throw new IllegalStateException(s"index $name has no PQ layout; run buildPq"))
+    val cols = if (columns.isEmpty) defaultCols else columns
+    graft.ops.SimilaritySearch.pqSearch(
+        state.select(col(primaryKey), col("pq_code")), model, primaryKey,
+        queryVec, k, refine, exactSource = Some((state, vectorCol)))
+      .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col)
+        :+ col("score"): _*)
+  }
+
   /** Approximate top-k via LSH bucket probing. */
   def searchApprox(queryVec: Array[Float], k: Int = 5,
       columns: Seq[String] = Seq.empty): DataFrame = {
@@ -152,17 +192,13 @@ final class VectorIndex private (
     * semantics). */
   def refresh(source: DataFrame): this.type = synchronized {
     val hasVersion = source.columns.contains("version")
-    // the source never carries the internal IVF `cell` column — full
-    // rebuilds re-assign it against the fixed centroids; the upsert path
-    // assigns per incoming batch
-    val srcCols = state.columns.filterNot(_ == "cell").toSeq
+    // the source never carries the internal `cell`/`pq_code` columns — full
+    // rebuilds re-assign them against the fixed centroids/codebooks; the
+    // upsert path assigns per incoming batch
+    val srcCols = state.columns.filterNot(internalCols).toSeq
     if (!hasVersion) {
       val base = source.select(srcCols.map(col): _*)
-      swapState(ivfCents match {
-        case Some(cents) => base.withColumn("cell",
-          graft.expressions.VectorExpressions.nearestCentroid(col(vectorCol), cents))
-        case None => base
-      })
+      swapState(withLayoutCols(base))
     } else {
       // upsert only rows changed since the watermark (version column kept
       // so upsert picks the latest row per pk)
@@ -187,15 +223,10 @@ final class VectorIndex private (
         changed.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
       } else changed.dropDuplicates(primaryKey)
-    // IVF maintenance: incoming rows join the fixed centroid set's nearest
-    // cell (re-run buildIvf to refit centroids after heavy drift)
-    val celled = ivfCents match {
-      case Some(cents) if !latest.columns.contains("cell") =>
-        latest.withColumn("cell",
-          graft.expressions.VectorExpressions.nearestCentroid(col(vectorCol), cents))
-      case _ => latest
-    }
-    val c = celled.select(stateCols.map(col): _*)
+    // IVF/PQ maintenance: incoming rows get cell + code assigned against
+    // the FIXED centroids/codebooks (re-run buildIvf/buildPq to refit
+    // after heavy drift)
+    val c = withLayoutCols(latest).select(stateCols.map(col): _*)
     swapState(
       state.join(c.select(primaryKey), Seq(primaryKey), "left_anti")
         .unionByName(c))
@@ -219,6 +250,33 @@ final class VectorIndex private (
       cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/ivf")
+    }
+    // PQ codebooks likewise: a refit would re-randomize the Lloyd init and
+    // silently change searchPq candidate sets across reload
+    pqModel.foreach { model =>
+      val spark = state.sparkSession
+      import spark.implicits._
+      model.codebooks.zipWithIndex.toSeq.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (cw, k) => (sub, k, cw.toSeq) }
+      }.toDF("sub", "k", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    }
+  }
+
+  /** (Re-)derive the internal layout columns a row set is missing: IVF
+    * `cell` against the fixed centroids, PQ `pq_code` against the fixed
+    * codebooks. */
+  private def withLayoutCols(df: DataFrame): DataFrame = {
+    val celled = ivfCents match {
+      case Some(cents) if !df.columns.contains("cell") =>
+        df.withColumn("cell",
+          graft.expressions.VectorExpressions.nearestCentroid(col(vectorCol), cents))
+      case _ => df
+    }
+    pqModel match {
+      case Some(model) if !celled.columns.contains("pq_code") =>
+        graft.ops.SimilaritySearch.pqEncode(celled, vectorCol, model)
+      case _ => celled
     }
   }
 
@@ -291,6 +349,13 @@ object VectorIndex {
       idx.ivfCents = Some(spark.read.parquet(s"$path/ivf")
         .orderBy("cell").collect()
         .map(_.getSeq[Float](1).toArray)) // k centroid rows only
+    }
+    if (exists(s"$path/pq")) {
+      // m*ksub codeword rows only — the state already carries pq_code
+      val rows = spark.read.parquet(s"$path/pq").orderBy("sub", "k").collect()
+      idx.pqModel = Some(graft.ops.SimilaritySearch.PqModel(
+        rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+          .sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)).toArray))
     }
     idx
   }

@@ -126,6 +126,35 @@ class VectorIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
   }
 
+  test("PQ behind the index handle: two-stage == exact, upserts get codes, " +
+      "codebooks durable across save/load") {
+    val idx = VectorIndex.build(src, "spec-pq", "vec_id", "embedding")
+      .buildPq(m = 16, ksub = 32)
+    val all = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = all(3L)
+    val exact = idx.search(qv, k = 5).collect().map(_.getLong(0)).toSeq
+    val pq = idx.searchPq(qv, k = 5, refine = 16)
+    pq.collect().map(_.getLong(0)).toSeq shouldBe exact
+    // internal code column never projected
+    (pq.columns should not).contain("pq_code")
+    // an upserted row (vec 3's embedding under a new pk) is encoded against
+    // the fixed codebooks and immediately retrievable: exact tie at 1.0,
+    // pk tie-break puts 3 before the new id
+    idx.upsert(src.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(999999L)))
+    idx.searchPq(qv, k = 2, refine = 16).collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(3L, 999999L)
+    // durability: reload must answer identically (codebooks persisted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    idx.save(dir)
+    val re = VectorIndex.load(spark, dir, "spec-pq-re", "vec_id", "embedding")
+    re.searchPq(qv, k = 5, refine = 4).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq shouldBe
+      idx.searchPq(qv, k = 5, refine = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+  }
+
   test("queryType=HYBRID on the index == HybridSearch.search (NB:386-387)") {
     val embedder = new graft.embed.DeterministicEmbedder(64)
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
