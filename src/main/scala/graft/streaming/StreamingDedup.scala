@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the continuous-ingest form of
+  * [[graft.ops.Dedup.exactByFingerprint]]: emit the FIRST occurrence of
+  * each content fingerprint, drop the rest.
+  *
+  * Scale notes: state is keyed by the 16-byte md5 digest, never the text;
+  * `dropDuplicatesWithinWatermark` lets the state store evict fingerprints
+  * older than the watermark horizon, so state size is bounded by the
+  * dedup window (unbounded-history dedup on an infinite stream cannot
+  * bound state — choosing the horizon IS the design decision, the same
+  * trade every streaming ingest pipeline makes).
+  *
+  * The deterministic-sampling operator composes with streams for free:
+  * [[graft.ops.Sampling.hashSample]] is a stateless scan filter, so the
+  * same call works on a streaming DataFrame unchanged (spec-verified).
+  */
+object StreamingDedup {
+
+  /** First-occurrence dedup by md5(textCol) within the watermark horizon.
+    * `tsCol` must be the stream's event-time column. */
+  def exactByFingerprint(stream: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .withColumn("__fp", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+}

@@ -101,6 +101,46 @@ class StreamingSpec extends SparkSpec {
     sessions(2).user_id shouldBe 2L
   }
 
+  test("streaming dedup: first occurrence per fingerprint, equals batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDS().toDF("ts", "text")
+    val out = StreamingDedup.exactByFingerprint(df, "ts", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "alpha"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "beta"),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "alpha"), // dup
+      (Timestamp.valueOf("2024-01-01 10:03:00"), "gamma"),
+      (Timestamp.valueOf("2024-01-01 10:04:00"), "beta"))  // dup
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream").select("text")
+      .collect().map(_.getString(0)).toSeq
+    got.sorted shouldBe Seq("alpha", "beta", "gamma")
+  }
+
+  test("hashSample is stateless: identical rows pass on stream and batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val ids = (0L until 2000L)
+    val out = graft.ops.Sampling.hashSample(
+      stream.toDS().toDF("id"), "id", 0.25)
+    val q = out.writeStream.format("memory").queryName("sample_stream")
+      .outputMode("append").start()
+    stream.addData(ids)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sample_stream").collect().map(_.getLong(0)).toSet
+    val want = graft.ops.Sampling.hashSample(ids.toDF("id"), "id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    got shouldBe want
+  }
+
   test("sessionize: streaming equals the batch window mirror on the fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
