@@ -84,13 +84,12 @@ object Bench {
     * and time exact top-k vs IVF cell-pruned search on the same corpus.
     * The IVF build uses the distributed-KMeans path (the 100 TB default);
     * build runs once, searches get the full rep treatment. */
-  private var pqModelHolder: graft.ops.SimilaritySearch.PqModel = null
-
   private def scaledVectorBench(spark: SparkSession, sfDir: String, reps: Int)
       : (Seq[(String, Double)], Seq[(String, Double)]) = {
     import org.apache.spark.sql.functions._
     import graft.ops.SimilaritySearch
     try {
+      var pqModel: SimilaritySearch.PqModel = null
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val scaled = base
         .crossJoin(spark.range(100).select(col("id").as("rep")))
@@ -106,8 +105,8 @@ object Bench {
       })
 
       // untimed warmup for the build path (parity with the per-query
-      // warmups): a tiny fit exercises MLlib class-loading/codegen once so
-      // the timed build measures the algorithm, not JVM cold-start
+      // warmups): a tiny fit absorbs class-loading/codegen cold-start once
+      // so the timed build measures the algorithm, not the JVM
       locally {
         val (wix, _) = SimilaritySearch.ivfBuildKMeans(base.limit(512),
           "vec_id", "embedding", nCells = 4)
@@ -149,10 +148,10 @@ object Bench {
         encodedP = SimilaritySearch.pqEncode(scaled, "embedding", model)
           .select(col("vec_id"), col("pq_code")).persist()
         encodedP.count()
-        pqModelHolder = model
+        pqModel = model
       }
       val pqSearchT = (1 to reps).map(_ => timed {
-        force(SimilaritySearch.pqSearch(encodedP, pqModelHolder, "vec_id",
+        force(SimilaritySearch.pqSearch(encodedP, pqModel, "vec_id",
           qv, 10, refine = 16, exactSource = Some((scaled, "embedding"))))
       })
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()

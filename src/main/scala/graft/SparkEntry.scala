@@ -36,7 +36,8 @@ object SparkEntry {
     * recomputation, see the per-entry comments) and are only emitted for
     * that dir; q26/q33 golden tables are fixture-derived and
     * sf-independent. */
-  def oracleSqlFor(dir: String): Map[String, String] = Map(
+  def oracleSqlFor(dir: String): Map[String, String] = {
+    val base = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
@@ -489,7 +490,15 @@ object SparkEntry {
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
          ORDER BY score DESC, b.vec_id LIMIT 10""") ++
-    goldenOracles(dir)
+      goldenOracles(dir)
+    // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
+    // exact top-k at the pinned refine depth) assert approximate-path ==
+    // exact-path equality that was verified on the sf0.01 fixture; at a
+    // different sf the claim is probabilistic, so omit the oracle (driver
+    // records a rows-only check) rather than alarm on an expected ANN miss.
+    if (graft.queries.GoldenOracles.sfPinned(dir)) base
+    else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk")
+  }
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /
     * embedder math has no DuckDB twin. Emitted only for the sf0.01 fixture

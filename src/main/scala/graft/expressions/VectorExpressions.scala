@@ -330,7 +330,10 @@ case class PqAdcDot(child: org.apache.spark.sql.catalyst.expressions.Expression,
 
 object PqAdcDot {
   def score(codes: Array[Byte], lut: Array[Array[Double]]): Double = {
-    val m = if (codes.length < lut.length) {
+    // Either direction of mismatch means the codes were produced by a
+    // different PqModel than the query LUT — summing a prefix would return
+    // silently wrong scores, so reject both ways.
+    val m = if (codes.length != lut.length) {
       throw new IllegalArgumentException(
         s"pq_adc_dot: code has ${codes.length} subspaces, lut has ${lut.length}")
     } else lut.length

@@ -33,7 +33,12 @@ object SpanDedup {
       graft.functions.TextFunctions.wordShingles(col(textCol), n),
       g => md5(g.cast("binary")))
 
+    // grams feeds BOTH the duplicated-digest aggregation and the occurrence
+    // join below; the agg side's map-side partial agg makes the two subplans
+    // differ, so ReuseExchange cannot dedupe them — localCheckpoint so the
+    // tokenize+slide+md5+explode pipeline runs once, not twice.
     val grams = df.select(col(idCol), explode(spans).as("__g"))
+      .localCheckpoint(true)
     val dup = grams.groupBy(col("__g"))
       .agg(count_distinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > 1)

@@ -26,10 +26,14 @@ package graft.queries
   */
 object GoldenOracles {
 
+  /** True when `dir` is the sf0.01 fixture the pinned oracles (and the
+    * exact-equality claims of q13b/q44) were verified against. */
+  def sfPinned(dir: String): Boolean =
+    dir.replaceAll("/+$", "").endsWith("sf0.01")
+
   def forDir(dir: String): Map[String, String] = {
-    val sfPinned = dir.replaceAll("/+$", "").endsWith("sf0.01")
     val always = Map("q33_image_pipeline" -> q33)
-    if (sfPinned)
+    if (sfPinned(dir))
       always ++ Map(
         "q20_minhash_pairs" -> q20,
         "q21_simhash_pairs" -> q21,

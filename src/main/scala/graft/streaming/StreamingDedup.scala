@@ -26,7 +26,9 @@ object StreamingDedup {
       watermark: String = "2 hours"): DataFrame =
     stream
       .withWatermark(tsCol, watermark)
-      .withColumn("__fp", md5(col(textCol)))
+      // unhex: key state on the raw 16-byte digest, not md5()'s 32-char hex
+      // rendering — half the per-key state bytes for the same identity
+      .withColumn("__fp", unhex(md5(col(textCol))))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 }
