@@ -43,7 +43,7 @@ object Bench {
     // round-3 additions (new anchors — no BASELINE rows before r03):
     // as-of merge join, span dedup, tf-idf, sessionization, corpus pipeline
     "q36_asof_join", "q39_span_dedup", "q41_tfidf_terms",
-    "q42_sessionize", "q43_corpus_pipeline")
+    "q42_sessionize", "q43_corpus_pipeline", "q45_decontaminate")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

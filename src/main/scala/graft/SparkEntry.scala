@@ -489,7 +489,43 @@ object SparkEntry {
          list_dot_product(CAST(a.embedding AS DOUBLE[]),
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
-         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q45_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         g AS (SELECT doc_id, source,
+               array_to_string(toks[s+1:s+4], ' ') AS gram
+               FROM tok, UNNEST(range(0, len(toks)-3)) AS t(s)
+               WHERE len(toks) >= 4),
+         ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+         tr AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_spans,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_contam_grams
+         FROM tr JOIN ev USING (gram) GROUP BY doc_id""",
+    "q46_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         g AS (SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN list_transform(
+                 range(0, len(toks)-1), s -> array_to_string(toks[s+1:s+2], ' '))
+                 ELSE [] END AS g2,
+               CASE WHEN len(toks) >= 3 THEN list_transform(
+                 range(0, len(toks)-2), s -> array_to_string(toks[s+1:s+3], ' '))
+                 ELSE [] END AS g3
+               FROM tok)
+         SELECT doc_id,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) END AS rep1,
+           CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+             1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+               / CAST(len(g2) AS DOUBLE) END AS rep2,
+           CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+             1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+               / CAST(len(g3) AS DOUBLE) END AS rep3
+         FROM g""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

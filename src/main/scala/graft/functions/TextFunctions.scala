@@ -152,6 +152,21 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       ipv4Pattern, "<IP>")
 
+  /** Within-document repetition ratio over word n-grams: the fraction of
+    * n-gram occurrences that repeat an earlier occurrence,
+    * `1 - distinct/total` (0 for docs too short to have a gram). The
+    * Gopher-style "duplicate n-gram fraction" quality signal — high values
+    * flag boilerplate/spam. Map-only column math; the shingle array is
+    * let-bound (one-element-array transform) because `size(g)` and
+    * `size(array_distinct(g))` both reference it and HOF lambdas get no
+    * common-subexpression elimination. */
+  def repetitionRatio(text: Column, n: Int): Column =
+    element_at(
+      transform(array(wordShingles(text, n)), g =>
+        when(size(g) <= 0, 0.0).otherwise(
+          lit(1.0) - size(array_distinct(g)).cast("double")
+            / size(g).cast("double"))), 1)
+
   /** Jaccard similarity of the distinct-element sets of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

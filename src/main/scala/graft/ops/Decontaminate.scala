@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination — flag or drop training documents that share
+  * word n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+  * PaLM 13-gram procedure, re-expressed relationally).
+  *
+  * Scale shape: the eval side is a benchmark suite — megabytes, not
+  * terabytes — so its distinct gram digests are BROADCAST and the 100 TB
+  * train side never shuffles for the membership test:
+  *
+  *   - eval: tokenize -> n-gram -> md5 -> distinct (tiny; one job)
+  *   - train: tokenize -> n-gram -> md5 -> broadcast-hash join against the
+  *     eval digests. [[clean]] is a broadcast LEFT ANTI join — fully
+  *     map-side, zero exchanges on the train side; [[contamination]]
+  *     aggregates the (rare) hits by doc id, so only contaminated-gram
+  *     rows (16-byte digest + id) ever reach an exchange.
+  *
+  * Digests, never gram text, cross operator boundaries — the same
+  * constant-bytes-per-span invariant as [[SpanDedup]].
+  */
+object Decontaminate {
+
+  /** Distinct md5 digests of the eval set's word n-grams. Cache/broadcast
+    * fodder: one row per distinct gram, 16 bytes each. */
+  def evalGramDigests(eval: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    eval.select(explode(gramDigests(textCol, n)).as("__g")).distinct()
+  }
+
+  /** Per-train-document contamination report: total overlapping n-gram
+    * occurrences and distinct overlapping grams. Documents with no overlap
+    * are absent. Output: (<idCol>, n_contam_spans, n_contam_grams). */
+  def contamination(train: DataFrame, idCol: String, textCol: String,
+      evalDigests: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    train.select(col(idCol), explode(gramDigests(textCol, n)).as("__g"))
+      .join(broadcast(evalDigests), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contam_spans"),
+        count_distinct(col("__g")).as("n_contam_grams"))
+  }
+
+  /** Drop every training document sharing at least one n-gram with the eval
+    * set. Two broadcast passes, zero train-side shuffles:
+    *
+    *   1. contaminated ids = exploded train digests hash-joined against the
+    *      broadcast eval digests (map-only), distinct'd — small by the
+    *      contamination-rate assumption (benchmark overlap is the rare
+    *      exception in a training corpus, which is the only regime where
+    *      decontamination-by-drop is the right remedy at all);
+    *   2. broadcast LEFT ANTI join of train against those ids — map-only.
+    *
+    * Both passes scan train once; scans are the cheap currency at 100 TB,
+    * shuffles of the full corpus the expensive one. */
+  def clean(train: DataFrame, idCol: String, textCol: String,
+      evalDigests: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    val contaminatedIds = train
+      .select(col(idCol), explode(gramDigests(textCol, n)).as("__g"))
+      .join(broadcast(evalDigests), "__g")
+      .select(col(idCol)).distinct()
+    train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
+  }
+
+  private def gramDigests(textCol: String, n: Int) =
+    transform(TextFunctions.wordShingles(col(textCol), n),
+      g => md5(g.cast("binary")))
+}

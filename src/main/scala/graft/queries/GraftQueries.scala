@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Dedup, HybridSearch, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
+import graft.ops.{Decontaminate, Dedup, HybridSearch, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -246,7 +246,7 @@ object GraftQueries {
     BinaryIngest.scan(spark, dir, "*.parquet")
       .select(col("path"), col("length"))
 
-  // ------------------------------------------------ no-oracle (rows-only)
+  // ------------------- golden-oracled (no SQL twin; see GoldenOracles)
 
   /** MinHash-LSH near-dup pairs, production banding (hash family not
     * reproducible in the oracle; validated by its own spec against exact
@@ -591,6 +591,27 @@ object GraftQueries {
       .select(col("vec_id"), col("score"))
   }
 
+  /** Benchmark decontamination (GPT-3/PaLM n-gram procedure): training docs
+    * (source <> 'src0') that share a 4-gram with the eval slice
+    * (source = 'src0'), with occurrence and distinct-gram counts. The eval
+    * digests broadcast (benchmarks are MBs); only contaminated hits — a
+    * 16-byte digest + id each — ever reach an exchange. */
+  def q45Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val evalDigests = Decontaminate.evalGramDigests(
+      docs.filter(col("source") === "src0"), "text", n = 4)
+    Decontaminate.contamination(docs.filter(col("source") =!= "src0"),
+      "doc_id", "text", evalDigests, n = 4)
+  }
+
+  /** Gopher-style within-doc repetition signals: duplicate token / 2-gram /
+    * 3-gram fractions. Pure map-only column math (no shuffle at all). */
+  def q46Repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      repetitionRatio(col("text"), 1).as("rep1"),
+      repetitionRatio(col("text"), 2).as("rep2"),
+      repetitionRatio(col("text"), 3).as("rep3"))
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -641,5 +662,7 @@ object GraftQueries {
     "q41_tfidf_terms" -> (q41TfidfTerms _),
     "q42_sessionize" -> (q42SessionizeBatch _),
     "q43_corpus_pipeline" -> (q43CorpusPipeline _),
-    "q44_pq_topk" -> (q44PqTopk _))
+    "q44_pq_topk" -> (q44PqTopk _),
+    "q45_decontaminate" -> (q45Decontaminate _),
+    "q46_repetition" -> (q46Repetition _))
 }

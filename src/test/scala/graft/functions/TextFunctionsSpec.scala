@@ -56,6 +56,21 @@ class TextFunctionsSpec extends SparkSpec {
     df.select(T.jaccard($"x", $"y")).head().getDouble(0) shouldBe 0.5 +- 1e-9
   }
 
+  test("repetition ratio: hand-computed values and short-doc zeros") {
+    // "a b a b a": tokens 5 distinct 2 -> rep1 = 0.6;
+    // 2-grams [a b, b a, a b, b a] 4 distinct 2 -> rep2 = 0.5;
+    // 3-grams [a b a, b a b, a b a] 3 distinct 2 -> rep3 = 1 - 2/3
+    val t = "a b a b a"
+    one(T.repetitionRatio(col("t"), 1), t).getDouble(0) shouldBe 0.6 +- 1e-12
+    one(T.repetitionRatio(col("t"), 2), t).getDouble(0) shouldBe 0.5 +- 1e-12
+    one(T.repetitionRatio(col("t"), 3), t).getDouble(0) shouldBe
+      (1.0 - 2.0 / 3.0) +- 1e-12
+    // all-distinct text has zero repetition; too-short and empty give 0
+    one(T.repetitionRatio(col("t"), 2), "p q r s").getDouble(0) shouldBe 0.0
+    one(T.repetitionRatio(col("t"), 3), "x y").getDouble(0) shouldBe 0.0
+    one(T.repetitionRatio(col("t"), 1), "").getDouble(0) shouldBe 0.0
+  }
+
   test("rolling fingerprint: Column and Scala mirrors agree") {
     val texts = Seq("", "a", "hello world", "spark vector join", "ü ü ü")
     import spark.implicits._

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+
+  // train docs 1-3; eval doc shares the span "x y z" with train doc 1 only
+  private def fixture = {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b x y z c d x y z"), // "x y z" twice -> 2 spans, 1 gram
+      (2L, "p q r s t u v"),
+      (3L, "x y w z q")            // no shared 3-gram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "m n x y z k")).toDF("doc_id", "text")
+    (train, eval)
+  }
+
+  test("contamination counts occurrences and distinct grams") {
+    val (train, eval) = fixture
+    val ev = Decontaminate.evalGramDigests(eval, "text", 3)
+    val out = Decontaminate.contamination(train, "doc_id", "text", ev, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((1L, 2L, 1L))
+  }
+
+  test("clean drops exactly the contaminated docs") {
+    val (train, eval) = fixture
+    val ev = Decontaminate.evalGramDigests(eval, "text", 3)
+    Decontaminate.clean(train, "doc_id", "text", ev, 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+      Array(2L, 3L)
+  }
+
+  test("matches brute force on seeded random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def doc() = Seq.fill(5 + rnd.nextInt(12))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (0L until 50L).map(i => (i, doc()))
+    val eval = (100L until 110L).map(i => (i, doc()))
+    val n = 3
+
+    def grams(s: String) = s.split("\\s+").filter(_.nonEmpty)
+      .sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val evalSet = eval.flatMap(e => grams(e._2)).toSet
+    val expected = train.map { case (id, txt) =>
+      val hits = grams(txt).filter(evalSet.contains)
+      id -> ((hits.size.toLong, hits.distinct.size.toLong))
+    }.filter(_._2._1 > 0).toMap
+
+    val ev = Decontaminate.evalGramDigests(eval.toDF("doc_id", "text"),
+      "text", n)
+    val out = Decontaminate.contamination(train.toDF("doc_id", "text"),
+        "doc_id", "text", ev, n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out shouldBe expected
+
+    // clean == train minus the contaminated ids
+    Decontaminate.clean(train.toDF("doc_id", "text"), "doc_id", "text", ev, n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      train.map(_._1).toSet -- expected.keySet
+  }
+
+  test("train side joins broadcast: no train-side Exchange before the join") {
+    // the membership test must be map-side — every join in the plan is a
+    // broadcast join, and no shuffle Exchange feeds a join (the only
+    // ShuffleExchange allowed is the final groupBy on contaminated ids)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val (train, eval) = fixture
+    val ev = Decontaminate.evalGramDigests(eval, "text", 3)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Decontaminate.contamination(train, "doc_id", "text", ev, 3)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    plan.collect { case j: SortMergeJoinExec => j } shouldBe empty
+    plan.collect { case j: ShuffledHashJoinExec => j } shouldBe empty
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    bhj should not be empty
+    // the streamed (train) side reaches the join with no shuffle at all —
+    // the membership test is map-side; the only shuffles are the tiny
+    // eval-side distinct and the post-join aggregation of contaminated hits
+    bhj.foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+      }
+      streamed.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+    }
+  }
+}
