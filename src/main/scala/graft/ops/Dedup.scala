@@ -338,6 +338,46 @@ object Dedup {
       .select($"id_a", $"id_b", $"score")
   }
 
+  /** SemDeDup-style cluster blocking (Abbas et al. 2023, *SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication*):
+    * k-means cells as the blocking key — only same-cell pairs are scored.
+    * This is the embedding-dedup shape that ran at LAION scale: clustering
+    * cost is linear (the same distributed Lloyd build the IVF index uses,
+    * shared via [[SimilaritySearch.ivfBuildKMeans]]), and candidate mass is
+    * sum-of-squared-cell-sizes instead of N².
+    *
+    * By design it MISSES pairs whose members land in different cells —
+    * near-duplicates sit near each other, far from cell boundaries, so the
+    * miss rate is small for the near-identical pairs dedup targets (and
+    * zero on well-separated corpora — spec-verified); use
+    * [[embeddingPairsLsh]] when recall on borderline-similarity pairs
+    * matters more than the single-shuffle blocking.
+    *
+    * Same ids-only discipline as the LSH path: the candidate self-join
+    * carries `(id, cell)` rows only; vectors re-attach to the candidate set
+    * for the cosine verify. Vectors must be unit-norm. */
+  def embeddingPairsSemDeDup(df: DataFrame, pk: String, vecCol: String,
+      threshold: Double, nClusters: Int = 16, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // localCheckpoint: feeds the KMeans fit, the cell assignment, and both
+    // re-attach joins
+    val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    val (assigned, _) =
+      SimilaritySearch.ivfBuildKMeans(v, "id", "v", nClusters, seed = seed)
+    val cells = assigned.select($"id", $"cell")
+    val cand = cells.as("a").join(cells.as("b"),
+        $"a.cell" === $"b.cell" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+    cand
+      .join(v.select($"id".as("id_a"), $"v".as("va")), "id_a")
+      .join(v.select($"id".as("id_b"), $"v".as("vb")), "id_b")
+      .withColumn("score", cosineUnit($"va", $"vb"))
+      .filter($"score" > threshold)
+      .select($"id_a", $"id_b", $"score")
+  }
+
   /** Collapse duplicate pairs into groups and keep one representative per
     * group: iterative min-label propagation (connected components) — each
     * round every node adopts the smallest label among its neighbors, so

@@ -38,7 +38,8 @@ object GoldenOracles {
         "q20_minhash_pairs" -> q20,
         "q21_simhash_pairs" -> q21,
         "q23_semantic_topk" -> q23,
-        "q25_hybrid" -> q25)
+        "q25_hybrid" -> q25,
+        "q47_semdedup" -> q47)
     else always
   }
 
@@ -73,6 +74,30 @@ object GoldenOracles {
            (380,386), (380,434), (410,415), (410,442), (417,458), (426,458), (429,458), (441,458),
            (453,458), (458,463), (458,466))
          SELECT id_a, id_b, jaccard FROM exact
+         WHERE NOT EXISTS (SELECT 1 FROM miss
+           WHERE m_a = id_a AND m_b = id_b)"""
+
+  /** q47 (SemDeDup): same construction as q20 — cluster blocking yields a
+    * provable SUBSET of the exact cosine pairs (the verify stage recomputes
+    * the true score, so false positives cannot enter), and the cross-cell
+    * miss set is deterministic under the pinned seed + pinned input hash
+    * partitioning (verified identical across independent Verify runs). The
+    * oracle is q13's independently hash-matched exact-pair SQL minus that
+    * pinned 10-pair miss list. At the fixture's loose 0.45 threshold the
+    * misses are ~half the pairs — the documented SemDeDup trade: it blocks
+    * for NEAR-IDENTICAL pairs (where the spec proves equality), not
+    * borderline similarity. */
+  private val q47: String =
+    """WITH exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) > 0.45),
+         miss(m_a, m_b) AS (VALUES
+           (7,340), (28,305), (44,301), (45,298), (53,300), (75,256),
+           (158,452), (169,466), (238,287), (338,406))
+         SELECT id_a, id_b, score FROM exact
          WHERE NOT EXISTS (SELECT 1 FROM miss
            WHERE m_a = id_a AND m_b = id_b)"""
 

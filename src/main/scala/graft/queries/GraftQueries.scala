@@ -612,6 +612,22 @@ object GraftQueries {
       repetitionRatio(col("text"), 2).as("rep2"),
       repetitionRatio(col("text"), 3).as("rep3"))
 
+  /** SemDeDup cluster-blocked embedding near-dup (Abbas et al. 2023): the
+    * linear-cost blocking that ran at LAION scale, sharing the IVF KMeans
+    * build. The explicit hash repartition pins the RDD layout feeding the
+    * seeded KMeans fit (takeSample + treeAggregate fold order follow
+    * partitioning), making the clustering — and hence the well-defined
+    * cross-cell miss set vs exact — deterministic for the golden oracle.
+    * At this deliberately loose threshold (0.45; the fixture has no
+    * near-identical pairs) cluster blocking misses cross-cell pairs BY
+    * DESIGN — the oracle is exact pairs minus that pinned miss list,
+    * mirroring q20's banded-minhash treatment. */
+  def q47SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").repartition(32, col("vec_id"))
+    Dedup.embeddingPairsSemDeDup(e, "vec_id", "embedding", 0.45,
+      nClusters = 16)
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -664,5 +680,6 @@ object GraftQueries {
     "q43_corpus_pipeline" -> (q43CorpusPipeline _),
     "q44_pq_topk" -> (q44PqTopk _),
     "q45_decontaminate" -> (q45Decontaminate _),
-    "q46_repetition" -> (q46Repetition _))
+    "q46_repetition" -> (q46Repetition _),
+    "q47_semdedup" -> (q47SemDedup _))
 }

@@ -188,6 +188,45 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("embeddingPairsSemDeDup: equals exact on well-separated clusters, " +
+      "subset of exact in general") {
+    import spark.implicits._
+    // same clustered shape as the LSH test: within-cluster cos >= 0.999,
+    // across-cluster low. With nClusters <= #natural clusters, every
+    // near-identical pair lands in ONE kmeans cell (members are ~the same
+    // point, a cell boundary between them would mean the argmax differs on
+    // a 1e-3 perturbation of the same vector against well-separated
+    // centroids), so cluster blocking must recover the exact pair set.
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0 until 20).flatMap { c =>
+      val base = Array.fill(dim)(rng.nextGaussian().toFloat)
+      (0 until 3).map { j =>
+        val v = base.zipWithIndex.map { case (x, i) =>
+          x + 0.001f * rng.nextGaussian().toFloat }
+        (c * 3L + j, graft.functions.VectorFunctions.l2Normalize(v))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = asMap(Dedup.embeddingPairsExact(df, "vec_id", "embedding", 0.9))
+    val sem = asMap(Dedup.embeddingPairsSemDeDup(df, "vec_id", "embedding",
+      0.9, nClusters = 8))
+    exact.size shouldBe 60
+    sem shouldBe exact
+
+    // at a low threshold (cross-cluster pairs qualify) the output is a
+    // strict SUBSET of exact with every surviving score identical — cluster
+    // blocking can miss, never invent
+    val exactLo = asMap(Dedup.embeddingPairsExact(df, "vec_id", "embedding", 0.0))
+    val semLo = asMap(Dedup.embeddingPairsSemDeDup(df, "vec_id", "embedding",
+      0.0, nClusters = 8))
+    semLo.keySet.subsetOf(exactLo.keySet) shouldBe true
+    semLo.size should be < exactLo.size
+    semLo.foreach { case (k, s) => s shouldBe exactLo(k) }
+  }
+
   test("dropDuplicates: connected components keep min-pk representative") {
     import spark.implicits._
     val df = (1L to 8L).map(i => (i, s"row$i")).toDF("id", "v")

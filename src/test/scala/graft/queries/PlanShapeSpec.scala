@@ -30,7 +30,8 @@ class PlanShapeSpec extends SparkSpec {
     * network per-candidate. */
   private def assertBlockingJoinsIdsOnly(df: DataFrame): Unit = {
     val blockingKeys =
-      Set("tok", "bucket", "band", "chunk", "piece", "probe", "salt", "sz", "table")
+      Set("tok", "bucket", "band", "chunk", "piece", "probe", "salt", "sz",
+        "table", "cell")
     val joins = df.queryExecution.sparkPlan.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
@@ -117,5 +118,13 @@ class PlanShapeSpec extends SparkSpec {
     assertBlockingJoinsIdsOnly(
       graft.ops.Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4,
         planes = 4, tables = 4))
+  }
+
+  test("embeddingPairsSemDeDup: cell self-join carries ids only, never vectors") {
+    spark.sqlContext.clearCache()
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    assertBlockingJoinsIdsOnly(
+      graft.ops.Dedup.embeddingPairsSemDeDup(emb, "vec_id", "embedding", 0.4,
+        nClusters = 8))
   }
 }
