@@ -1,9 +1,9 @@
 package graft.queries
 
-/** Golden oracle tables (the q26 pattern) for the five queries whose
-  * engine-side math — minhash banding, simhash, the deterministic
-  * embedder — has no computable DuckDB twin. Each pins a deterministic
-  * expected result as literal SQL:
+/** Golden oracle tables (the q26 pattern) for the queries whose
+  * engine-side math — minhash banding, simhash, k-means cells, HLL
+  * sketches, the deterministic embedder — has no computable DuckDB twin.
+  * Each pins a deterministic expected result as literal SQL:
   *
   *   - q20: NOT a raw pin — the banded minhash output is a provable subset
   *     of the exact-Jaccard pair set (verify stage recomputes true Jaccard,
@@ -19,6 +19,10 @@ package graft.queries
   *     is independently oracled by q25b and the RRF fusion is spec-checked.
   *   - q33: pinned (image_id, filepath, score) over the fixture image
   *     corpus — fixture-derived like q26, valid at ANY sf dir.
+  *   - q47: q20's construction for SemDeDup — exact-pair SQL minus the
+  *     pinned deterministic cross-cell miss list (see the q47 comment).
+  *   - q48: pinned HLL++ counts joined to DuckDB's own exact counts with a
+  *     self-auditing error guard (see the q48 comment).
   *
   * All but q33 are pinned against the sf0.01 documents/embeddings fixtures
   * and are emitted only for that dir (a different sf would need re-pinning;
@@ -39,7 +43,8 @@ object GoldenOracles {
         "q21_simhash_pairs" -> q21,
         "q23_semantic_topk" -> q23,
         "q25_hybrid" -> q25,
-        "q47_semdedup" -> q47)
+        "q47_semdedup" -> q47,
+        "q48_approx_distinct" -> q48)
     else always
   }
 
@@ -100,6 +105,100 @@ object GoldenOracles {
          SELECT id_a, id_b, score FROM exact
          WHERE NOT EXISTS (SELECT 1 FROM miss
            WHERE m_a = id_a AND m_b = id_b)"""
+
+
+  /** q48 (HLL approximate distinct): the approx column is Spark's HLL++ —
+    * deterministic (register max-merge is order/partition-independent) but
+    * with no DuckDB twin (different HLL implementation), so it is pinned;
+    * the exact column and the join come from DuckDB's own computation, and
+    * the 10% guard (~2 sigma at rsd 0.05) makes the oracle self-auditing:
+    * a pin drifting from the true cardinality drops its row and fails the
+    * compare. */
+  private val q48: String =
+    """WITH exact AS (SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS exact_users
+         FROM events GROUP BY 1, 2),
+         approx(a_type, a_day, approx_users) AS (VALUES
+           ('click','2024-01-01',62), ('click','2024-01-02',57),
+           ('click','2024-01-03',53), ('click','2024-01-04',50),
+           ('click','2024-01-05',52), ('click','2024-01-06',56),
+           ('click','2024-01-07',56), ('click','2024-01-08',50),
+           ('click','2024-01-09',43), ('click','2024-01-10',52),
+           ('click','2024-01-11',56), ('click','2024-01-12',54),
+           ('click','2024-01-13',52), ('click','2024-01-14',49),
+           ('click','2024-01-15',46), ('click','2024-01-16',59),
+           ('click','2024-01-17',60), ('click','2024-01-18',68),
+           ('click','2024-01-19',47), ('click','2024-01-20',62),
+           ('click','2024-01-21',44), ('click','2024-01-22',52),
+           ('click','2024-01-23',44), ('click','2024-01-24',64),
+           ('click','2024-01-25',52), ('click','2024-01-26',54),
+           ('click','2024-01-27',63), ('click','2024-01-28',53),
+           ('click','2024-01-29',49), ('click','2024-01-30',52),
+           ('error','2024-01-01',60), ('error','2024-01-02',48),
+           ('error','2024-01-03',54), ('error','2024-01-04',49),
+           ('error','2024-01-05',60), ('error','2024-01-06',53),
+           ('error','2024-01-07',47), ('error','2024-01-08',48),
+           ('error','2024-01-09',64), ('error','2024-01-10',59),
+           ('error','2024-01-11',53), ('error','2024-01-12',60),
+           ('error','2024-01-13',56), ('error','2024-01-14',47),
+           ('error','2024-01-15',48), ('error','2024-01-16',62),
+           ('error','2024-01-17',48), ('error','2024-01-18',70),
+           ('error','2024-01-19',57), ('error','2024-01-20',53),
+           ('error','2024-01-21',57), ('error','2024-01-22',55),
+           ('error','2024-01-23',48), ('error','2024-01-24',49),
+           ('error','2024-01-25',60), ('error','2024-01-26',49),
+           ('error','2024-01-27',62), ('error','2024-01-28',47),
+           ('error','2024-01-29',48), ('error','2024-01-30',55),
+           ('purchase','2024-01-01',57), ('purchase','2024-01-02',58),
+           ('purchase','2024-01-03',54), ('purchase','2024-01-04',50),
+           ('purchase','2024-01-05',64), ('purchase','2024-01-06',49),
+           ('purchase','2024-01-07',53), ('purchase','2024-01-08',64),
+           ('purchase','2024-01-09',49), ('purchase','2024-01-10',49),
+           ('purchase','2024-01-11',53), ('purchase','2024-01-12',63),
+           ('purchase','2024-01-13',58), ('purchase','2024-01-14',50),
+           ('purchase','2024-01-15',53), ('purchase','2024-01-16',54),
+           ('purchase','2024-01-17',54), ('purchase','2024-01-18',49),
+           ('purchase','2024-01-19',59), ('purchase','2024-01-20',55),
+           ('purchase','2024-01-21',50), ('purchase','2024-01-22',56),
+           ('purchase','2024-01-23',65), ('purchase','2024-01-24',47),
+           ('purchase','2024-01-25',59), ('purchase','2024-01-26',47),
+           ('purchase','2024-01-27',50), ('purchase','2024-01-28',45),
+           ('purchase','2024-01-29',67), ('purchase','2024-01-30',52),
+           ('signup','2024-01-01',53), ('signup','2024-01-02',53),
+           ('signup','2024-01-03',52), ('signup','2024-01-04',49),
+           ('signup','2024-01-05',49), ('signup','2024-01-06',62),
+           ('signup','2024-01-07',50), ('signup','2024-01-08',48),
+           ('signup','2024-01-09',45), ('signup','2024-01-10',63),
+           ('signup','2024-01-11',55), ('signup','2024-01-12',55),
+           ('signup','2024-01-13',53), ('signup','2024-01-14',70),
+           ('signup','2024-01-15',53), ('signup','2024-01-16',46),
+           ('signup','2024-01-17',50), ('signup','2024-01-18',65),
+           ('signup','2024-01-19',45), ('signup','2024-01-20',59),
+           ('signup','2024-01-21',54), ('signup','2024-01-22',57),
+           ('signup','2024-01-23',53), ('signup','2024-01-24',50),
+           ('signup','2024-01-25',58), ('signup','2024-01-26',54),
+           ('signup','2024-01-27',53), ('signup','2024-01-28',60),
+           ('signup','2024-01-29',47), ('signup','2024-01-30',54),
+           ('view','2024-01-01',56), ('view','2024-01-02',53),
+           ('view','2024-01-03',54), ('view','2024-01-04',53),
+           ('view','2024-01-05',50), ('view','2024-01-06',46),
+           ('view','2024-01-07',41), ('view','2024-01-08',52),
+           ('view','2024-01-09',63), ('view','2024-01-10',48),
+           ('view','2024-01-11',62), ('view','2024-01-12',65),
+           ('view','2024-01-13',56), ('view','2024-01-14',54),
+           ('view','2024-01-15',56), ('view','2024-01-16',52),
+           ('view','2024-01-17',53), ('view','2024-01-18',54),
+           ('view','2024-01-19',54), ('view','2024-01-20',53),
+           ('view','2024-01-21',46), ('view','2024-01-22',52),
+           ('view','2024-01-23',63), ('view','2024-01-24',46),
+           ('view','2024-01-25',65), ('view','2024-01-26',60),
+           ('view','2024-01-27',49), ('view','2024-01-28',54),
+           ('view','2024-01-29',56), ('view','2024-01-30',63))
+         SELECT event_type, day, CAST(approx_users AS BIGINT) AS approx_users,
+           CAST(exact_users AS BIGINT) AS exact_users
+         FROM exact JOIN approx ON event_type = a_type AND day = a_day
+         WHERE abs(approx_users - exact_users) <= 0.10 * exact_users"""
 
   private val q21: String =
     """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,

@@ -612,6 +612,20 @@ object GraftQueries {
       repetitionRatio(col("text"), 2).as("rep2"),
       repetitionRatio(col("text"), 3).as("rep3"))
 
+  /** Sketch aggregation: HyperLogLog++ approximate distinct users per
+    * (event_type, day) next to the exact count. At 100 TB the sketch is
+    * the only viable shape — fixed ~kB state per group merged map-side vs
+    * an exact count's shuffle of every distinct (group, user) pair. The
+    * approx column is deterministic (order/partition-independent register
+    * max-merge), so it golden-pins; the exact column is DuckDB-computed in
+    * the oracle, which also cross-checks |approx-exact| <= 5% of exact for
+    * every group. */
+  def q48ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+
   /** SemDeDup cluster-blocked embedding near-dup (Abbas et al. 2023): the
     * linear-cost blocking that ran at LAION scale, sharing the IVF KMeans
     * build. The explicit hash repartition pins the RDD layout feeding the
@@ -681,5 +695,6 @@ object GraftQueries {
     "q44_pq_topk" -> (q44PqTopk _),
     "q45_decontaminate" -> (q45Decontaminate _),
     "q46_repetition" -> (q46Repetition _),
-    "q47_semdedup" -> (q47SemDedup _))
+    "q47_semdedup" -> (q47SemDedup _),
+    "q48_approx_distinct" -> (q48ApproxDistinct _))
 }
