@@ -287,9 +287,10 @@ object SparkEntry {
          SELECT 'no_orders' AS tag, CAST(count(*) AS BIGINT) AS n
          FROM customer WHERE NOT EXISTS
            (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
-    "q29_sql_surface" ->
+    "q29_sql_surface" -> // float-cast sum: absorbs engine summation-order
+      // ulp drift on the double accumulation (see q41's note)
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
-         sum(s_acctbal) AS total_bal
+         CAST(sum(s_acctbal) AS FLOAT) AS total_bal
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name""",
     "q30_case_date" ->
@@ -417,7 +418,7 @@ object SparkEntry {
              CAST(tf AS DOUBLE) *
                ln((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
            FROM tf JOIN dfreq USING (term), stats)
-         SELECT doc_id, term, tfidf, rnk FROM (
+         SELECT doc_id, term, CAST(tfidf AS FLOAT) AS tfidf, rnk FROM (
            SELECT doc_id, term, tfidf,
              CAST(row_number() OVER (PARTITION BY doc_id
                ORDER BY tfidf DESC, term) AS BIGINT) AS rnk

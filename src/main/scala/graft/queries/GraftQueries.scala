@@ -377,7 +377,7 @@ object GraftQueries {
     spark.sql(
       """WITH s AS (SELECT s_nationkey, s_acctbal FROM g_supplier)
          SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
-                sum(s_acctbal) AS total_bal
+                CAST(sum(s_acctbal) AS FLOAT) AS total_bal
          FROM s JOIN g_nation ON s_nationkey = n_nationkey
          GROUP BY n_name""")
   }
@@ -527,7 +527,13 @@ object GraftQueries {
         log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+      // rank on the full double, but EMIT float: Java's and DuckDB's libm
+      // `log` differ in the last ulp for some arguments, and the identical
+      // IEEE double->float rounding on both sides absorbs that — the one
+      // transcendental in the query surface, made bit-exact rather than
+      // tolerance-close
+      .select(col("doc_id"), col("term"),
+        col("tfidf").cast("float").as("tfidf"), col("rnk"))
   }
 
   /** Gap-based sessionization, batch form: same 30-min-gap semantics as the
