@@ -135,4 +135,16 @@ class PqSpec extends SparkSpec {
       viaDf(id)._2 shouldBe adc +- 1e-12
     }
   }
+
+  test("adc rejects code/LUT subspace mismatch in both directions") {
+    // codes from a different PqModel than the query LUT must error, never
+    // silently score a prefix of the vector
+    val lut8 = Array.fill(8)(Array.fill(16)(1.0))
+    an[IllegalArgumentException] should be thrownBy
+      graft.expressions.PqAdcDot.score(Array.fill(4)(0: Byte), lut8)
+    an[IllegalArgumentException] should be thrownBy
+      graft.expressions.PqAdcDot.score(Array.fill(16)(0: Byte), lut8)
+    graft.expressions.PqAdcDot.score(
+      Array.fill(8)(0: Byte), lut8) shouldBe 8.0 +- 1e-12
+  }
 }
