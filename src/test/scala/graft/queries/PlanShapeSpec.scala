@@ -120,6 +120,35 @@ class PlanShapeSpec extends SparkSpec {
         planes = 4, tables = 4))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // the 100 TB regime: neither side broadcastable, so the join shuffles
+    // BOTH sides — unless the selective dim filter is turned into a bloom
+    // filter evaluated ON THE FACT SCAN, cutting the shuffled fact bytes to
+    // ~the join's selectivity. Spark injects this automatically
+    // (InjectRuntimeFilter); the size thresholds that keep it off for tiny
+    // test inputs are lowered here to expose the big-data plan.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val p = try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.sum(li("l_quantity")))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    p should include("bloom_filter_agg") // built from the filtered dim keys
+    p should include("might_contain")    // probed on the fact side's scan
+  }
+
   test("embeddingPairsSemDeDup: cell self-join carries ids only, never vectors") {
     spark.sqlContext.clearCache()
     val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
