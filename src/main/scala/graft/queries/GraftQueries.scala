@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
 
 /** The operator inventory (SURVEY.md §2 + §2.4 north-star ops), one query per
   * operator, each paired with ANSI SQL for the DuckDB oracle in
-  * [[Oracle.sql]]. Column names and value types are aligned on both sides
+  * [[graft.SparkEntry.oracleSqlFor]] (golden pins in [[GoldenOracles]]).
+  * Column names and value types are aligned on both sides
   * (aggregates aliased identically; integral aggregates cast to BIGINT;
   * timestamps rendered as strings) so the driver's sorted-hash compare is
   * meaningful.
