@@ -415,10 +415,11 @@ object SparkEntry {
          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
          scored AS (SELECT doc_id, term,
-             CAST(tf AS DOUBLE) *
-               ln((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf
+             CAST(CAST(tf AS DOUBLE) *
+               ln((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS FLOAT)
+               AS tfidf
            FROM tf JOIN dfreq USING (term), stats)
-         SELECT doc_id, term, CAST(tfidf AS FLOAT) AS tfidf, rnk FROM (
+         SELECT doc_id, term, tfidf, rnk FROM (
            SELECT doc_id, term, tfidf,
              CAST(row_number() OVER (PARTITION BY doc_id
                ORDER BY tfidf DESC, term) AS BIGINT) AS rnk

@@ -167,6 +167,27 @@ object TextFunctions {
           lit(1.0) - size(array_distinct(g)).cast("double")
             / size(g).cast("double"))), 1)
 
+  /** All requested repetition ratios from ONE tokenization: the token array
+    * is let-bound once and each n's shingle array is derived from it in
+    * place, so a multi-signal quality pass reads and splits the text a
+    * single time (three separate [[repetitionRatio]] calls re-run the
+    * tokenizing regex per n). Returns a struct with fields `rep<n>`. */
+  def repetitionRatios(text: Column, ns: Seq[Int]): Column = {
+    require(ns.nonEmpty, "repetitionRatios: need at least one n")
+    def ratio(g: Column): Column =
+      when(size(g) <= 0, 0.0).otherwise(
+        lit(1.0) - size(array_distinct(g)).cast("double")
+          / size(g).cast("double"))
+    def shingles(toks: Column, n: Int): Column =
+      if (n == 1) toks
+      else when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    element_at(
+      transform(array(tokens(text)), toks =>
+        struct(ns.map(n => ratio(shingles(toks, n)).as(s"rep$n")): _*)), 1)
+  }
+
   /** Jaccard similarity of the distinct-element sets of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -36,14 +36,11 @@ object Decontaminate {
     * occurrences and distinct overlapping grams. Documents with no overlap
     * are absent. Output: (<idCol>, n_contam_spans, n_contam_grams). */
   def contamination(train: DataFrame, idCol: String, textCol: String,
-      evalDigests: DataFrame, n: Int): DataFrame = {
-    require(n >= 1, s"gram length must be >= 1, got $n")
-    train.select(col(idCol), explode(gramDigests(textCol, n)).as("__g"))
-      .join(broadcast(evalDigests), "__g")
+      evalDigests: DataFrame, n: Int): DataFrame =
+    hits(train, idCol, textCol, evalDigests, n)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_contam_spans"),
         count_distinct(col("__g")).as("n_contam_grams"))
-  }
 
   /** Drop every training document sharing at least one n-gram with the eval
     * set. Two broadcast passes, zero train-side shuffles:
@@ -59,12 +56,19 @@ object Decontaminate {
     * shuffles of the full corpus the expensive one. */
   def clean(train: DataFrame, idCol: String, textCol: String,
       evalDigests: DataFrame, n: Int): DataFrame = {
-    require(n >= 1, s"gram length must be >= 1, got $n")
-    val contaminatedIds = train
-      .select(col(idCol), explode(gramDigests(textCol, n)).as("__g"))
-      .join(broadcast(evalDigests), "__g")
+    val contaminatedIds = hits(train, idCol, textCol, evalDigests, n)
       .select(col(idCol)).distinct()
     train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
+  }
+
+  /** The shared map-side pipeline: exploded train gram digests broadcast-
+    * hash-joined against the eval digests — one row per contaminated span
+    * occurrence, (idCol, __g). */
+  private def hits(train: DataFrame, idCol: String, textCol: String,
+      evalDigests: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    train.select(col(idCol), explode(gramDigests(textCol, n)).as("__g"))
+      .join(broadcast(evalDigests), "__g")
   }
 
   private def gramDigests(textCol: String, n: Int) =

@@ -10,13 +10,19 @@ import org.apache.spark.sql.functions._
   * when it occurs in more than one distinct document.
   *
   * The paper builds a corpus-wide suffix array; the Spark-native shape is
-  * an n-gram inverted index: tokenize -> slide an n-window (all inside one
-  * projection, no shuffle) -> hash each span to a 16-byte md5 digest ->
-  * ONE shuffle on the digest (never the span text) with map-side partial
-  * aggregation -> join span occurrences back to the duplicated-digest set.
-  * Shuffled bytes per span are constant (16 B + id) regardless of n, the
-  * digest keys are uniform (no skew salt needed), and the output is a
-  * per-document count, so nothing document-sized crosses an exchange.
+  * an n-gram inverted index over a SINGLE corpus scan: tokenize -> slide an
+  * n-window -> hash each span to a 16-byte md5 digest (all inside one
+  * projection, no shuffle) -> aggregate occurrences per (digest, doc) with
+  * map-side partial agg -> count documents per digest with a window over
+  * the digest partitioning -> per-document sum of qualifying occurrences.
+  * Shuffled bytes per span are constant (16 B + id + count) regardless of
+  * n, the digest keys are uniform (no skew salt needed), and nothing
+  * document-sized crosses an exchange. No self-join and no checkpoint: an
+  * earlier two-pass formulation (agg + join back to the gram relation)
+  * either re-tokenized the corpus twice or had to materialize the exploded
+  * grams — corpus-sized state pinned in the block manager and a lineage
+  * cut that forfeits fault tolerance, the wrong trade at 100 TB where
+  * re-scanning is the cheap currency.
   */
 object SpanDedup {
 
@@ -33,18 +39,18 @@ object SpanDedup {
       graft.functions.TextFunctions.wordShingles(col(textCol), n),
       g => md5(g.cast("binary")))
 
-    // grams feeds BOTH the duplicated-digest aggregation and the occurrence
-    // join below; the agg side's map-side partial agg makes the two subplans
-    // differ, so ReuseExchange cannot dedupe them — localCheckpoint so the
-    // tokenize+slide+md5+explode pipeline runs once, not twice.
-    val grams = df.select(col(idCol), explode(spans).as("__g"))
-      .localCheckpoint(true)
-    val dup = grams.groupBy(col("__g"))
-      .agg(count_distinct(col(idCol)).as("__nd"))
+    // one row per (digest, doc) after the partial agg — strictly fewer rows
+    // than span occurrences cross the first exchange
+    val occ = df.select(col(idCol), explode(spans).as("__g"))
+      .groupBy(col("__g"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    // documents-per-digest via a window on the digest partitioning: the
+    // (g, doc) rows are already distinct, so a plain count IS the distinct
+    // document count — no second corpus scan, no self-join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    occ.withColumn("__nd", count(lit(1)).over(w))
       .filter(col("__nd") > 1)
-      .select(col("__g"))
-    grams.join(dup, "__g")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_dup_spans"))
+      .agg(sum(col("__occ")).as("n_dup_spans"))
   }
 }

@@ -24,9 +24,11 @@ package graft.queries
   *   - q48: pinned HLL++ counts joined to DuckDB's own exact counts with a
   *     self-auditing error guard (see the q48 comment).
   *
-  * All but q33 are pinned against the sf0.01 documents/embeddings fixtures
-  * and are emitted only for that dir (a different sf would need re-pinning;
-  * the driver's t2 gate always runs sf0.01).
+  * All but q33 are pinned against the sf0.01 fixtures (documents,
+  * embeddings, and — for q48 — events; regenerating ANY sf0.01 table
+  * invalidates the pins over it) and are emitted only for that dir (a
+  * different sf would need re-pinning; the driver's t2 gate always runs
+  * sf0.01).
   */
 object GoldenOracles {
 

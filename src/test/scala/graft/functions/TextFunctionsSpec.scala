@@ -71,6 +71,21 @@ class TextFunctionsSpec extends SparkSpec {
     one(T.repetitionRatio(col("t"), 1), "").getDouble(0) shouldBe 0.0
   }
 
+  test("repetitionRatios struct agrees with per-n repetitionRatio") {
+    import spark.implicits._
+    val texts = Seq("a b a b a", "p q r s", "x y", "", "w w w w w w")
+    val r = T.repetitionRatios(col("t"), Seq(1, 2, 3))
+    texts.toDF("t").select(
+        r.getField("rep1"), r.getField("rep2"), r.getField("rep3"),
+        T.repetitionRatio(col("t"), 1), T.repetitionRatio(col("t"), 2),
+        T.repetitionRatio(col("t"), 3))
+      .collect().foreach { row =>
+        row.getDouble(0) shouldBe row.getDouble(3)
+        row.getDouble(1) shouldBe row.getDouble(4)
+        row.getDouble(2) shouldBe row.getDouble(5)
+      }
+  }
+
   test("rolling fingerprint: Column and Scala mirrors agree") {
     val texts = Seq("", "a", "hello world", "spark vector join", "ü ü ü")
     import spark.implicits._
