@@ -43,4 +43,35 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP DATABASE graft_bkt")
     }
   }
+
+  test("partitioned layout prunes partitions at the file-listing level") {
+    // the other half of storage-layout design at 100 TB: date/tenant
+    // partitioning turns predicates on the partition column into directory
+    // pruning — files of other partitions are never LISTED, let alone read
+    import org.apache.spark.sql.functions.{col, input_file_name, year}
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .withColumn("yr", year(col("o_orderdate")))
+      o.write.mode("overwrite").partitionBy("yr").parquet(dir)
+
+      val pruned = spark.read.parquet(dir).filter(col("yr") === 1996)
+      val p = pruned.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      // the predicate lands in PartitionFilters (metadata pruning), not in
+      // PushedFilters (which would still open every file)
+      p should include("PartitionFilters")
+      p should include regex "PartitionFilters: \\[[^\\]]*yr[^\\]]*1996"
+      // and only the matching partition's files are scanned
+      val scannedFiles = pruned.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      scannedFiles should not be empty
+      all(scannedFiles) should include("yr=1996")
+      // result parity with the unpartitioned filter
+      pruned.count() shouldBe o.filter(col("yr") === 1996).count()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
