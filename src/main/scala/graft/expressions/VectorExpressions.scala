@@ -103,25 +103,40 @@ case class SortedCountCommon(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          "sorted_count_common needs array<string> inputs")
+          "sorted_count_common needs array<string> or array<bigint> inputs " +
+            "(same type on both sides)")
     }
 
   override def dataType: DataType = IntegerType
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
-    while (i < x.numElements() && j < y.numElements()) {
-      // binaryCompare, NOT compareTo: this Spark build's compareTo calls
-      // SparkEnvUtils.isTesting (a System.getenv per comparison!) — on a
-      // multi-million-pair merge that env lookup dominated the whole query
-      val cmp = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < x.numElements() && j < y.numElements()) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < x.numElements() && j < y.numElements()) {
+        // binaryCompare, NOT compareTo: this Spark build's compareTo calls
+        // SparkEnvUtils.isTesting (a System.getenv per comparison!) — on a
+        // multi-million-pair merge that env lookup dominated the whole query
+        val cmp = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -131,14 +146,28 @@ case class SortedCountCommon(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
       val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
+      val step =
+        if (isLong) {
+          val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+          s"""
+             |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+             |  if ($xv == $yv) { $c++; $i++; $j++; }
+             |  else if ($xv < $yv) { $i++; }
+             |  else { $j++; }
+           """.stripMargin
+        } else {
+          s"""
+             |  int $cmp = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
+             |  if ($cmp == 0) { $c++; $i++; $j++; }
+             |  else if ($cmp < 0) { $i++; }
+             |  else { $j++; }
+           """.stripMargin
+        }
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |int $an = $a.numElements(), $bn = $b.numElements();
          |while ($i < $an && $j < $bn) {
-         |  int $cmp = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; }
-         |  else { $j++; }
+         |$step
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -80,13 +80,31 @@ object Dedup {
       }
     val cand = if (block == "prefix") prefixCandidates(sh, threshold)
                else sizeBandCandidates(sh, threshold, saltR)
+    val shh = hashedShingles(sh)
     cand
-      .join(sh.select($"id".as("id_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "id_a")
-      .join(sh.select($"id".as("id_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b")), "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** Sorted 64-bit xxhash shingle sets for the verify re-attach: the
+    * re-attach joins ship one 8-byte long per shingle instead of the
+    * shingle text (3-10x fewer shuffle bytes at word n-grams), and the
+    * sorted-merge compares primitive longs instead of UTF8 bytes. The
+    * intersection count differs from the string count only if two DISTINCT
+    * shingles of one pair's union collide under xxhash64 — probability
+    * <= u^2/2^65 for union size u (~1e-7 even at u = 10^6), and one
+    * collision perturbs jaccard by ~1/u. Sizes (`sz`) stay those of the
+    * true string sets (hashing is injective on each doc's set modulo the
+    * same negligible event). */
+  private def hashedShingles(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.select($"id",
+      sort_array(transform($"sh", t => xxhash64(t))).as("shh"), $"sz")
   }
 
   /** Sorted distinct word-shingle sets `(id, sh, sz)` — the shared first
@@ -182,9 +200,10 @@ object Dedup {
     import graft.expressions.VectorExpressions.sortedCountCommon
     val sh = shingleSets(df, pk, textCol, n)
     val cand = minhashCandidates(sh, numHashes, bands)
+    val shh = hashedShingles(sh)
     cand
-      .join(sh.select($"id".as("id_a"), $"sh".as("sh_a"), $"sz".as("sz_a")), "id_a")
-      .join(sh.select($"id".as("id_b"), $"sh".as("sh_b"), $"sz".as("sz_b")), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b")), "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)

@@ -49,6 +49,40 @@ class SketchExpressionsSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType))).eval(null) shouldBe sigs(0)
   }
 
+  test("sorted_count_common on array<long>: codegen result, eval mirror, " +
+      "and hashed-shingle count all agree with the string count") {
+    import spark.implicits._
+    import graft.expressions.VectorExpressions.sortedCountCommon
+    // sorted long arrays straight through the codegen'd column path
+    val longDf = Seq(
+      (Seq(1L, 3L, 7L, 9L), Seq(3L, 7L, 11L)),
+      (Seq(-5L, 0L, 2L), Seq(-5L, 0L, 2L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    longDf.select(sortedCountCommon($"a", $"b")).collect().map(_.getInt(0))
+      .toSeq shouldBe Seq(2, 3, 0, 0)
+    // interpreted eval agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val lit = (xs: Seq[Long]) =>
+      Literal(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+    SortedCountCommon(lit(Seq(1L, 3L, 7L, 9L)), lit(Seq(3L, 7L, 11L)))
+      .eval(null) shouldBe 2
+    // the Dedup verify path's invariant: counting common sorted xxhash64
+    // values equals counting common sorted strings (injective modulo
+    // ~2^-65-probability collisions)
+    val strDf = Seq(
+      (Seq("alpha", "beta", "gamma", "delta"), Seq("beta", "delta", "zeta")))
+      .toDF("a", "b")
+    val hashed = strDf.select(
+      sortedCountCommon(
+        sort_array(transform($"a", t => xxhash64(t))),
+        sort_array(transform($"b", t => xxhash64(t)))).as("h"),
+      sortedCountCommon(sort_array($"a"), sort_array($"b")).as("s")).head()
+    hashed.getInt(0) shouldBe hashed.getInt(1)
+  }
+
   test("similar texts have small simhash hamming distance") {
     import spark.implicits._
     val df = Seq(
