@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Decontaminate, Dedup, HybridSearch, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
+import graft.ops.{Decontaminate, Dedup, HybridSearch, Layout, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -669,6 +669,28 @@ object GraftQueries {
       nClusters = 16)
   }
 
+  /** Z-order clustered storage layout ([[Layout.zOrderWrite]]): rewrite
+    * orders clustered on (o_custkey, o_totalprice), then run a box
+    * predicate + aggregate over the clustered copy. The layout rewrite is
+    * content-preserving, so the oracle is plain SQL over the original
+    * table — a green row proves the Morton math and the range-shuffled
+    * write lose/duplicate/corrupt nothing, while LayoutSpec separately
+    * proves the scan-pruning payoff (fewer row groups decoded on exactly
+    * this predicate shape). Float total absorbs summation-order ulp drift
+    * across layouts (the q29 rule). */
+  def q50ZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q50_zorder").toString
+    Layout.zOrderWrite(t(spark, dir, "orders"),
+      Seq("o_custkey", "o_totalprice"), out, numFiles = 8)
+    spark.read.parquet(out)
+      .filter(col("o_custkey").between(100, 600) &&
+        col("o_totalprice").between(50000, 100000))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")).cast("float").as("total"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -724,5 +746,6 @@ object GraftQueries {
     "q46_repetition" -> (q46Repetition _),
     "q47_semdedup" -> (q47SemDedup _),
     "q48_approx_distinct" -> (q48ApproxDistinct _),
-    "q49_cube" -> (q49Cube _))
+    "q49_cube" -> (q49Cube _),
+    "q50_zorder_scan" -> (q50ZorderScan _))
 }
