@@ -533,7 +533,18 @@ object SparkEntry {
          CAST(sum(o_totalprice) AS FLOAT) AS total,
          CAST(count(*) AS BIGINT) AS n,
          CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS grp
-         FROM orders GROUP BY CUBE(year(o_orderdate), o_orderstatus)""") ++
+         FROM orders GROUP BY CUBE(year(o_orderdate), o_orderstatus)""",
+    // q50 rewrites orders z-order-clustered then scans the copy; the
+    // layout is content-preserving, so the oracle is the same box filter +
+    // aggregate over the ORIGINAL table. Float total absorbs the
+    // summation-order ulp drift the different row placement causes.
+    "q50_zorder_scan" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(o_totalprice) AS FLOAT) AS total
+         FROM orders
+         WHERE o_custkey BETWEEN 100 AND 600
+           AND o_totalprice BETWEEN 50000 AND 100000
+         GROUP BY o_orderpriority""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -58,6 +58,83 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Piecewise-linear z-bucket Column: like the linear scaling inside
+    * [[zOrderValue]] but driven by quantile breakpoints, so a skewed
+    * dimension (Zipf head, long tail) still spreads across the full
+    * `bits`-bit bucket space instead of collapsing into a handful of
+    * buckets. `breaks` is an ascending list of K+1 breakpoints splitting
+    * the value domain into K equal-occupancy segments (from
+    * `approxQuantile`); segment i owns bucket span
+    * [i·2^bits/K, (i+1)·2^bits/K) and values interpolate linearly inside
+    * it. A constant segment (duplicate-heavy quantile) maps to its span
+    * start. Chained `when`s over ≤ K segments — stays codegen'd.
+    */
+  def bucketPiecewise(c: Column, breaks: Seq[Double], bits: Int): Column = {
+    require(breaks.size >= 2, "need at least 2 breakpoints")
+    val top = (1L << bits) - 1
+    val k = breaks.size - 1
+    val segW = (top + 1).toDouble / k
+    val d = c.cast("double")
+    val inner = (0 until k).foldRight(lit(top): Column) { (i, rest) =>
+      val (lo, hi) = (breaks(i), breaks(i + 1))
+      val pos =
+        if (hi > lo) lit(i * segW) + (d - lit(lo)) / lit(hi - lo) * lit(segW)
+        else lit(i * segW)
+      when(d < lit(hi), greatest(lit(0L), least(lit(top),
+        floor(pos).cast("long")))).otherwise(rest)
+    }
+    when(d <= lit(breaks.head), lit(0L)).otherwise(inner)
+  }
+
+  /** Morton z-value from per-column quantile breakpoints (see
+    * [[bucketPiecewise]]): the skew-robust variant of [[zOrderValue]]. */
+  def zOrderValueQuantile(cols: Seq[Column], breaks: Seq[Seq[Double]],
+      bits: Int = 12): Column = {
+    require(cols.nonEmpty && cols.size == breaks.size,
+      "one breakpoint list per z-order column")
+    require(cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds a long's 63 usable bits")
+    val n = cols.size
+    val buckets = cols.zip(breaks).map { case (c, b) =>
+      bucketPiecewise(c, b, bits)
+    }
+    val terms = for {
+      j <- 0 until bits
+      (b, i) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Scala mirror of [[bucketPiecewise]] for specs. */
+  def bucketPiecewiseScala(v: Double, breaks: Seq[Double],
+      bits: Int): Long = {
+    val top = (1L << bits) - 1
+    val k = breaks.size - 1
+    val segW = (top + 1).toDouble / k
+    if (v <= breaks.head) 0L
+    else {
+      val i = (0 until k).find(i => v < breaks(i + 1)).getOrElse(-1)
+      if (i < 0) top
+      else {
+        val (lo, hi) = (breaks(i), breaks(i + 1))
+        val pos = if (hi > lo) i * segW + (v - lo) / (hi - lo) * segW
+                  else i * segW
+        math.max(0L, math.min(top, math.floor(pos).toLong))
+      }
+    }
+  }
+
+  /** Scala mirror of [[zOrderValueQuantile]] for specs. */
+  def zOrderValueQuantileScala(vals: Seq[Double], breaks: Seq[Seq[Double]],
+      bits: Int = 12): Long = {
+    val n = vals.size
+    val buckets = vals.zip(breaks).map { case (v, b) =>
+      bucketPiecewiseScala(v, b, bits)
+    }
+    (for { j <- 0 until bits; (b, i) <- buckets.zipWithIndex }
+      yield ((b >> j) & 1L) << (j * n + i)).foldLeft(0L)(_ | _)
+  }
+
   /** Scala mirror of [[zOrderValue]] for specs (codegen parity oracle). */
   def zOrderValueScala(vals: Seq[Double], ranges: Seq[(Double, Double)],
       bits: Int = 12): Long = {
@@ -79,13 +156,31 @@ object Layout {
     * schema). Content is preserved exactly; only file/row placement changes.
     */
   def zOrderWrite(df: DataFrame, zCols: Seq[String], path: String,
-      numFiles: Int, bits: Int = 12): Unit = {
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = zCols.indices
-      .map(i => (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1)))
-    val z = zOrderValue(zCols.map(col), ranges, bits)
+      numFiles: Int, bits: Int = 12, quantileKnots: Int = 0): Unit = {
+    val z =
+      if (quantileKnots > 0) {
+        // one bounded job: K+1 approx quantiles per column (ignores nulls)
+        val probs = (0 to quantileKnots)
+          .map(_.toDouble / quantileKnots).toArray
+        val qs = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+        if (qs.exists(_.isEmpty))
+          // empty input / all-null column: no quantiles to space — every
+          // row lands in bucket 0, write degenerates to a plain copy
+          lit(0L)
+        else zOrderValueQuantile(zCols.map(col), qs.map(_.toSeq), bits)
+      } else {
+        val aggs = zCols.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+        val ranges = zCols.indices.map { i =>
+          // all-null column / empty input leaves null aggregates: fall
+          // back to a degenerate (0, 0) range — single bucket, content
+          // still preserved — instead of an NPE
+          if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) (0.0, 0.0)
+          else (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+        }
+        zOrderValue(zCols.map(col), ranges, bits)
+      }
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }

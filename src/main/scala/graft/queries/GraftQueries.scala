@@ -679,8 +679,10 @@ object GraftQueries {
     * this predicate shape). Float total absorbs summation-order ulp drift
     * across layouts (the q29 rule). */
   def q50ZorderScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q50_zorder").toString
+    // app-id suffix: concurrent Verify/Bench/test runs on one machine must
+    // not race on a shared overwrite path
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q50_zorder_${spark.sparkContext.applicationId}").toString
     Layout.zOrderWrite(t(spark, dir, "orders"),
       Seq("o_custkey", "o_totalprice"), out, numFiles = 8)
     spark.read.parquet(out)

@@ -83,4 +83,92 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(zDir)).deleteRecursively()
     }
   }
+
+  test("zOrderValueQuantile codegen column matches the Scala mirror, " +
+      "including constant segments and out-of-range values") {
+    import spark.implicits._
+    // breakpoints with a duplicate-heavy (constant) middle segment
+    val breaks = Seq(Seq(0.0, 1.0, 5.0, 5.0, 100.0),
+      Seq(-10.0, 0.0, 10.0, 20.0, 30.0))
+    val pts = Seq((-5.0, -20.0), (0.0, -10.0), (0.5, 3.0), (1.0, 10.0),
+      (4.9, 15.0), (5.0, 19.9), (50.0, 25.0), (100.0, 30.0), (999.0, 99.0))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y",
+        Layout.zOrderValueQuantile(Seq($"x", $"y"), breaks, bits = 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      r.getLong(2) shouldBe Layout.zOrderValueQuantileScala(
+        Seq(r.getDouble(0), r.getDouble(1)), breaks, bits = 8)
+    }
+  }
+
+  test("quantile-spaced z-order balances file sizes on a Zipf-skewed " +
+      "column where linear min/max scaling collapses the head") {
+    import spark.implicits._
+    val linDir = java.nio.file.Files.createTempDirectory("graft_zlin").toString
+    val qDir = java.nio.file.Files.createTempDirectory("graft_zq").toString
+    try {
+      // Zipf-ish skew: value v appears ~ 8000/v times, v in [1, 4000];
+      // one extreme outlier stretches the linear range 250x
+      val rows = ((1 to 4000).flatMap(v =>
+        Seq.fill(math.max(1, 8000 / v))((v.toDouble, v.toLong))) :+
+        (1e6, -1L)).toDF("x", "payload")
+      val n = rows.count()
+      Layout.zOrderWrite(rows, Seq("x"), linDir, numFiles = 8, bits = 10)
+      Layout.zOrderWrite(rows, Seq("x"), qDir, numFiles = 8, bits = 10,
+        quantileKnots = 16)
+
+      // content preserved by the quantile layout too
+      val reRead = spark.read.parquet(qDir)
+      reRead.count() shouldBe n
+      reRead.except(rows).count() shouldBe 0
+      rows.except(reRead).count() shouldBe 0
+
+      def fileCounts(dir: String): Array[Long] =
+        spark.read.parquet(dir).groupBy(input_file_name()).count()
+          .collect().map(_.getLong(1))
+      val lin = fileCounts(linDir)
+      val q = fileCounts(qDir)
+      // linear scaling: the outlier compresses all real mass into bucket 0
+      // -> nearly everything lands in one file
+      lin.max.toDouble / n should be > 0.75
+      // quantile spacing: the biggest file carries a bounded share
+      q.length should be >= 6
+      q.max.toDouble / n should be < 0.4
+      // and the per-file min/max stats stay tight: a tail-range predicate
+      // overlaps only a minority of quantile-laid files
+      val spans = spark.read.parquet(qDir)
+        .groupBy(input_file_name()).agg(min($"x").as("mn"), max($"x").as("mx"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      val hit = spans.count { case (mn, mx) => mx >= 2000.0 && mn <= 3000.0 }
+      hit should be < spans.length / 2
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(linDir)).deleteRecursively()
+      new Directory(new java.io.File(qDir)).deleteRecursively()
+    }
+  }
+
+  test("zOrderWrite is total: all-null cluster column and empty input " +
+      "degrade to a plain copy instead of an NPE") {
+    import spark.implicits._
+    val d1 = java.nio.file.Files.createTempDirectory("graft_znull").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_zempty").toString
+    try {
+      val withNulls = Seq((None: Option[Double], 1L), (None, 2L), (None, 3L))
+        .toDF("x", "payload")
+      Layout.zOrderWrite(withNulls, Seq("x"), d1, numFiles = 4)
+      spark.read.parquet(d1).count() shouldBe 3
+      val empty = spark.emptyDataset[(Double, Long)].toDF("x", "payload")
+      Layout.zOrderWrite(empty, Seq("x"), d2, numFiles = 4)
+      spark.read.parquet(d2).count() shouldBe 0
+      Layout.zOrderWrite(empty, Seq("x"), d2, numFiles = 4,
+        quantileKnots = 8)
+      spark.read.parquet(d2).count() shouldBe 0
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(d1)).deleteRecursively()
+      new Directory(new java.io.File(d2)).deleteRecursively()
+    }
+  }
 }
