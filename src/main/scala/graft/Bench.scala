@@ -138,6 +138,13 @@ object Bench {
         force(SimilaritySearch.knnJoin(queries, scaled, "vec_id", "vec_id",
           "embedding", k = 10, viaAggregator = true))
       })
+      // IVF-routed batch retrieval: route each query to its 4 of 32 cells
+      // before scoring — the exact paths above score the full 32q x 200k
+      // grid, this one ~1/8 of it
+      val knnIvf = (1 to reps).map(_ => timed {
+        force(SimilaritySearch.knnJoinIvf(queries, indexedP, cents,
+          "vec_id", "vec_id", "embedding", k = 10, nProbe = 4))
+      })
       // PQ on the same 200k corpus: one-time train+encode (like the IVF
       // build row), then the ADC+exact-refine search per rep — the
       // compressed-scan path whose corpus side reads 16 B/row, not 256 B
@@ -154,15 +161,31 @@ object Bench {
         force(SimilaritySearch.pqSearch(encodedP, pqModel, "vec_id",
           qv, 10, refine = 16, exactSource = Some((scaled, "embedding"))))
       })
+      // IVFADC: cell-pruned ADC scan (probe nProbe of 32 cells, ADC only
+      // their codes, exact refine) — should beat the plain full-corpus ADC
+      // scan above by ~nCells/nProbe on the scan stage
+      val ivfpqEncoded = SimilaritySearch.pqEncode(indexedP, "embedding", pqModel)
+        .select(col("vec_id"), col("cell"), col("pq_code")).persist()
+      ivfpqEncoded.count()
+      val ivfpqT = (1 to reps).map(_ => timed {
+        force(SimilaritySearch.ivfPqSearch(ivfpqEncoded, cents, pqModel,
+          "vec_id", qv, 10, nProbe = 4, refine = 16,
+          exactSource = Some((scaled, "embedding"))))
+      })
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
+      ivfpqEncoded.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
         "x_ivf_build" -> build, "x_ivf_probe" -> probe.min,
         "x_knn_window_32q" -> knnWin.min, "x_knn_agg_32q" -> knnAgg.min,
-        "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min)
+        "x_knn_ivf_32q" -> knnIvf.min,
+        "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min,
+        "x_ivfpq_search" -> ivfpqT.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
         "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
         "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg),
-        "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT))
+        "x_knn_ivf_32q" -> med(knnIvf),
+        "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT),
+        "x_ivfpq_search" -> med(ivfpqT))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }

@@ -544,7 +544,15 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey BETWEEN 100 AND 600
            AND o_totalprice BETWEEN 50000 AND 100000
-         GROUP BY o_orderpriority""") ++
+         GROUP BY o_orderpriority""",
+    "q51_ivfpq_topk" -> // IVFADC at full probe + deep refine == exact
+      // top-k (candidate coverage spec-verified), so the oracle is the
+      // same exact-search SQL as q11/q24/q44
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==
@@ -552,7 +560,7 @@ object SparkEntry {
     // different sf the claim is probabilistic, so omit the oracle (driver
     // records a rows-only check) rather than alarm on an expected ANN miss.
     if (graft.queries.GoldenOracles.sfPinned(dir)) base
-    else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk")
+    else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk", "q51_ivfpq_topk")
   }
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

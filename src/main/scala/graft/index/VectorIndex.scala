@@ -165,6 +165,29 @@ final class VectorIndex private (
         :+ col("score"): _*)
   }
 
+  /** IVFADC top-k — IVF cell pruning composed with the PQ ADC scan
+    * ([[graft.ops.SimilaritySearch.ivfPqSearch]]; Jégou et al. 2011 §IV).
+    * Needs BOTH [[buildIvf]] and [[buildPq]]. Probes the `nProbe` nearest
+    * cells, ADC-scans only their M-byte codes, exact re-ranks the bounded
+    * candidate set — the 100 TB serving shape: scan working set
+    * ~(nProbe/nCells)·m bytes per row. Full probe + deep refine provably
+    * equals exact [[search]] (spec-verified). */
+  def searchIvfPq(queryVec: Array[Float], k: Int = 5, nProbe: Int = 4,
+      refine: Int = 16, columns: Seq[String] = Seq.empty): DataFrame = {
+    require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
+    val cents = ivfCents.getOrElse(
+      throw new IllegalStateException(s"index $name has no IVF layout; run buildIvf"))
+    val model = pqModel.getOrElse(
+      throw new IllegalStateException(s"index $name has no PQ layout; run buildPq"))
+    val cols = if (columns.isEmpty) defaultCols else columns
+    graft.ops.SimilaritySearch.ivfPqSearch(
+        state.select(col(primaryKey), col("cell"), col("pq_code")),
+        cents, model, primaryKey, queryVec, k, nProbe, refine,
+        exactSource = Some((state, vectorCol)))
+      .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col)
+        :+ col("score"): _*)
+  }
+
   /** Approximate top-k via LSH bucket probing. */
   def searchApprox(queryVec: Array[Float], k: Int = 5,
       columns: Seq[String] = Seq.empty): DataFrame = {

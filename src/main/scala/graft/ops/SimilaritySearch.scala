@@ -63,6 +63,61 @@ object SimilaritySearch {
     }
   }
 
+  /** IVF-routed multi-query kNN join — the nightly batch-retrieval shape
+    * of an LLM data pipeline (the exact [[knnJoin]] scores the FULL
+    * query × corpus grid; this one scores only the slice that can win).
+    *
+    * Routing: every query ranks the whole centroid matrix (nCells
+    * struct entries sorted by one codegen'd `array_sort` — centroids are
+    * broadcast literals, k·dim floats) and keeps its `nProbe` nearest
+    * cells; queries explode to (query_id, cell, qv) and equi-join the
+    * cell-assigned corpus on `cell`. The query side is the small side and
+    * broadcasts, so corpus scoring stays map-only, touching
+    * ~nProbe/nCells of the grid; a corpus row scores once per probing
+    * query (cells are distinct per query). Scored rows project to
+    * (query_id, pk, score) BEFORE the per-query rank, so the rank
+    * exchange ships ids + doubles, never vectors. Approximate with the
+    * standard IVF recall/cost trade; `nProbe >= nCells` provably equals
+    * exact [[knnJoin]] (spec-verified). Result: `(query_id, cPk, score,
+    * rank)` — re-attach corpus columns by pk afterwards.
+    *
+    * `viaAggregator` swaps the rank-over-window for
+    * [[TopKAggregator.knnAggregate]] (map-side partial top-k; integral
+    * pks required) — compose both cuts when corpus >> k·partitions. */
+  def knnJoinIvf(queries: DataFrame, indexed: DataFrame,
+      centroids: Array[Array[Float]], qPk: String, cPk: String,
+      vecCol: String, k: Int, nProbe: Int = 4,
+      viaAggregator: Boolean = false): DataFrame = {
+    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // per-query cell ranking: nCells (negScore, cell) structs, one sorted
+    // pass, keep nProbe — all inside whole-stage codegen
+    val centArr = array(centroids.indices.map(i =>
+      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
+        lit(i).as("cell"))): _*)
+    val probed = queries
+      .select(col(qPk).as("query_id"), col(vecCol).as("__qv"),
+        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
+          .as("__probes"))
+      .select($"query_id", $"__qv",
+        explode($"__probes.cell").as("cell"))
+    val scored = indexed.select(col(cPk), col("cell"), col(vecCol))
+      .join(broadcast(probed), Seq("cell"))
+      .select($"query_id", col(cPk),
+        cosineUnit(col(vecCol), $"__qv").as("score"))
+    if (viaAggregator) {
+      val tuples = scored.select($"query_id".cast("long"),
+        col(cPk).cast("long"), $"score".cast("double")).as[(Long, Long, Double)]
+      TopKAggregator.knnAggregate(tuples, k)
+        .toDF("query_id", cPk, "score", "rank")
+    } else {
+      val w = Window.partitionBy($"query_id").orderBy(desc("score"), col(cPk))
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k)
+    }
+  }
+
   /** Threshold similarity join (all pairs above `minScore`), query side
     * broadcast. */
   def thresholdJoin(queries: DataFrame, corpus: DataFrame, qPk: String,
@@ -365,6 +420,36 @@ object SimilaritySearch {
           .limit(k)
           .drop(vecCol)
     }
+  }
+
+  /** IVFADC — IVF cell pruning composed with the PQ ADC scan (Jégou et al.
+    * 2011 §IV, the Faiss IVFADC structure; the reference's managed Vector
+    * Search index, `NB:315-323`, is precisely such a composed ANN index).
+    * Three stages, each touching strictly less data than the last:
+    *   1. probe — rank the k·dim centroid matrix driver-side, keep the
+    *      `nProbe` cells nearest the query (no cluster work at all);
+    *   2. ADC — scan ONLY the probed cells' M-byte codes with the
+    *      broadcast query LUT (~nProbe/nCells of the corpus, 16 B/row at
+    *      m=16 instead of dim·4 B raw), `TakeOrderedAndProject` keeps
+    *      `k * refine` candidates;
+    *   3. refine — exact re-rank of the bounded candidate set via a
+    *      broadcast pk lookup against `exactSource` (reads k·refine raw
+    *      vectors, never the corpus).
+    * At 100 TB this is THE ANN serving shape: the scan working set is
+    * (nProbe/nCells)·m bytes per row and everything else is bounded.
+    * `nProbe >= nCells` with `refine` deep enough provably equals exact
+    * search (spec-verified; q51 oracles the composition against q11's
+    * plain SQL). `indexed` must carry `cell` AND `pq_code`. */
+  def ivfPqSearch(indexed: DataFrame, centroids: Array[Array[Float]],
+      model: PqModel, pk: String, query: Array[Float], k: Int,
+      nProbe: Int = 4, refine: Int = 8,
+      exactSource: Option[(DataFrame, String)] = None): DataFrame = {
+    val probeCells = centroids.indices
+      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+    pqSearch(
+      indexed.filter(col("cell").isin(probeCells: _*))
+        .select(col(pk), col("pq_code")),
+      model, pk, query, k, refine, exactSource)
   }
 
   /** IVF probe: score only rows in the `nProbe` cells closest to the query.

@@ -693,6 +693,28 @@ object GraftQueries {
         sum(col("o_totalprice")).cast("float").as("total"))
   }
 
+  /** IVFADC composed search ([[SimilaritySearch.ivfPqSearch]], Jégou §IV):
+    * IVF cell pruning feeding the PQ ADC scan, exact re-rank last — the
+    * true 100 TB ANN serving path, exercised end to end (distributed
+    * KMeans centroids, codegen cell assignment + PQ encode, cell-filtered
+    * ADC scan, broadcast refine). Full probe + deep refine provably equals
+    * exact top-k, so the whole composition hash-checks against q11's plain
+    * SQL (the q24/q44 pattern); the pruned-probe mode is benchmarked
+    * separately (`x_ivfpq_search` in Bench). */
+  def q51IvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(e, "vec_id",
+      "embedding", nCells = 8)
+    val model = SimilaritySearch.pqTrain(e, "embedding", m = 16, ksub = 32)
+    val encoded = SimilaritySearch.pqEncode(indexed, "embedding", model)
+      .select(col("vec_id"), col("cell"), col("pq_code"))
+    SimilaritySearch.ivfPqSearch(encoded, cents, model, "vec_id", qv,
+        k = 10, nProbe = 8, refine = 16, exactSource = Some((e, "embedding")))
+      .select(col("vec_id"), col("score"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,5 +771,6 @@ object GraftQueries {
     "q47_semdedup" -> (q47SemDedup _),
     "q48_approx_distinct" -> (q48ApproxDistinct _),
     "q49_cube" -> (q49Cube _),
-    "q50_zorder_scan" -> (q50ZorderScan _))
+    "q50_zorder_scan" -> (q50ZorderScan _),
+    "q51_ivfpq_topk" -> (q51IvfPqTopk _))
 }

@@ -155,6 +155,50 @@ class VectorIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
   }
 
+  test("IVFADC behind the index handle: full probe + deep refine == exact, " +
+      "pruned probe stays bounded, composition durable across save/load") {
+    val idx = VectorIndex.build(src, "spec-ivfpq", "vec_id", "embedding")
+      .buildIvf(nCells = 8)
+      .buildPq(m = 16, ksub = 32)
+    val all = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = all(3L)
+    val exact = idx.search(qv, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    // full probe + deep refine: the composed path EQUALS exact search,
+    // scores included (the refine stage re-scores on raw vectors)
+    idx.searchIvfPq(qv, k = 5, nProbe = 8, refine = 16).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq shouldBe exact
+    // pruned probe returns k rows; neither internal column projected
+    val pruned = idx.searchIvfPq(qv, k = 5, nProbe = 2, refine = 8)
+    pruned.count() shouldBe 5
+    (pruned.columns should not).contain("cell")
+    (pruned.columns should not).contain("pq_code")
+    // the probed cell surely holds the query's own vector: top hit exact
+    pruned.collect().head.getLong(0) shouldBe 3L
+    // an upsert gets BOTH layout columns assigned and is retrievable
+    // through the composed path (tie at 1.0, pk tie-break)
+    idx.upsert(src.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(999999L)))
+    idx.searchIvfPq(qv, k = 2, nProbe = 8, refine = 16).collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(3L, 999999L)
+    // durability: centroids + codebooks both persist, reload answers
+    // identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    idx.save(dir)
+    val re = VectorIndex.load(spark, dir, "spec-ivfpq-re", "vec_id", "embedding")
+    re.searchIvfPq(qv, k = 5, nProbe = 2, refine = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq shouldBe
+      idx.searchIvfPq(qv, k = 5, nProbe = 2, refine = 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    // missing either layout -> clear error, not a wrong answer
+    val bare = VectorIndex.build(src, "spec-ivfpq-bare", "vec_id", "embedding")
+    an[IllegalStateException] should be thrownBy
+      bare.searchIvfPq(qv, k = 5)
+    an[IllegalStateException] should be thrownBy
+      bare.buildIvf(nCells = 4).searchIvfPq(qv, k = 5)
+  }
+
   test("queryType=HYBRID on the index == HybridSearch.search (NB:386-387)") {
     val embedder = new graft.embed.DeterministicEmbedder(64)
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")

@@ -76,6 +76,87 @@ class SimilaritySearchSpec extends SparkSpec {
     part should contain(0L)
   }
 
+  test("knnJoinIvf: full probe == exact knnJoin; pruned probe recall " +
+      ">= 0.95@10; aggregator path identical; rank exchange vector-free") {
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(emb, "vec_id",
+      "embedding", nCells = 8)
+    val queries = emb.filter(col("vec_id") < 32)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), col("score"),
+        col("rank").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val exact = tuples(SimilaritySearch.knnJoin(queries, emb, "vec_id",
+      "vec_id", "embedding", k = 10))
+    // full probe: routing prunes nothing, result EQUALS the exact join
+    tuples(SimilaritySearch.knnJoinIvf(queries, indexed, cents, "vec_id",
+      "vec_id", "embedding", k = 10, nProbe = 8)) shouldBe exact
+    // pruned probe on the fixture: still a working join (k rows per query)
+    val pruned = SimilaritySearch.knnJoinIvf(queries, indexed, cents,
+      "vec_id", "vec_id", "embedding", k = 10, nProbe = 4)
+    tuples(pruned).groupBy(_._1).foreach { case (_, rows) =>
+      rows.size shouldBe 10
+    }
+    // aggregator path: identical tuples at the same probe set
+    tuples(SimilaritySearch.knnJoinIvf(queries, indexed, cents, "vec_id",
+      "vec_id", "embedding", k = 10, nProbe = 4,
+      viaAggregator = true)) shouldBe tuples(pruned)
+    // scale guard: the per-query rank window consumes (query_id, pk,
+    // score) only — its required distribution is what causes the one
+    // shuffle, so an array-free window input means vectors never ride
+    // the rank exchange
+    import org.apache.spark.sql.types.ArrayType
+    val windows = pruned.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows should not be empty
+    windows.foreach { w =>
+      withClue(s"rank window input carries arrays: ${w.child.output}") {
+        w.child.output.filter(_.dataType.isInstanceOf[ArrayType]) shouldBe empty
+      }
+    }
+  }
+
+  test("knnJoinIvf recall >= 0.95@10 at a SHALLOW probe on a clustered " +
+      "corpus (routing finds the right cells when structure exists)") {
+    // the parquet fixture's vectors are near-random — recall there just
+    // tracks the probed fraction, which tests nothing about routing. A
+    // clustered corpus is the case IVF exists for: 8 well-separated
+    // centers, points = center + small noise, so each query's true top-10
+    // live in its own cluster and nProbe=2 of 8 must recover them.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit(Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val corpus = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, unit(c.zip(Array.fill(64)(rnd.nextGaussian().toFloat * 0.15f))
+        .map { case (a, b) => a + b }).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(corpus, "vec_id",
+      "embedding", nCells = 8, maxIter = 10)
+    val queries = corpus.filter(col("vec_id") < 32)
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val exact = ids(SimilaritySearch.knnJoin(queries, corpus, "vec_id",
+      "vec_id", "embedding", k = 10))
+    val routed = ids(SimilaritySearch.knnJoinIvf(queries, indexed, cents,
+      "vec_id", "vec_id", "embedding", k = 10, nProbe = 2))
+    val recalls = exact.map { case (q, want) =>
+      (want intersect routed.getOrElse(q, Set.empty[Long])).size
+        .toDouble / want.size
+    }
+    (recalls.sum / recalls.size) should be >= 0.95
+  }
+
   test("IVF with distributed KMeans centroids: total assignment, full probe exact") {
     val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(emb, "vec_id",
       "embedding", nCells = 8, maxIter = 3)
