@@ -398,16 +398,105 @@ object Dedup {
   }
 
   /** Collapse duplicate pairs into groups and keep one representative per
-    * group: iterative min-label propagation (connected components) — each
-    * round every node adopts the smallest label among its neighbors, so
-    * convergence takes O(component diameter) rounds (NOT log — there is no
-    * pointer-doubling here). Duplicate clusters in practice have tiny
-    * diameters; the loop stops early on convergence and warns if `maxIter`
-    * was hit first (in which case some clusters keep >1 representative).
+    * group (the min-pk member of each connected component). Two algorithms
+    * behind one contract — identical survivors, different round counts:
+    *
+    *   - `"stars"` (default): alternating large-star/small-star (Kiveris
+    *     et al. 2014, "Connected Components in MapReduce and Beyond") —
+    *     O(log² n) rounds on ANY graph shape, each round two ids-only
+    *     min-aggregations + joins with map-side combine and no
+    *     `collect_list` (a hub node's degree never materializes in one
+    *     task). The 100 TB path: a pathological chain corpus (every doc
+    *     near-dup of the next) converges in ~log rounds where min-label
+    *     propagation needs O(N);
+    *   - `"minlabel"`: one-hop min-label propagation — O(component
+    *     diameter) rounds, slightly cheaper per round; fine when duplicate
+    *     clusters are known to be tiny cliques (the common near-dup case).
+    *
+    * The loop stops early on convergence and warns if `maxIter` was hit
+    * first (in which case some clusters keep >1 representative).
     * Returns `df` minus non-representative rows. */
   def dropDuplicates(df: DataFrame, pk: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val spark = df.sparkSession
+      maxIter: Int = 20, algorithm: String = "stars"): DataFrame = {
+    val victims = algorithm match {
+      case "stars" => ccAlternatingStars(pairs, maxIter)._1
+      case "minlabel" => ccMinLabel(pairs, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"algorithm must be stars or minlabel, got $other")
+    }
+    df.join(victims, df(pk) === victims("id"), "left_anti")
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al. 2014). Edge state is canonical parent pointers `(u, v), v < u`;
+    * each round:
+    *   - large-star: every node hangs its LARGER neighbors off the
+    *     smallest node it can see (`m = min(u, min N(u))`) — doubles the
+    *     reach of small labels along chains;
+    *   - small-star: every node re-points its smaller-or-equal neighbors
+    *     (and itself) at that minimum — flattens local trees into stars.
+    * Both steps are min-aggregations + equi-joins on bare ids (map-side
+    * partial min, no per-node adjacency list is ever collected, so a
+    * 100M-degree hub costs the same as any other key). Convergence: the
+    * canonical edge set is a fixpoint — at that point every edge is
+    * `(member, component-min)`.
+    *
+    * Returns (victims = non-representative node ids (one column `id`),
+    * rounds taken). Spec-verified: a 1k-node chain converges in ≤ ~log N
+    * rounds with survivors identical to min-label propagation. */
+  private[ops] def ccAlternatingStars(pairs: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical (u, v): u = larger endpoint, v = smaller; self-pairs out
+    var cur = pairs
+      .select(greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .localCheckpoint(true)
+    var i = 0
+    var converged = cur.isEmpty
+    while (i < maxIter && !converged) {
+      // large-star: bidirectional neighborhoods, m(x) = min(x, min N(x));
+      // every neighbor y > x re-hangs at (y, m(x))
+      val bidir = cur.select($"u".as("x"), $"v".as("y"))
+        .union(cur.select($"v".as("x"), $"u".as("y")))
+      val mins = bidir.groupBy($"x")
+        .agg(min($"y").as("mn"))
+        .select($"x", least($"x", $"mn").as("m"))
+      val ls = bidir.join(mins, "x")
+        .filter($"y" > $"x")
+        .select($"y".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star: key every edge on its larger endpoint (already
+      // canonical), m(u) = min of u's smaller neighbors; re-point them
+      // and u itself at m
+      val sMins = ls.groupBy($"u").agg(min($"v").as("m"))
+      val ss = ls.join(sMins, "u")
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(sMins.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+        .localCheckpoint(true) // cut lineage: each round otherwise nests
+        // the previous round's joins and blows the driver long before the
+        // data does
+      // fixpoint test on the canonical edge set (two ids-only anti-joins)
+      converged = ss.except(cur).isEmpty && cur.except(ss).isEmpty
+      cur = ss
+      i += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dropDuplicates: alternating stars hit maxIter=$maxIter before " +
+          "convergence; some duplicate clusters may keep extra representatives")
+    // at the fixpoint every edge is (member, component-min): the u side IS
+    // the victim set (distinct already)
+    (cur.select($"u".as("id")), i)
+  }
+
+  /** One-hop min-label propagation — the O(diameter) small-N path of
+    * [[dropDuplicates]]. Returns victims (non-representative ids). */
+  private[ops] def ccMinLabel(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select($"id_a", $"id_b")
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
@@ -439,7 +528,6 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dropDuplicates: label propagation hit maxIter=$maxIter before " +
           "convergence; some duplicate clusters may keep extra representatives")
-    val victims = labels.filter(col("id") =!= col("label")).select(col("id"))
-    df.join(victims, df(pk) === victims("id"), "left_anti")
+    labels.filter(col("id") =!= col("label")).select(col("id"))
   }
 }

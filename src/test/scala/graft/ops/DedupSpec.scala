@@ -227,13 +227,70 @@ class DedupSpec extends SparkSpec {
     semLo.foreach { case (k, s) => s shouldBe exactLo(k) }
   }
 
-  test("dropDuplicates: connected components keep min-pk representative") {
+  test("dropDuplicates: connected components keep min-pk representative " +
+      "(both algorithms)") {
     import spark.implicits._
     val df = (1L to 8L).map(i => (i, s"row$i")).toDF("id", "v")
     // components {1,2,3} (chain), {5,7}; 4,6,8 singletons
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    Seq("stars", "minlabel").foreach { alg =>
+      val out = Dedup.dropDuplicates(df, "id", pairs, algorithm = alg)
+        .select("id").collect().map(_.getLong(0)).toSet
+      withClue(alg) { out shouldBe Set(1L, 4L, 5L, 6L, 8L) }
+    }
+  }
+
+  test("alternating stars converges in ~log N rounds on a 1k-node chain " +
+      "(min-label would need N rounds) with identical survivors") {
+    import spark.implicits._
+    val n = 1024
+    // pathological corpus: every doc a near-dup of the next — one long
+    // chain, the diameter-N worst case for label propagation. Ids
+    // shuffled so the component min is not adjacent to everything.
+    val rnd = new scala.util.Random(13)
+    val ids = rnd.shuffle((0L until n.toLong).toVector)
+    val pairs = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
+      .toDF("id_a", "id_b")
+    val (victims, rounds) = Dedup.ccAlternatingStars(pairs, maxIter = 20)
+    // everything but the global min id collapses
+    victims.count() shouldBe (n - 1)
+    victims.collect().map(_.getLong(0)).toSet shouldBe
+      (0L until n.toLong).toSet - 0L
+    // the point of the algorithm: round count is logarithmic, not O(N)
+    rounds should be <= 12
+    // cross-check survivors against the min-label path given enough
+    // rounds on a small chain (min-label needs diameter rounds: 40 here)
+    val smallIds = rnd.shuffle((100L until 140L).toVector)
+    val smallPairs = (0 until 39).map(i => (smallIds(i), smallIds(i + 1)))
+      .toDF("id_a", "id_b")
+    val df = (100L until 140L).map(i => (i, s"d$i")).toDF("id", "v")
+    val viaStars = Dedup.dropDuplicates(df, "id", smallPairs,
+        maxIter = 50, algorithm = "stars")
+      .collect().map(_.getLong(0)).toSet
+    val viaLabels = Dedup.dropDuplicates(df, "id", smallPairs,
+        maxIter = 50, algorithm = "minlabel")
+      .collect().map(_.getLong(0)).toSet
+    viaStars shouldBe viaLabels
+    viaStars shouldBe Set(100L)
+  }
+
+  test("alternating stars handles forests, cliques, self-pairs and empty " +
+      "pair sets") {
+    import spark.implicits._
+    val df = (0L to 20L).map(i => (i, i)).toDF("id", "v")
+    // two components: a 5-clique {2,4,6,8,10} and a star on {11..15};
+    // a self-pair (12,12) must be ignored
+    val clique = for {
+      a <- Seq(2L, 4L, 6L, 8L, 10L); b <- Seq(2L, 4L, 6L, 8L, 10L)
+      if a < b
+    } yield (a, b)
+    val star = Seq(15L, 14L, 13L, 12L).map(x => (11L, x))
+    val pairs = (clique ++ star :+ ((12L, 12L))).toDF("id_a", "id_b")
     val out = Dedup.dropDuplicates(df, "id", pairs)
-      .select("id").collect().map(_.getLong(0)).toSet
-    out shouldBe Set(1L, 4L, 5L, 6L, 8L)
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe ((0L to 20L).toSet -- Set(4L, 6L, 8L, 10L, 12L, 13L, 14L, 15L))
+    // empty pair set: nothing dropped, no crash
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.dropDuplicates(df, "id", none).count() shouldBe 21
   }
 }
