@@ -51,6 +51,7 @@ object SimilaritySearch {
     val scored = corpus.crossJoin(broadcast(q))
       .withColumn("score", cosineUnit(col(vecCol), $"__qv"))
     if (viaAggregator) {
+      requireIntegralPks(queries, qPk, corpus, cPk)
       val tuples = scored.select($"query_id".cast("long"),
         col(cPk).cast("long"), $"score".cast("double")).as[(Long, Long, Double)]
       TopKAggregator.knnAggregate(tuples, k)
@@ -107,6 +108,7 @@ object SimilaritySearch {
       .select($"query_id", col(cPk),
         cosineUnit(col(vecCol), $"__qv").as("score"))
     if (viaAggregator) {
+      requireIntegralPks(queries, qPk, indexed, cPk)
       val tuples = scored.select($"query_id".cast("long"),
         col(cPk).cast("long"), $"score".cast("double")).as[(Long, Long, Double)]
       TopKAggregator.knnAggregate(tuples, k)
@@ -116,6 +118,24 @@ object SimilaritySearch {
       scored.withColumn("rank", row_number().over(w))
         .filter($"rank" <= k)
     }
+  }
+
+  /** The aggregator rank path carries pks as longs; a string/uuid pk would
+    * cast to null and silently collapse every corpus row onto one key —
+    * fail loudly instead of returning wrong results. */
+  private def requireIntegralPks(queries: DataFrame, qPk: String,
+      corpus: DataFrame, cPk: String): Unit = {
+    import org.apache.spark.sql.types._
+    def integral(df: DataFrame, c: String): Boolean =
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    require(integral(queries, qPk) && integral(corpus, cPk),
+      s"viaAggregator requires integral pk columns (they ride the shuffle " +
+        s"as longs); got $qPk: ${queries.schema(qPk).dataType.simpleString}, " +
+        s"$cPk: ${corpus.schema(cPk).dataType.simpleString} — use the " +
+        s"window path (viaAggregator = false) for non-integral pks")
   }
 
   /** Threshold similarity join (all pairs above `minScore`), query side

@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: ordering is (time, side, payload), so right rows at the
   * exact left timestamp ARE visible (inclusive <=, matching SQL ASOF JOIN
-  * semantics) and ties between identical-time right rows resolve by payload
-  * order rather than partition layout.
+  * semantics) and ties between identical-time right rows resolve by
+  * payload order rather than partition layout — the MAXIMUM payload
+  * struct wins (SQL ASOF JOIN leaves this row unspecified; we pin a
+  * total order so reruns and oracle comparisons are stable). This
+  * payload tie-break requires every `rightPayload` column to be
+  * orderable; a non-orderable payload (e.g. a map column) falls back to
+  * (time, side) ordering, where a duplicate-(key, time) tie is broken by
+  * partition layout instead — deterministic per layout, not per logical
+  * content. Dedupe the right side per (key, time) first if that matters.
   */
 object TemporalJoin {
 
@@ -58,8 +65,15 @@ object TemporalJoin {
       lit(1).as("__side"), lit(null).cast(refType).as("__ref"),
       leftStruct.as("__row"))
 
+    // payload tie-break only when the struct is orderable — a map-typed
+    // payload would otherwise fail analysis on the orderBy
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(refType)
+    val ordering =
+      if (orderable) Seq(col("__t"), col("__side"), col("__ref"))
+      else Seq(col("__t"), col("__side"))
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__ref"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedRight.unionByName(taggedLeft)

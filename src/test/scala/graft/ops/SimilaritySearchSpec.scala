@@ -48,6 +48,19 @@ class SimilaritySearchSpec extends SparkSpec {
     tuples(viaAgg = true) shouldBe tuples(viaAgg = false)
   }
 
+  test("knnJoin viaAggregator rejects non-integral pks loudly (a string " +
+      "pk would cast to null and collapse all corpus rows onto one key)") {
+    val qs = emb.filter(col("vec_id") < 2)
+      .withColumn("sid", concat(lit("doc-"), col("vec_id")))
+    val corpusStr = emb.withColumn("sid", concat(lit("doc-"), col("vec_id")))
+    an[IllegalArgumentException] should be thrownBy
+      SimilaritySearch.knnJoin(qs, corpusStr, "sid", "sid", "embedding",
+        k = 3, viaAggregator = true)
+    // the window path handles any pk type
+    SimilaritySearch.knnJoin(qs, corpusStr, "sid", "sid", "embedding",
+      k = 3).count() shouldBe 6
+  }
+
   test("thresholdJoin returns exactly the pairs above minScore") {
     val queries = emb.filter(col("vec_id") === 2)
     val want = all.toSeq

@@ -64,6 +64,33 @@ class TemporalJoinSpec extends SparkSpec {
     row.getAs[String]("matched_payload") shouldBe "at"
   }
 
+  test("asOf ties between identical-(key,time) right rows pick the max " +
+      "payload, invariant under partitioning") {
+    import spark.implicits._
+    val lf = Seq((1L, 5L, 100L)).toDF("lid", "k", "lt")
+    val rf = Seq((5L, 90L, "zz_alpha"), (5L, 90L, "aa_beta"), (5L, 80L, "old"))
+      .toDF("k", "rt", "payload")
+    (1 to 8 by 7).foreach { parts =>
+      val row = TemporalJoin.asOf(lf, rf.repartition(parts), "k", "lt", "rt",
+        Seq("payload")).collect().head
+      // (rt=90, payload="zz_alpha") > (rt=90, payload="aa_beta") in struct
+      // order -> the max wins regardless of layout
+      row.getAs[String]("matched_payload") shouldBe "zz_alpha"
+    }
+  }
+
+  test("asOf accepts a non-orderable (map) payload via the documented " +
+      "(time, side)-only fallback ordering") {
+    import spark.implicits._
+    val lf = Seq((1L, 5L, 100L)).toDF("lid", "k", "lt")
+    val rf = Seq((5L, 90L, Map("a" -> 1)), (5L, 80L, Map("b" -> 2)))
+      .toDF("k", "rt", "payload")
+    val row = TemporalJoin.asOf(lf, rf, "k", "lt", "rt", Seq("payload"))
+      .collect().head
+    row.getAs[Long]("matched_rt") shouldBe 90L
+    row.getAs[Map[String, Int]]("matched_payload") shouldBe Map("a" -> 1)
+  }
+
   test("asOf result is invariant under input partitioning") {
     import spark.implicits._
     val (l, r) = seeded(23)
