@@ -242,6 +242,36 @@ object Bench {
     }
   }
 
+  /** The reference's end-to-end ingest pipeline at scale: binary scan ->
+    * dense ids -> mapPartitions decode+embed (the path the reference's
+    * driver-side loop could not scale, `NB:235`) -> index build -> search.
+    * Fixture images replicated 1000x in-flight (~12k real PNG/JPG decodes
+    * across 32 partitions, distinct paths so the dense-id range shuffle
+    * sees real key spread). One timing — the chain is build-dominated. */
+  private def ingestEmbedIndexBench(spark: SparkSession)
+      : Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    try {
+      val embedder = new graft.embed.DeterministicEmbedder(64)
+      val imgDir = graft.multimodal.ImageFixtures.ensure()
+      val t = timed {
+        val scanned = graft.ingest.BinaryIngest
+          .scan(spark, imgDir, "*.{png,jpg}")
+          .crossJoin(spark.range(1000).select(col("id").as("rep")))
+          .withColumn("path", concat(col("path"), lit("#"), col("rep")))
+          .drop("rep")
+        val ided = graft.ingest.BinaryIngest.withDenseIds(scanned)
+        val embedded = graft.ingest.BinaryIngest
+          .embedImages(ided, embedder, version = 1L)
+        val idx = graft.index.VectorIndex.build(embedded,
+          "bench_ingest_embed", "image_id", "embedding",
+          projected = Seq("filepath"))
+        force(idx.search(embedder.forQuery("columnar table of orders"), 10))
+      }
+      Seq("x_ingest_embed_index" -> t)
+    } catch { case _: Throwable => Seq("x_ingest_embed_index" -> -1.0) }
+  }
+
   private def jsonMap(kvs: Seq[(String, Double)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -283,14 +313,18 @@ object Bench {
     val (vecMin, vecMed) =
       if (only.isEmpty) scaledVectorBench(spark, sfDir, reps)
       else (Seq.empty, Seq.empty)
+    val ingestBench =
+      if (only.isEmpty) ingestEmbedIndexBench(spark) else Seq.empty
     val dedupScaled =
       if (only.isEmpty) scaledDedupBench(spark, sfDir) else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++ vecMin ++ dedupScaled
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
+      vecMin ++ ingestBench ++ dedupScaled
     val meds = runs.map { case (n, ts) =>
-      n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++ vecMed ++ dedupScaled
+      n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
+      vecMed ++ ingestBench ++ dedupScaled
     val sent = Seq(
       "cpu_before_min" -> sentBefore("cpu").min,
       "cpu_after_min" -> sentAfter("cpu").min,

@@ -48,7 +48,10 @@ object GoldenOracles {
     dir.replaceAll("/+$", "").endsWith("sf0.01")
 
   def forDir(dir: String): Map[String, String] = {
-    val always = Map("q33_image_pipeline" -> q33)
+    // q52 runs the same corpus/query/scoring through the index handle, so
+    // it shares q33's fixture-derived oracle bit for bit
+    val always = Map("q33_image_pipeline" -> q33,
+      "q52_index_pipeline" -> q33)
     if (sfPinned(dir))
       always ++ Map(
         "q20_minhash_pairs" -> q20For(dir),

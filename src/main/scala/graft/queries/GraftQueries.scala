@@ -715,6 +715,26 @@ object GraftQueries {
       .select(col("vec_id"), col("score"))
   }
 
+  /** The full reference pipeline THROUGH the index handle: binary scan ->
+    * dense ids -> mapPartitions embed -> `VectorIndex.build` (the
+    * `_and_wait` analog) -> text-query `search` (`NB:160-163, 224-272,
+    * 315-326, 380-390` as ONE query). Same corpus, query text and scoring
+    * math as q33's direct topK, so the result is bit-identical and shares
+    * q33's golden oracle — proving the index layer (state projection,
+    * registration, eager materialization) is content-neutral. The scaled
+    * variant of this chain is benchmarked as `x_ingest_embed_index`. */
+  def q52IndexPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val embedder = new DeterministicEmbedder(32)
+    val imgDir = graft.multimodal.ImageFixtures.ensure()
+    val binary = BinaryIngest.withDenseIds(
+      BinaryIngest.scan(spark, imgDir, "*.{png,jpg}"))
+    val embedded = BinaryIngest.embedImages(binary, embedder, version = 1L)
+    val idx = graft.index.VectorIndex.build(embedded, "q52_idx", "image_id",
+      "embedding", projected = Seq("filepath"))
+    idx.search(embedder.forQuery("columnar table of orders"), k = 5)
+      .select(col("image_id"), col("filepath"), col("score"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -772,5 +792,6 @@ object GraftQueries {
     "q48_approx_distinct" -> (q48ApproxDistinct _),
     "q49_cube" -> (q49Cube _),
     "q50_zorder_scan" -> (q50ZorderScan _),
-    "q51_ivfpq_topk" -> (q51IvfPqTopk _))
+    "q51_ivfpq_topk" -> (q51IvfPqTopk _),
+    "q52_index_pipeline" -> (q52IndexPipeline _))
 }
