@@ -171,7 +171,11 @@ final class VectorIndex private (
     * cells, ADC-scans only their M-byte codes, exact re-ranks the bounded
     * candidate set — the 100 TB serving shape: scan working set
     * ~(nProbe/nCells)·m bytes per row. Full probe + deep refine provably
-    * equals exact [[search]] (spec-verified). */
+    * equals exact [[search]] (spec-verified). The compressed-scan payoff
+    * needs a columnar state source: serve from a [[save]]d+[[VectorIndex.load]]ed
+    * index (parquet-backed cache prunes the vector column out of the ADC
+    * scan — PlanShapeSpec-guarded); an in-session build keeps state on a
+    * row-based localCheckpoint RDD, which always deserializes whole rows. */
   def searchIvfPq(queryVec: Array[Float], k: Int = 5, nProbe: Int = 4,
       refine: Int = 16, columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")

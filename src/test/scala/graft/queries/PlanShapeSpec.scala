@@ -97,6 +97,54 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("IVFADC via the index handle: the ADC candidate stage reads codes, " +
+      "never raw vectors; the exact refine is a broadcast pk lookup") {
+    // q51 fuses build+search into ONE plan, so ITS scan legitimately reads
+    // embeddings (it is computing cell + pq_code right there). The 100 TB
+    // working-set claim — the ADC scan touches M bytes/row of codes, not
+    // dim*4 raw floats — belongs to the serving path, where the index
+    // state (pk, cell, pq_code) is materialized: assert it there.
+    // the durable serving shape: built once, saved, served from the
+    // reloaded state (a columnar source that supports pruning — the
+    // in-session build keeps state on a row-based localCheckpoint RDD,
+    // where per-column pruning does not exist by construction)
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivfpq").toString
+    graft.index.VectorIndex
+      .build(emb, "plan-ivfpq", "vec_id", "embedding")
+      .buildIvf(nCells = 4).buildPq(m = 16, ksub = 16)
+      .save(dir)
+    val idx = graft.index.VectorIndex.load(spark, dir, "plan-ivfpq-re",
+      "vec_id", "embedding")
+    val qv = emb.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0).toArray
+    val plan = idx.searchIvfPq(qv, k = 5, nProbe = 2, refine = 4)
+      .queryExecution.sparkPlan
+    // stage 2 (ADC): TakeOrderedAndProject over adc_score whose entire
+    // subtree projects (pk, cell, pq_code) from the materialized state —
+    // no array-typed attribute anywhere below it
+    val adcTop = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+          if t.sortOrder.exists(_.child.references.exists(_.name == "adc_score")) => t
+    }
+    adcTop should have size 1
+    val adcArrays = adcTop.head.collect {
+      case n => n.output.filter(_.dataType.isInstanceOf[ArrayType])
+    }.flatten
+    withClue(s"ADC subtree carries arrays: $adcArrays") {
+      adcArrays shouldBe empty
+    }
+    // stage 3 (refine): the bounded candidate set joins back as the BUILD
+    // side of a broadcast join on the pk — never a shuffled join of the
+    // corpus
+    val refineJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys)
+            .flatMap(_.references.map(_.name)).contains("vec_id") => j
+    }
+    refineJoins should not be empty
+  }
+
   test("q36: as-of join is join-free — one key shuffle, no range explosion") {
     val p = plan("q36_asof_join")
     // the merge formulation has NO join operator at all (union + window);
