@@ -552,7 +552,15 @@ object SparkEntry {
          list_dot_product(CAST(a.embedding AS DOUBLE[]),
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
-         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
+    // q53 joins bucketed REWRITES of orders/customer; bucketing is
+    // content-preserving, so the oracle is the same join + aggregate over
+    // the original tables (float total absorbs summation-order drift)
+    "q53_bucket_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(o_totalprice) AS FLOAT) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -184,4 +184,30 @@ object Layout {
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Bucketed managed table: hash-partition rows into `nBuckets` files on
+    * `bucketCols` and record the bucket spec in the catalog, so every later
+    * equi-join or aggregation on those keys is CO-LOCATED — Catalyst sees
+    * both sides pre-hashed into the same bucket space and plans a
+    * sort-merge join with NO shuffle exchange on either side
+    * (spec-asserted). At 100 TB this converts every fact-to-fact join on
+    * the bucket keys from the single most expensive exchange in the plan
+    * into a map-side zip of matching buckets — the standard warehouse
+    * layout for repeatedly-joined tables (Hive/Spark bucketing; Delta's
+    * liquid clustering plays the same role). Sorting within buckets keeps
+    * the merge side streaming instead of hash-building.
+    *
+    * One hash shuffle at WRITE time is the entire cost; it is repaid on
+    * every subsequent join. Use z-order ([[zOrderWrite]]) for range-scan
+    * pruning, bucketing for join locality — they solve different halves of
+    * the layout problem. */
+  def bucketWrite(df: DataFrame, bucketCols: Seq[String], nBuckets: Int,
+      table: String): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

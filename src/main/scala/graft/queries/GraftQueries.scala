@@ -735,6 +735,30 @@ object GraftQueries {
       .select(col("image_id"), col("filepath"), col("score"))
   }
 
+  /** Bucketed-layout co-located join ([[Layout.bucketWrite]]): orders and
+    * customer rewritten as managed tables bucketed on the customer key,
+    * then equi-joined + aggregated over the bucketed copies. Bucketing is
+    * content-preserving, so the oracle is the same join over the original
+    * parquet — a green row proves the bucketed write/read path loses
+    * nothing, while LayoutSpec separately proves the join plans with NO
+    * shuffle exchange on either side (the point of the layout at 100 TB:
+    * the write-time hash shuffle is repaid on every later join). App-id
+    * suffix for the same reason as q50 (concurrent runs must not race on
+    * shared catalog tables). */
+  def q53BucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sfx = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val (ot, ct) = (s"graft_q53_orders_$sfx", s"graft_q53_customer_$sfx")
+    Layout.bucketWrite(t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice")), Seq("o_custkey"), 8, ot)
+    Layout.bucketWrite(t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")), Seq("c_custkey"), 8, ct)
+    spark.table(ot)
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")).cast("float").as("total"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -793,5 +817,6 @@ object GraftQueries {
     "q49_cube" -> (q49Cube _),
     "q50_zorder_scan" -> (q50ZorderScan _),
     "q51_ivfpq_topk" -> (q51IvfPqTopk _),
-    "q52_index_pipeline" -> (q52IndexPipeline _))
+    "q52_index_pipeline" -> (q52IndexPipeline _),
+    "q53_bucket_join" -> (q53BucketJoin _))
 }
