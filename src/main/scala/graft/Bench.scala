@@ -172,6 +172,14 @@ object Bench {
           "vec_id", qv, 10, nProbe = 4, refine = 16,
           exactSource = Some((scaled, "embedding"))))
       })
+      // batch IVFADC: the 32-query retrieval routed through cells AND
+      // scored on codes in one codegen pass (vs the exact knn rows above
+      // that score the full 32q x 200k grid on raw vectors)
+      val knnIvfPq = (1 to reps).map(_ => timed {
+        force(SimilaritySearch.knnJoinIvfPq(queries, ivfpqEncoded, cents,
+          pqModel, "vec_id", "vec_id", "embedding", k = 10, nProbe = 4,
+          refine = 16, exactSource = Some((scaled, "embedding"))))
+      })
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
       ivfpqEncoded.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
@@ -179,13 +187,13 @@ object Bench {
         "x_knn_window_32q" -> knnWin.min, "x_knn_agg_32q" -> knnAgg.min,
         "x_knn_ivf_32q" -> knnIvf.min,
         "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min,
-        "x_ivfpq_search" -> ivfpqT.min)
+        "x_ivfpq_search" -> ivfpqT.min, "x_knn_ivfpq_32q" -> knnIvfPq.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
         "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
         "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg),
         "x_knn_ivf_32q" -> med(knnIvf),
         "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT),
-        "x_ivfpq_search" -> med(ivfpqT))
+        "x_ivfpq_search" -> med(ivfpqT), "x_knn_ivfpq_32q" -> med(knnIvfPq))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }

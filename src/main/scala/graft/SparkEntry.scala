@@ -560,7 +560,19 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(o_totalprice) AS FLOAT) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment""") ++
+         GROUP BY c_mktsegment""",
+    "q54_batch_ivfpq" -> // batch IVFADC at full probe + deep refine ==
+      // exact multi-query knn (q12b's SQL; coverage spec-verified)
+      """SELECT query_id, vec_id, score, rnk FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id < 5) WHERE rnk <= 3""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==
@@ -568,7 +580,8 @@ object SparkEntry {
     // different sf the claim is probabilistic, so omit the oracle (driver
     // records a rows-only check) rather than alarm on an expected ANN miss.
     if (graft.queries.GoldenOracles.sfPinned(dir)) base
-    else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk", "q51_ivfpq_topk")
+    else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk",
+      "q51_ivfpq_topk", "q54_batch_ivfpq")
   }
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

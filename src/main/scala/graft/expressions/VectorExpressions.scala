@@ -373,6 +373,52 @@ object PqAdcDot {
   }
 }
 
+/** Batch-ADC scoring: like [[PqAdcDot]] but the query is selected PER ROW
+  * by a dense index column into a table of per-query LUTs (one broadcast
+  * reference object holding all Q luts — Q · m · ksub doubles). This is
+  * what lets a multi-query batch retrieval score (query, code) pairs
+  * inside ONE whole-stage-codegen'd join pass instead of Q scans. */
+case class PqAdcDotMulti(left: Expression, right: Expression,
+    luts: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_adc_dot_multi needs (binary pq code, int query index) inputs, " +
+            s"got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(codes: Any, qi: Any): Any =
+    PqAdcDotMulti.score(codes.asInstanceOf[Array[Byte]],
+      qi.asInstanceOf[Int], luts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val l = ctx.addReferenceObj("luts", luts, "double[][][]")
+      s"${ev.value} = graft.expressions.PqAdcDotMulti.score($a, $b, $l);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDotMulti =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcDotMulti {
+  def score(codes: Array[Byte], qi: Int,
+      luts: Array[Array[Array[Double]]]): Double = {
+    if (qi < 0 || qi >= luts.length)
+      throw new IllegalArgumentException(
+        s"pq_adc_dot_multi: query index $qi outside [0, ${luts.length})")
+    PqAdcDot.score(codes, luts(qi))
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -390,4 +436,8 @@ object VectorExpressions {
 
   def pqAdcDot(codes: Column, lut: Array[Array[Double]]): Column =
     column(PqAdcDot(expression(codes), lut))
+
+  def pqAdcDotMulti(codes: Column, queryIdx: Column,
+      luts: Array[Array[Array[Double]]]): Column =
+    column(PqAdcDotMulti(expression(codes), expression(queryIdx), luts))
 }

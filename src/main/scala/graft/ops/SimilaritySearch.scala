@@ -138,6 +138,80 @@ object SimilaritySearch {
         s"window path (viaAggregator = false) for non-integral pks")
   }
 
+  /** Batch IVFADC — the multi-query composition of [[knnJoinIvf]] routing
+    * with the [[ivfPqSearch]] compressed scan: the full nightly-retrieval
+    * shape at 100 TB (Q queries against a corpus whose scan side is M-byte
+    * codes, touching only each query's nProbe cells).
+    *
+    * Driver prep is bounded by the BATCH, not the corpus: collect the Q
+    * query vectors (Q · dim floats — batch serving's standing assumption),
+    * compute Q LUTs (Q · m · ksub doubles) and each query's nProbe cells
+    * against the k·dim centroid matrix, ship all of it as ONE broadcast
+    * reference object. Scoring is then a single codegen'd pass over the
+    * cell-equi-join of the code table with the (query, cell) routing
+    * relation — [[graft.expressions.PqAdcDotMulti]] picks each row's LUT
+    * by dense query index, so vectors appear nowhere in the scan or the
+    * rank exchange. The exact re-rank re-scores each query's `k * refine`
+    * ADC candidates: corpus vectors for the bounded candidate pk set are
+    * fetched via broadcast semi-join, query vectors re-attach by dense
+    * index from the same broadcast table ([[graft.functions.VectorFunctions.vecLit]]
+    * of the collected batch), ranked per query. With `nProbe >= nCells`
+    * and `refine` deep enough this equals exact [[knnJoin]]
+    * (spec-verified). Result: `(query_id, cPk, score, rank)`; integral
+    * pks required (they ride exchanges as longs). */
+  def knnJoinIvfPq(queries: DataFrame, indexed: DataFrame,
+      centroids: Array[Array[Float]], model: PqModel, qPk: String,
+      cPk: String, vecCol: String, k: Int, nProbe: Int = 4,
+      refine: Int = 8,
+      exactSource: Option[(DataFrame, String)] = None): DataFrame = {
+    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    requireIntegralPks(queries, qPk, indexed, cPk)
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // bounded driver prep: the query BATCH (ids, vectors -> luts, probes)
+    val qRows = queries.select(col(qPk).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(qRows.nonEmpty, "knnJoinIvfPq: empty query batch")
+    val luts = qRows.map { case (_, v) => model.lut(v) }
+    val routing = qRows.zipWithIndex.flatMap { case ((qid, v), qi) =>
+      centroids.indices.sortBy(i => -dot(v, centroids(i)))
+        .take(math.min(nProbe, centroids.length))
+        .map(cell => (qid, qi, cell))
+    }.toSeq.toDF("query_id", "__qi", "cell")
+    val scored = indexed.select(col(cPk), col("cell"), col("pq_code"))
+      .join(broadcast(routing), Seq("cell"))
+      .select($"query_id", $"__qi", col(cPk),
+        graft.expressions.VectorExpressions.pqAdcDotMulti(
+          col("pq_code"), $"__qi", luts).as("adc_score"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy(desc("adc_score"), col(cPk))
+    exactSource match {
+      case None =>
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= k).drop("__qi")
+          .withColumnRenamed("adc_score", "score")
+      case Some((source, srcVec)) =>
+        val cand = scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= k * refine)
+          .select($"query_id", $"__qi", col(cPk))
+        // bounded: Q * k * refine candidate rows; their vectors arrive via
+        // a broadcast semi-join on pk, never a corpus shuffle
+        val vecs = source.select(col(cPk), col(srcVec).as("__cv"))
+          .join(broadcast(cand.select(col(cPk)).distinct()), Seq(cPk))
+        val qv = qRows.map { case (_, v) => v }
+        val rescored = cand.join(vecs, Seq(cPk))
+          .withColumn("score", cosineUnit($"__cv",
+            // per-row query vector by dense index from one broadcast
+            // literal table (Q * dim floats)
+            element_at(array(qv.toIndexedSeq.map(vecLit): _*), $"__qi" + 1)))
+          .select($"query_id", col(cPk), $"score")
+        val wf = Window.partitionBy($"query_id")
+          .orderBy(desc("score"), col(cPk))
+        rescored.withColumn("rank", row_number().over(wf))
+          .filter($"rank" <= k)
+    }
+  }
+
   /** Threshold similarity join (all pairs above `minScore`), query side
     * broadcast. */
   def thresholdJoin(queries: DataFrame, corpus: DataFrame, qPk: String,

@@ -759,6 +759,27 @@ object GraftQueries {
         sum(col("o_totalprice")).cast("float").as("total"))
   }
 
+  /** Batch IVFADC retrieval ([[SimilaritySearch.knnJoinIvfPq]]): Q queries
+    * routed to their cells AND scored on PQ codes in one codegen pass,
+    * exact re-rank last — the multi-query composition of q51's serving
+    * path. Full probe + deep refine provably equals the exact kNN join,
+    * so the whole batch machinery (routing, per-row LUT selection via
+    * `PqAdcDotMulti`, bounded refine) hash-checks against q12b's plain
+    * SQL. Pruned probe is benchmarked as `x_knn_ivfpq_32q`. */
+  def q54BatchIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(e, "vec_id",
+      "embedding", nCells = 8)
+    val model = SimilaritySearch.pqTrain(e, "embedding", m = 16, ksub = 32)
+    val encoded = SimilaritySearch.pqEncode(indexed, "embedding", model)
+      .select(col("vec_id"), col("cell"), col("pq_code"))
+    SimilaritySearch.knnJoinIvfPq(e.filter(col("vec_id") < 5), encoded,
+        cents, model, "vec_id", "vec_id", "embedding", k = 3, nProbe = 8,
+        refine = 48, exactSource = Some((e, "embedding")))
+      .select(col("query_id"), col("vec_id"), col("score"),
+        col("rank").cast("long").as("rnk"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -818,5 +839,6 @@ object GraftQueries {
     "q50_zorder_scan" -> (q50ZorderScan _),
     "q51_ivfpq_topk" -> (q51IvfPqTopk _),
     "q52_index_pipeline" -> (q52IndexPipeline _),
-    "q53_bucket_join" -> (q53BucketJoin _))
+    "q53_bucket_join" -> (q53BucketJoin _),
+    "q54_batch_ivfpq" -> (q54BatchIvfPq _))
 }

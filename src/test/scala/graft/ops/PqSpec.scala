@@ -136,6 +136,36 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pqAdcDotMulti: per-row LUT selection matches per-query pqAdcDot " +
+      "through codegen; out-of-range index errors") {
+    import spark.implicits._
+    val model = SimilaritySearch.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val qids = Seq(0L, 3L, 7L)
+    val luts = qids.map(q => model.lut(queryVec(q))).toArray
+    val encoded = SimilaritySearch.pqEncode(emb.limit(40), "embedding", model)
+      .select(col("vec_id"), col("pq_code"))
+    // every (row, query) pair through the multi expression in one pass
+    val multi = encoded
+      .crossJoin(qids.indices.map(i => Tuple1(i)).toDF("qi"))
+      .withColumn("adc", graft.expressions.VectorExpressions
+        .pqAdcDotMulti(col("pq_code"), col("qi"), luts))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("qi")) ->
+        r.getAs[Double]("adc"))
+      .toMap
+    // reference: one single-query pqAdcDot scan per query
+    qids.indices.foreach { qi =>
+      encoded.withColumn("adc", graft.expressions.VectorExpressions
+          .pqAdcDot(col("pq_code"), luts(qi)))
+        .collect().foreach { r =>
+          multi((r.getAs[Long]("vec_id"), qi)) shouldBe
+            r.getAs[Double]("adc") +- 1e-12
+        }
+    }
+    an[IllegalArgumentException] should be thrownBy
+      graft.expressions.PqAdcDotMulti.score(Array.fill(8)(0: Byte), 3, luts)
+  }
+
   test("adc rejects code/LUT subspace mismatch in both directions") {
     // codes from a different PqModel than the query LUT must error, never
     // silently score a prefix of the vector

@@ -131,6 +131,38 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("knnJoinIvfPq: full probe + deep refine == exact knnJoin; ADC-only " +
+      "path returns k ranked rows per query; empty batch rejected") {
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(emb, "vec_id",
+      "embedding", nCells = 8)
+    val model = SimilaritySearch.pqTrain(emb, "embedding", m = 16, ksub = 32)
+    val encoded = SimilaritySearch.pqEncode(indexed, "embedding", model)
+      .select(col("vec_id"), col("cell"), col("pq_code"))
+    val queries = emb.filter(col("vec_id") < 16)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), col("score"),
+        col("rank").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val exact = tuples(SimilaritySearch.knnJoin(queries, emb, "vec_id",
+      "vec_id", "embedding", k = 10))
+    // routing prunes nothing at full probe; refine deep enough to recover
+    // the exact top-10 per query, scores re-computed on raw vectors so the
+    // tuples match bit for bit
+    tuples(SimilaritySearch.knnJoinIvfPq(queries, encoded, cents, model,
+      "vec_id", "vec_id", "embedding", k = 10, nProbe = 8, refine = 48,
+      exactSource = Some((emb, "embedding")))) shouldBe exact
+    // ADC-only: approximate scores, but shape + per-query cardinality hold
+    val adcOnly = SimilaritySearch.knnJoinIvfPq(queries, encoded, cents,
+      model, "vec_id", "vec_id", "embedding", k = 10, nProbe = 8)
+    adcOnly.collect().map(_.getAs[Long]("query_id"))
+      .groupBy(identity).values.foreach(_.length shouldBe 10)
+    an[IllegalArgumentException] should be thrownBy
+      SimilaritySearch.knnJoinIvfPq(emb.filter(col("vec_id") < 0), encoded,
+        cents, model, "vec_id", "vec_id", "embedding", k = 5)
+  }
+
   test("knnJoinIvf recall >= 0.95@10 at a SHALLOW probe on a clustered " +
       "corpus (routing finds the right cells when structure exists)") {
     // the parquet fixture's vectors are near-random — recall there just
