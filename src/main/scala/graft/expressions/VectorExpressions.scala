@@ -419,6 +419,62 @@ object PqAdcDotMulti {
   }
 }
 
+/** Batch dot-product: dot of a float-array column against a row-selected
+  * query vector from ONE broadcast reference table (Q · dim floats) —
+  * the raw-vector sibling of [[PqAdcDotMulti]] for the exact re-rank
+  * stage of batch retrieval. The literal-array alternative
+  * (`element_at(array(vecLit...))`) embeds Q·dim constants into the
+  * generated source and pays a janino compile proportional to the batch
+  * on every plan — a reference object costs nothing at compile time. */
+case class VecDotMulti(left: Expression, right: Expression,
+    table: Array[Array[Float]]) extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "vec_dot_multi needs (array<float>, int query index) inputs, " +
+            s"got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(vec: Any, qi: Any): Any =
+    VecDotMulti.score(vec.asInstanceOf[ArrayData],
+      qi.asInstanceOf[Int], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.addReferenceObj("table", table, "float[][]")
+      s"${ev.value} = graft.expressions.VecDotMulti.score($a, $b, $t);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDotMulti =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDotMulti {
+  def score(vec: ArrayData, qi: Int, table: Array[Array[Float]]): Double = {
+    if (qi < 0 || qi >= table.length)
+      throw new IllegalArgumentException(
+        s"vec_dot_multi: query index $qi outside [0, ${table.length})")
+    val q = table(qi)
+    if (vec.numElements() != q.length)
+      throw new IllegalArgumentException(
+        s"vec_dot_multi: vector dim ${vec.numElements()} != query dim ${q.length}")
+    // double accumulator, left-to-right fold — bit-identical to VecDot /
+    // the DuckDB oracle's list_dot_product on DOUBLE[]
+    var s = 0.0
+    var i = 0
+    while (i < q.length) { s += vec.getFloat(i).toDouble * q(i); i += 1 }
+    s
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -440,4 +496,8 @@ object VectorExpressions {
   def pqAdcDotMulti(codes: Column, queryIdx: Column,
       luts: Array[Array[Array[Double]]]): Column =
     column(PqAdcDotMulti(expression(codes), expression(queryIdx), luts))
+
+  def vecDotMulti(vec: Column, queryIdx: Column,
+      table: Array[Array[Float]]): Column =
+    column(VecDotMulti(expression(vec), expression(queryIdx), table))
 }

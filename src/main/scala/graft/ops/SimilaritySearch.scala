@@ -200,10 +200,11 @@ object SimilaritySearch {
           .join(broadcast(cand.select(col(cPk)).distinct()), Seq(cPk))
         val qv = qRows.map { case (_, v) => v }
         val rescored = cand.join(vecs, Seq(cPk))
-          .withColumn("score", cosineUnit($"__cv",
-            // per-row query vector by dense index from one broadcast
-            // literal table (Q * dim floats)
-            element_at(array(qv.toIndexedSeq.map(vecLit): _*), $"__qi" + 1)))
+          // per-row query vector by dense index from one broadcast
+          // reference table (Q * dim floats) — same mechanism as the LUT
+          // table; corpus vectors are unit-norm so dot == cosine
+          .withColumn("score", graft.expressions.VectorExpressions
+            .vecDotMulti($"__cv", $"__qi", qv))
           .select($"query_id", col(cPk), $"score")
         val wf = Window.partitionBy($"query_id")
           .orderBy(desc("score"), col(cPk))

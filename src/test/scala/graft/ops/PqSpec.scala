@@ -166,6 +166,32 @@ class PqSpec extends SparkSpec {
       graft.expressions.PqAdcDotMulti.score(Array.fill(8)(0: Byte), 3, luts)
   }
 
+  test("vecDotMulti: per-row query selection matches cosineUnit(vecLit) " +
+      "bit for bit through codegen; bad index / dim mismatch error") {
+    import graft.functions.VectorFunctions.{cosineUnit, vecLit}
+    val qids = Seq(0L, 5L)
+    val table = qids.map(queryVec).toArray
+    val rows = emb.limit(30)
+    qids.indices.foreach { qi =>
+      val viaMulti = rows
+        .withColumn("s", graft.expressions.VectorExpressions
+          .vecDotMulti(col("embedding"), lit(qi), table))
+        .select(col("vec_id"), col("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.withColumn("s", cosineUnit(col("embedding"), vecLit(table(qi))))
+        .select(col("vec_id"), col("s")).collect()
+        .foreach { r => viaMulti(r.getLong(0)) shouldBe r.getDouble(1) }
+    }
+    an[IllegalArgumentException] should be thrownBy
+      graft.expressions.VecDotMulti.score(
+        org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(Array.fill(64)(0f)), 2, table)
+    an[IllegalArgumentException] should be thrownBy
+      graft.expressions.VecDotMulti.score(
+        org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(Array.fill(8)(0f)), 0, table)
+  }
+
   test("adc rejects code/LUT subspace mismatch in both directions") {
     // codes from a different PqModel than the query LUT must error, never
     // silently score a prefix of the vector
