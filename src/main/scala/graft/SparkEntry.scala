@@ -572,7 +572,17 @@ object SparkEntry {
                                          CAST(b.embedding AS DOUBLE[])) DESC,
                         b.vec_id) AS rnk
            FROM embeddings a JOIN embeddings b
-             ON a.vec_id < 5) WHERE rnk <= 3""") ++
+             ON a.vec_id < 5) WHERE rnk <= 3""",
+    "q55_threshold_lsh" -> // cross-relation LSH threshold join == exact
+      // at the pinned deep family (miss prob ~1.5e-5, exact verify bars
+      // false positives; spec-verified equality)
+      """SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id < 16
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) >= 0.4""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==
@@ -581,7 +591,7 @@ object SparkEntry {
     // records a rows-only check) rather than alarm on an expected ANN miss.
     if (graft.queries.GoldenOracles.sfPinned(dir)) base
     else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk",
-      "q51_ivfpq_topk", "q54_batch_ivfpq")
+      "q51_ivfpq_topk", "q54_batch_ivfpq", "q55_threshold_lsh")
   }
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

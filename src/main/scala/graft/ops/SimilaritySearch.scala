@@ -224,6 +224,55 @@ object SimilaritySearch {
       .drop("__qv", vecCol)
   }
 
+  /** LSH-bucketed threshold join — the scale path of [[thresholdJoin]]
+    * for when NEITHER side fits a broadcast (two 10^9-row embedding
+    * tables): both relations are hashed with the SAME seeded hyperplane
+    * family ([[graft.ops.Dedup.embeddingPairsLsh]]'s blocking applied
+    * cross-relation), so only pairs sharing a (table, bucket) key ever
+    * meet the equi-join. Ids-only discipline throughout: the sign
+    * computation consumes vectors map-side and drops them before the
+    * shuffle; candidates dedupe on (query_id, pk); vectors re-attach by
+    * id for the exact cosine verify, which makes false positives
+    * impossible — only recall is probabilistic (per-pair miss probability
+    * (1-p1^planes)^tables with p1 = 1 - theta/pi; seeded family, so the
+    * result is deterministic per (seed, data)). AQE skew-join splitting
+    * handles hot buckets, as in the self-join case. */
+  def thresholdJoinLsh(queries: DataFrame, corpus: DataFrame, qPk: String,
+      cPk: String, vecCol: String, minScore: Double, planes: Int = 8,
+      tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val rng = new scala.util.Random(seed)
+    // one shared family: table t's planes drawn in order, both sides MUST
+    // see identical planes or buckets would never collide
+    val family = Array.fill(tables, planes)(
+      Array.fill(dim)(rng.nextGaussian().toFloat))
+    def bucketize(df: DataFrame, pk: String) = {
+      val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
+        .localCheckpoint(true)
+      val b = (0 until tables).map { t =>
+        val planeCols = family(t).map(p =>
+          when(cosineUnit($"v", vecLit(p)) >= 0, "1").otherwise("0"))
+        v.select($"id", lit(t).as("table"),
+          concat(planeCols.toIndexedSeq: _*).as("bucket"))
+      }.reduce(_ unionByName _)
+      (v, b)
+    }
+    val (qv, qb) = bucketize(queries, qPk)
+    val (cv, cb) = bucketize(corpus, cPk)
+    val cand = qb.as("a").join(cb.as("b"),
+        $"a.table" === $"b.table" && $"a.bucket" === $"b.bucket")
+      .select($"a.id".as("query_id"), $"b.id".as("__cid"))
+      .dropDuplicates("query_id", "__cid")
+    cand
+      .join(qv.select($"id".as("query_id"), $"v".as("__qv")), "query_id")
+      .join(cv.select($"id".as("__cid"), $"v".as("__cv")), "__cid")
+      .withColumn("score", cosineUnit($"__qv", $"__cv"))
+      .filter($"score" >= minScore)
+      .select($"query_id", $"__cid".as(cPk), $"score")
+  }
+
   /** IVF (inverted-file) index: kmeans-lite centroids computed from a
     * sample, every corpus row assigned to its nearest centroid. Search
     * probes only `nProbe` closest centroid cells — at 100 TB this is the

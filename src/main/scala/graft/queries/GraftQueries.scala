@@ -780,6 +780,20 @@ object GraftQueries {
         col("rank").cast("long").as("rnk"))
   }
 
+  /** Cross-relation LSH threshold join
+    * ([[SimilaritySearch.thresholdJoinLsh]]): the two-table scale path
+    * where neither side broadcasts. At the pinned deep family
+    * (planes=4, tables=64) the per-pair miss probability is ~1.5e-5 and
+    * the exact verify forbids false positives, so the result equals the
+    * exact threshold join and the whole bucketed machinery hash-checks
+    * against plain cross-join SQL (the q13b construction, two-relation). */
+  def q55ThresholdLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    SimilaritySearch.thresholdJoinLsh(e.filter(col("vec_id") < 16), e,
+      "vec_id", "vec_id", "embedding", minScore = 0.4,
+      planes = 4, tables = 64)
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -840,5 +854,6 @@ object GraftQueries {
     "q51_ivfpq_topk" -> (q51IvfPqTopk _),
     "q52_index_pipeline" -> (q52IndexPipeline _),
     "q53_bucket_join" -> (q53BucketJoin _),
-    "q54_batch_ivfpq" -> (q54BatchIvfPq _))
+    "q54_batch_ivfpq" -> (q54BatchIvfPq _),
+    "q55_threshold_lsh" -> (q55ThresholdLsh _))
 }

@@ -71,6 +71,38 @@ class SimilaritySearchSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("thresholdJoinLsh == exact thresholdJoin at the pinned family " +
+      "(deep tables make the per-pair miss probability ~1e-5); ids-only " +
+      "blocking join") {
+    val queries = emb.filter(col("vec_id") < 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(SimilaritySearch.thresholdJoin(queries, emb, "vec_id",
+      "vec_id", "embedding", 0.4)
+      .select(col("query_id"), col("vec_id"), col("score")))
+    exact should not be empty // the assertion below must bite
+    val lsh = SimilaritySearch.thresholdJoinLsh(queries, emb, "vec_id",
+      "vec_id", "embedding", 0.4, planes = 4, tables = 64)
+    // exact verify -> false positives impossible; at planes=4/tables=64
+    // and theta(0.4) the per-pair miss probability is ~1.5e-5, and under
+    // the pinned seed the family is deterministic: equality, not approx
+    pairs(lsh) shouldBe exact
+    // scale guard: the blocking join consumes no array column (vectors
+    // re-attach only after candidate dedup)
+    import org.apache.spark.sql.types.ArrayType
+    val blocking = lsh.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if (j.leftKeys ++ j.rightKeys)
+            .flatMap(_.references.map(_.name)).contains("bucket") => j
+    }
+    blocking should not be empty
+    blocking.foreach { j =>
+      (j.left.output ++ j.right.output)
+        .filter(_.dataType.isInstanceOf[ArrayType]) shouldBe empty
+    }
+  }
+
   test("IVF: cells partition the corpus; probe recall reasonable") {
     val (indexed, cents) = SimilaritySearch.ivfBuild(emb, "vec_id", "embedding",
       nCells = 8)
