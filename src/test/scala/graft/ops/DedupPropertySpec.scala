@@ -83,4 +83,32 @@ class DedupPropertySpec extends SparkSpec {
       withClue(s"maxH=$maxH nDocs=$nDocs: ") { got shouldBe want }
     }
   }
+
+  test("alternating stars == min-label == driver-side union-find on " +
+      "random graphs (sweeping density and component structure)") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    (1 to 4).foreach { round =>
+      val n = rnd.nextInt(120) + 30
+      val nEdges = rnd.nextInt(2 * n) + n / 4
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expectVictims = (0 until n).filter(i => find(i) != i).map(_.toLong).toSet
+      val pairs = edges.toDF("id_a", "id_b")
+      val df = (0L until n.toLong).map(i => (i, i)).toDF("id", "v")
+      Seq("stars", "minlabel").foreach { alg =>
+        val survivors = Dedup.dropDuplicates(df, "id", pairs, maxIter = 200,
+          algorithm = alg).collect().map(_.getLong(0)).toSet
+        withClue(s"round=$round n=$n edges=$nEdges alg=$alg: ") {
+          survivors shouldBe ((0L until n.toLong).toSet -- expectVictims)
+        }
+      }
+    }
+  }
 }
