@@ -43,7 +43,11 @@ object Bench {
     // round-3 additions (new anchors — no BASELINE rows before r03):
     // as-of merge join, span dedup, tf-idf, sessionization, corpus pipeline
     "q36_asof_join", "q39_span_dedup", "q41_tfidf_terms",
-    "q42_sessionize", "q43_corpus_pipeline", "q45_decontaminate")
+    "q42_sessionize", "q43_corpus_pipeline", "q45_decontaminate",
+    // round-4 additions (new anchors): z-order rewrite+scan, bucketed
+    // write+join — the layout queries time the WRITE cost the layouts
+    // repay at read/join time
+    "q50_zorder_scan", "q53_bucket_join")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -274,6 +274,27 @@ class DedupSpec extends SparkSpec {
     viaStars shouldBe Set(100L)
   }
 
+  test("alternating stars round count grows ~logarithmically with chain " +
+      "length (measured, not argued)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rounds = Seq(256, 1024, 4096).map { n =>
+      val ids = rnd.shuffle((0L until n.toLong).toVector)
+      val pairs = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
+        .toDF("id_a", "id_b")
+      val (victims, r) = Dedup.ccAlternatingStars(pairs, maxIter = 30)
+      victims.count() shouldBe (n - 1)
+      r
+    }
+    // 4x the chain may add only a couple of rounds — the log shape; a
+    // linear algorithm would add ~768 and ~3072 rounds at these steps
+    withClue(s"rounds at 256/1024/4096: $rounds: ") {
+      rounds(1) - rounds(0) should be <= 3
+      rounds(2) - rounds(1) should be <= 3
+      rounds(2) should be <= 14
+    }
+  }
+
   test("alternating stars handles forests, cliques, self-pairs and empty " +
       "pair sets") {
     import spark.implicits._
