@@ -582,7 +582,23 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b
            ON a.vec_id < 16
          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[])) >= 0.4""") ++
+                                CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    "q56_boilerplate" -> // md5 gram digests on both sides (the q39 mirror);
+      // boiler_frac is exact integer division — no float-order drift
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         g AS (SELECT doc_id, md5(array_to_string(toks[s+1:s+3], ' ')) AS gram
+               FROM tok, UNNEST(range(0, len(toks)-2)) AS t(s)
+               WHERE len(toks) >= 3),
+         freq AS (SELECT gram FROM (
+             SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+           WHERE df >= 3)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(f.gram) AS BIGINT) AS n_boiler,
+           CAST(count(f.gram) AS DOUBLE) / count(*) AS boiler_frac
+         FROM g LEFT JOIN freq f ON g.gram = f.gram
+         GROUP BY g.doc_id""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Decontaminate, Dedup, HybridSearch, Layout, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
+import graft.ops.{Boilerplate, Decontaminate, Dedup, HybridSearch, Layout, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -794,6 +794,16 @@ object GraftQueries {
       planes = 4, tables = 64)
   }
 
+  /** Corpus-frequent n-gram boilerplate scoring ([[Boilerplate.fractions]]):
+    * the cross-document repeated-content signal (nav bars, license headers)
+    * a CCNet/RefinedWeb-style cleanup runs before training. Digests-only
+    * exchanges (spec-guarded); `boiler_frac` is one exact integer division
+    * per group, so the whole pipeline — shingle, digest, doc-frequency,
+    * threshold, scoring join — hash-checks against the DuckDB mirror. */
+  def q56Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Boilerplate.fractions(t(spark, dir, "documents"), "doc_id", "text",
+      n = 3, minDocs = 3L)
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -855,5 +865,6 @@ object GraftQueries {
     "q52_index_pipeline" -> (q52IndexPipeline _),
     "q53_bucket_join" -> (q53BucketJoin _),
     "q54_batch_ivfpq" -> (q54BatchIvfPq _),
-    "q55_threshold_lsh" -> (q55ThresholdLsh _))
+    "q55_threshold_lsh" -> (q55ThresholdLsh _),
+    "q56_boilerplate" -> (q56Boilerplate _))
 }
