@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic content-hash sampling for training-data selection.
@@ -52,5 +53,33 @@ object Sampling {
       .fold(lit(thresholdHex(defaultRate)))(
         _.otherwise(lit(thresholdHex(defaultRate))))
     df.filter(hashBucket(col(idCol)) < threshold)
+  }
+
+  /** Per-key WEIGHT-budget cap: walk each key's rows in `orderCol` order and
+    * keep rows while the running weight total (inclusive) stays within
+    * `budget` — the data-mixing quota primitive ("at most N tokens per
+    * domain/source"), where doc-count caps get the mixture wrong because
+    * document lengths vary by orders of magnitude.
+    *
+    * Determinism contract: `orderCol` must be unique per key (a pk) — the
+    * cumulative sum, hence the kept set, is then a pure function of the
+    * data, stable under retries and re-partitioning like [[hashSample]].
+    * The frame is pinned to ROWS UNBOUNDED PRECEDING..CURRENT explicitly:
+    * the default RANGE frame would sum order-ties together and make the
+    * boundary row ambiguous.
+    *
+    * Scale shape: ONE hash shuffle on the key, then a per-key sort — the
+    * same exchange a groupBy(key) pays. A key whose rows dwarf a task sorts
+    * via spill; the budget itself bounds what survives, not what sorts, so
+    * pair with a coarse [[hashSample]] pre-cut when single keys approach
+    * task-memory scale. */
+  def capPerKeyBudget(df: DataFrame, keyCol: String, orderCol: String,
+      weight: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(weight).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
   }
 }

@@ -69,4 +69,48 @@ class SamplingSpec extends SparkSpec {
     Sampling.thresholdHex(0.5) shouldBe "8000"
     Sampling.thresholdHex(0.0) shouldBe "0000"
   }
+
+  test("capPerKeyBudget matches a driver-side greedy walk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 500L).map(i =>
+      (i, s"k${i % 7}", 1L + rnd.nextInt(40).toLong))
+    val budget = 100L
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, ks) =>
+      var cum = 0L
+      ks.sortBy(_._1).takeWhile { r => cum += r._3; cum <= budget }
+    }.map(_._1).toSet
+
+    val out = Sampling.capPerKeyBudget(rows.toDF("id", "k", "w"),
+        "k", "id", col("w"), budget)
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe expected
+  }
+
+  test("capPerKeyBudget boundary: a row landing exactly on the budget is kept") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 60L), (2L, "a", 40L), (3L, "a", 1L))
+      .toDF("id", "k", "w")
+    Sampling.capPerKeyBudget(df, "k", "id", col("w"), 100L)
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+  }
+
+  test("capPerKeyBudget is partitioning-invariant (retry-stable)") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, s"k${i % 5}", (i % 13) + 1))
+    val a = Sampling.capPerKeyBudget(rows.toDF("id", "k", "w"),
+      "k", "id", col("w"), 200L).collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerKeyBudget(rows.toDF("id", "k", "w").repartition(17),
+      "k", "id", col("w"), 200L).collect().map(_.getLong(0)).toSet
+    a shouldBe b
+  }
+
+  test("capPerKeyBudget plans exactly one exchange (the key shuffle)") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"k${i % 5}", 1L)).toDF("id", "k", "w")
+    val plan = Sampling.capPerKeyBudget(df, "k", "id", col("w"), 50L)
+      .queryExecution.executedPlan.toString
+    // one hash exchange on the key feeds the window sort; no second shuffle
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
 }
