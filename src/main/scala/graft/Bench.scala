@@ -184,20 +184,40 @@ object Bench {
           pqModel, "vec_id", "vec_id", "embedding", k = 10, nProbe = 4,
           refine = 16, exactSource = Some((scaled, "embedding"))))
       })
+      // SQ8 on the same 200k corpus: one-pass min/max train + byte-grid
+      // encode (like the PQ build row), then the fused-multiply-add ADC
+      // scan + shallow refine — the 64 B/row middle point between the raw
+      // 256 B exact scan and PQ's 16 B codes
+      import graft.ops.ScalarQuantization
+      var sqEncodedP: DataFrame = null
+      var sqModel: ScalarQuantization.SqModel = null
+      val sqBuild = timed {
+        val model = ScalarQuantization.sqTrain(scaled, "embedding")
+        sqEncodedP = ScalarQuantization.sqEncode(scaled, "embedding", model)
+          .select(col("vec_id"), col("sq_code")).persist()
+        sqEncodedP.count()
+        sqModel = model
+      }
+      val sqSearchT = (1 to reps).map(_ => timed {
+        force(ScalarQuantization.sqSearch(sqEncodedP, sqModel, "vec_id",
+          qv, 10, refine = 2, exactSource = Some((scaled, "embedding"))))
+      })
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
-      ivfpqEncoded.unpersist()
+      ivfpqEncoded.unpersist(); sqEncodedP.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
         "x_ivf_build" -> build, "x_ivf_probe" -> probe.min,
         "x_knn_window_32q" -> knnWin.min, "x_knn_agg_32q" -> knnAgg.min,
         "x_knn_ivf_32q" -> knnIvf.min,
         "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min,
-        "x_ivfpq_search" -> ivfpqT.min, "x_knn_ivfpq_32q" -> knnIvfPq.min)
+        "x_ivfpq_search" -> ivfpqT.min, "x_knn_ivfpq_32q" -> knnIvfPq.min,
+        "x_sq_build" -> sqBuild, "x_sq_search" -> sqSearchT.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
         "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
         "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg),
         "x_knn_ivf_32q" -> med(knnIvf),
         "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT),
-        "x_ivfpq_search" -> med(ivfpqT), "x_knn_ivfpq_32q" -> med(knnIvfPq))
+        "x_ivfpq_search" -> med(ivfpqT), "x_knn_ivfpq_32q" -> med(knnIvfPq),
+        "x_sq_build" -> sqBuild, "x_sq_search" -> med(sqSearchT))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }

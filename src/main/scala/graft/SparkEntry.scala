@@ -598,7 +598,39 @@ object SparkEntry {
            CAST(count(f.gram) AS BIGINT) AS n_boiler,
            CAST(count(f.gram) AS DOUBLE) / count(*) AS boiler_frac
          FROM g LEFT JOIN freq f ON g.gram = f.gram
-         GROUP BY g.doc_id""") ++
+         GROUP BY g.doc_id""",
+    "q57_token_budget" -> // inclusive running token total per source,
+      // ROWS frame (doc_id is unique, so the kept set is well-defined)
+      """WITH tok AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum FROM tok)
+         SELECT doc_id, source, n_tokens FROM c WHERE cum <= 700""",
+    "q58_packing" -> // the literal global-window mirror of the engine's
+      // two-pass prefix sum; exclusive cum via 1 PRECEDING; integer-exact
+      """WITH tok AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM tok)
+         SELECT doc_id, n_tokens,
+           CAST(cum // 2048 AS BIGINT) AS chunk,
+           CAST(cum % 2048 AS BIGINT) AS chunk_offset,
+           CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+             (cum + n_tokens - 1) // 2048 - cum // 2048 + 1 END AS BIGINT)
+             AS n_chunks
+         FROM c""",
+    "q59_sq_topk" -> // two-stage SQ8 == exact top-k at refine=2 (candidate
+      // coverage spec-verified), so the oracle is q11's exact-search SQL
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==
@@ -607,7 +639,8 @@ object SparkEntry {
     // records a rows-only check) rather than alarm on an expected ANN miss.
     if (graft.queries.GoldenOracles.sfPinned(dir)) base
     else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk",
-      "q51_ivfpq_topk", "q54_batch_ivfpq", "q55_threshold_lsh")
+      "q51_ivfpq_topk", "q54_batch_ivfpq", "q55_threshold_lsh",
+      "q59_sq_topk")
   }
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

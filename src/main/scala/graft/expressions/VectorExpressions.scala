@@ -475,6 +475,111 @@ object VecDotMulti {
   }
 }
 
+/** Scalar-quantization (SQ8) encoder: each dimension maps to one byte on a
+  * per-dimension [min, max] grid — `dim` bytes per vector, a fixed 4x
+  * compression with far lower distortion than PQ's m-byte codes (the
+  * Faiss `SQ8` point on the memory/recall curve, between raw floats and
+  * PQ). Grid arrays ride into generated code as reference objects. */
+case class SqEncode(child: Expression, mins: Array[Float],
+    steps: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(mins.length == steps.length,
+    s"sq_encode: mins/steps length mismatch ${mins.length} != ${steps.length}")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sq_encode needs an array<float> input")
+    }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(input: Any): Any =
+    SqEncode.encode(input.asInstanceOf[ArrayData], mins, steps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("mins", mins, "float[]")
+      val s = ctx.addReferenceObj("steps", steps, "float[]")
+      s"${ev.value} = graft.expressions.SqEncode.encode($a, $m, $s);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SqEncode = copy(child = newChild)
+}
+
+object SqEncode {
+  /** Shared by eval and generated code: per-dimension nearest grid point,
+    * clamped to [0, 255]. A zero-width dimension (constant across the
+    * corpus, step 0) encodes as 0 and decodes back to its min — lossless
+    * for that dimension. */
+  def encode(v: ArrayData, mins: Array[Float], steps: Array[Float]): Array[Byte] = {
+    val dim = mins.length
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"sq_encode: vector dim ${v.numElements()} != model dim $dim")
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < dim) {
+      val step = steps(i)
+      if (step > 0f) {
+        val q = Math.round((v.getFloat(i) - mins(i)) / step)
+        out(i) = Math.max(0, Math.min(255, q)).toByte
+      } // else leave 0
+      i += 1
+    }
+    out
+  }
+}
+
+/** ADC dot product against SQ8 codes: with dequant_i = min_i + code_i *
+  * step_i, dot(q, dequant) = sum_i q_i*min_i + sum_i (q_i*step_i)*code_i —
+  * the first term (`bias`) and the per-dimension factors (`scaled`) are
+  * computed ONCE per query driver-side, so the scan does one fused
+  * multiply-add per byte and never materializes the decompression
+  * (the SQ analog of [[PqAdcDot]]). */
+case class SqAdcDot(child: Expression, scaled: Array[Double], bias: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sq_adc_dot needs a binary (sq code) input")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    SqAdcDot.score(input.asInstanceOf[Array[Byte]], scaled, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.addReferenceObj("scaled", scaled, "double[]")
+      s"${ev.value} = graft.expressions.SqAdcDot.score($a, $s, $bias);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SqAdcDot = copy(child = newChild)
+}
+
+object SqAdcDot {
+  def score(codes: Array[Byte], scaled: Array[Double], bias: Double): Double = {
+    if (codes.length != scaled.length) throw new IllegalArgumentException(
+      s"sq_adc_dot: code dim ${codes.length} != query dim ${scaled.length}")
+    var s = bias
+    var i = 0
+    while (i < codes.length) { s += scaled(i) * (codes(i) & 0xff); i += 1 }
+    s
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -500,4 +605,10 @@ object VectorExpressions {
   def vecDotMulti(vec: Column, queryIdx: Column,
       table: Array[Array[Float]]): Column =
     column(VecDotMulti(expression(vec), expression(queryIdx), table))
+
+  def sqEncode(v: Column, mins: Array[Float], steps: Array[Float]): Column =
+    column(SqEncode(expression(v), mins, steps))
+
+  def sqAdcDot(codes: Column, scaled: Array[Double], bias: Double): Column =
+    column(SqAdcDot(expression(codes), scaled, bias))
 }

@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Boilerplate, Decontaminate, Dedup, HybridSearch, Layout, Sampling, SimilaritySearch, SpanDedup, TemporalJoin}
+import graft.ops.{Boilerplate, Decontaminate, Dedup, HybridSearch, Layout, Packing, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -804,6 +804,52 @@ object GraftQueries {
     Boilerplate.fractions(t(spark, dir, "documents"), "doc_id", "text",
       n = 3, minDocs = 3L)
 
+  /** Per-source token-budget cap ([[Sampling.capPerKeyBudget]]): keep each
+    * source's documents in doc_id order until 700 tokens are spent — the
+    * data-mixing quota primitive (token budgets per domain, not doc
+    * counts). Exact integer window math, deterministic by the unique-pk
+    * order contract, so it hash-checks against the DuckDB window mirror. */
+  def q57TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capPerKeyBudget(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).cast("long").as("n_tokens")),
+      keyCol = "source", orderCol = "doc_id", weight = col("n_tokens"),
+      budget = 700L)
+
+  /** Concat-and-split sequence packing ([[Packing.concatSplitAssign]]):
+    * chunk placement of every document in the 2048-token virtual stream,
+    * computed with the two-pass distributed prefix sum (range shuffle +
+    * per-partition totals + broadcast offsets) instead of the
+    * single-partition global window — plan-asserted in PackingSpec. Exact
+    * integer math end to end, so the distributed formulation hash-checks
+    * against DuckDB's literal global-window mirror. */
+  def q58Packing(spark: SparkSession, dir: String): DataFrame =
+    Packing.concatSplitAssign(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).cast("long")
+          .as("n_tokens")),
+      idCol = "doc_id", weightCol = "n_tokens", budget = 2048L)
+
+  /** SQ8 scalar-quantized search ([[ScalarQuantization.sqSearch]]): the
+    * 4x-compressed middle point between raw-float exact scan and PQ's
+    * 16-byte codes. One-pass min/max train, codegen byte-grid encode,
+    * fused-multiply-add ADC scan, shallow exact re-rank. SQ8's distortion
+    * is low enough that refine=2 already recovers the exact top-k
+    * (spec-verified), so the whole path hash-checks against q11's plain
+    * SQL — the q44/q51 construction at a quarter of the refine depth. */
+  def q59SqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val model = ScalarQuantization.sqTrain(e, "embedding")
+    val encoded = ScalarQuantization.sqEncode(e, "embedding", model)
+      .select(col("vec_id"), col("sq_code"))
+    ScalarQuantization.sqSearch(encoded, model, "vec_id", qv, k = 10,
+        refine = 2, exactSource = Some((e, "embedding")))
+      .select(col("vec_id"), col("score"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -866,5 +912,8 @@ object GraftQueries {
     "q53_bucket_join" -> (q53BucketJoin _),
     "q54_batch_ivfpq" -> (q54BatchIvfPq _),
     "q55_threshold_lsh" -> (q55ThresholdLsh _),
-    "q56_boilerplate" -> (q56Boilerplate _))
+    "q56_boilerplate" -> (q56Boilerplate _),
+    "q57_token_budget" -> (q57TokenBudget _),
+    "q58_packing" -> (q58Packing _),
+    "q59_sq_topk" -> (q59SqTopk _))
 }
