@@ -49,7 +49,11 @@ final class VectorIndex private (
     * binary column (internal, like `cell`). */
   private var pqModel: Option[graft.ops.SimilaritySearch.PqModel] = None
 
-  private val internalCols = Set("cell", "pq_code")
+  /** SQ8 grid when [[buildSq]] ran; the state then carries a `sq_code`
+    * binary column (internal, like `cell`/`pq_code`). */
+  private var sqModel: Option[graft.ops.ScalarQuantization.SqModel] = None
+
+  private val internalCols = Set("cell", "pq_code", "sq_code")
 
   private def defaultCols: Seq[String] =
     state.columns.filterNot(c => c == vectorCol || internalCols(c)).toSeq
@@ -192,6 +196,38 @@ final class VectorIndex private (
         :+ col("score"): _*)
   }
 
+  /** Attach a scalar-quantization (SQ8) layout: one-pass per-dimension
+    * min/max grid ([[graft.ops.ScalarQuantization.sqTrain]]) and the
+    * dim-byte `sq_code` per row — the 4x-compressed near-lossless point
+    * between raw floats and PQ's M-byte codes. Deterministic (no seed, no
+    * iteration); later [[upsert]]s encode incoming rows against the FIXED
+    * grid (an out-of-range outlier clamps to the grid edge — re-run
+    * `buildSq` when the corpus distribution drifts). */
+  def buildSq(): this.type = synchronized {
+    val model = graft.ops.ScalarQuantization.sqTrain(state, vectorCol)
+    sqModel = Some(model)
+    swapState(graft.ops.ScalarQuantization.sqEncode(
+      state.drop("sq_code"), vectorCol, model))
+    this
+  }
+
+  /** SQ8 two-stage top-k: fused-multiply-add ADC scan over the dim-byte
+    * codes picks `k * refine` candidates, exact re-rank follows. SQ8's
+    * distortion is low enough that `refine = 2` recovers exact [[search]]
+    * on the fixture (spec-verified) where PQ needs 16. */
+  def searchSq(queryVec: Array[Float], k: Int = 5, refine: Int = 2,
+      columns: Seq[String] = Seq.empty): DataFrame = {
+    require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
+    val model = sqModel.getOrElse(
+      throw new IllegalStateException(s"index $name has no SQ layout; run buildSq"))
+    val cols = if (columns.isEmpty) defaultCols else columns
+    graft.ops.ScalarQuantization.sqSearch(
+        state.select(col(primaryKey), col("sq_code")), model, primaryKey,
+        queryVec, k, refine, exactSource = Some((state, vectorCol)))
+      .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col)
+        :+ col("score"): _*)
+  }
+
   /** Approximate top-k via LSH bucket probing. */
   def searchApprox(queryVec: Array[Float], k: Int = 5,
       columns: Seq[String] = Seq.empty): DataFrame = {
@@ -288,6 +324,15 @@ final class VectorIndex private (
       }.toDF("sub", "k", "codeword")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
     }
+    // SQ grid: train is deterministic over the SAME corpus, but the saved
+    // state may be a subset/superset of a future source — the grid must
+    // travel with the codes it produced
+    sqModel.foreach { model =>
+      val spark = state.sparkSession
+      import spark.implicits._
+      Seq((model.mins.toSeq, model.steps.toSeq)).toDF("mins", "steps")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
+    }
   }
 
   /** (Re-)derive the internal layout columns a row set is missing: IVF
@@ -300,10 +345,15 @@ final class VectorIndex private (
           graft.expressions.VectorExpressions.nearestCentroid(col(vectorCol), cents))
       case _ => df
     }
-    pqModel match {
+    val coded = pqModel match {
       case Some(model) if !celled.columns.contains("pq_code") =>
         graft.ops.SimilaritySearch.pqEncode(celled, vectorCol, model)
       case _ => celled
+    }
+    sqModel match {
+      case Some(model) if !coded.columns.contains("sq_code") =>
+        graft.ops.ScalarQuantization.sqEncode(coded, vectorCol, model)
+      case _ => coded
     }
   }
 
@@ -383,6 +433,12 @@ object VectorIndex {
       idx.pqModel = Some(graft.ops.SimilaritySearch.PqModel(
         rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
           .sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)).toArray))
+    }
+    if (exists(s"$path/sq")) {
+      val r = spark.read.parquet(s"$path/sq")
+        .select("mins", "steps").head() // one grid row
+      idx.sqModel = Some(graft.ops.ScalarQuantization.SqModel(
+        r.getSeq[Float](0).toArray, r.getSeq[Float](1).toArray))
     }
     idx
   }

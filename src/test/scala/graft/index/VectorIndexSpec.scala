@@ -155,6 +155,40 @@ class VectorIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
   }
 
+  test("SQ8 behind the index handle: two-stage == exact at refine=2, " +
+      "upserts get codes, grid durable across save/load") {
+    val idx = VectorIndex.build(src, "spec-sq", "vec_id", "embedding")
+      .buildSq()
+    val all = src.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = all(3L)
+    val exact = idx.search(qv, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    val sq = idx.searchSq(qv, k = 5, refine = 2)
+    sq.collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq shouldBe exact
+    // internal code column never projected
+    (sq.columns should not).contain("sq_code")
+    // an upserted row (vec 3's embedding under a new pk) is encoded against
+    // the fixed grid and immediately retrievable: exact tie at 1.0,
+    // pk tie-break puts 3 before the new id
+    idx.upsert(src.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(999999L)))
+    idx.searchSq(qv, k = 2, refine = 4).collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(3L, 999999L)
+    // durability: reload must answer identically (grid persisted)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+    idx.save(dir)
+    val re = VectorIndex.load(spark, dir, "spec-sq-re", "vec_id", "embedding")
+    re.searchSq(qv, k = 5, refine = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq shouldBe
+      idx.searchSq(qv, k = 5, refine = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+    // no layout -> clear error, not a wrong answer
+    val bare = VectorIndex.build(src, "spec-sq-bare", "vec_id", "embedding")
+    an[IllegalStateException] should be thrownBy bare.searchSq(qv, k = 5)
+  }
+
   test("IVFADC behind the index handle: full probe + deep refine == exact, " +
       "pruned probe stays bounded, composition durable across save/load") {
     val idx = VectorIndex.build(src, "spec-ivfpq", "vec_id", "embedding")
