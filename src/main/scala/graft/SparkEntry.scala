@@ -630,7 +630,33 @@ object SparkEntry {
          list_dot_product(CAST(a.embedding AS DOUBLE[]),
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
-         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q60_interval_join" -> // the naive inequality join IS the oracle: tiny
+      // at sf0.01, the scale killer the bucketed engine path avoids
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us,
+           c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id
+          AND epoch_us(c.ts) >= epoch_us(e.ts) - 7200000000
+          AND epoch_us(c.ts) <= epoch_us(e.ts) + 3600000000""",
+    "q61_weighted_sample" -> // Efraimidis-Spirakis keys off the shared md5
+      // hash; 52-bit u is double-exact on both sides, keys float-cast
+      // before ranking (the q41 rule)
+      """WITH tok AS (SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         k AS (SELECT doc_id, lang, n_tokens,
+             CAST(pow((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 0.5) / 4503599627370496.0,
+               1.0 / n_tokens) AS FLOAT) AS wkey
+           FROM tok WHERE n_tokens >= 1)
+         SELECT doc_id, lang, n_tokens FROM (
+           SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY wkey DESC, doc_id) AS rn FROM k)
+         WHERE rn <= 10""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -850,6 +850,43 @@ object GraftQueries {
       .select(col("vec_id"), col("score"))
   }
 
+  /** Bucketed interval join ([[TemporalJoin.intervalJoin]]): every error
+    * paired with the same user's clicks from 2 hours before to 1
+    * hour after — the range-join shape whose naive formulation (equi-
+    * join + range filter) degenerates to a per-key cartesian. Time axes
+    * are passed as epoch-micros LONGS so the window boundary arithmetic is
+    * integer-exact against the oracle's inequality join (a millis
+    * truncation would disagree on sub-millisecond boundary rows). */
+  def q60IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("ts_us", unix_micros(col("ts")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    TemporalJoin.intervalJoin(errors, clicks, "user_id", "ts_us", "ts_us",
+        rightPayload = Seq("event_id", "value"),
+        before = 7200000000L, after = 3600000000L) // [-2 h, +1 h] in us
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("matched_event_id").as("click_event_id"),
+        col("matched_ts_us").as("click_ts_us"),
+        col("matched_value").as("click_value"))
+  }
+
+  /** Deterministic weighted sampling ([[Sampling.weightedSamplePerKey]]):
+    * 10 documents per language drawn with token-count-proportional odds —
+    * the Efraimidis-Spirakis exponential-key draw off the md5 hash, so the
+    * "random" sample is a pure function of the data and both engines
+    * reproduce it row for row (selection keys float-cast before ranking,
+    * the q41 rule). */
+  def q61WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSamplePerKey(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 1),
+      idCol = "doc_id", stratumCol = "lang", weight = col("n_tokens"),
+      n = 10)
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -915,5 +952,7 @@ object GraftQueries {
     "q56_boilerplate" -> (q56Boilerplate _),
     "q57_token_budget" -> (q57TokenBudget _),
     "q58_packing" -> (q58Packing _),
-    "q59_sq_topk" -> (q59SqTopk _))
+    "q59_sq_topk" -> (q59SqTopk _),
+    "q60_interval_join" -> (q60IntervalJoin _),
+    "q61_weighted_sample" -> (q61WeightedSample _))
 }

@@ -102,4 +102,81 @@ class TemporalJoinSpec extends SparkSpec {
       .toSet
     run(1) shouldBe run(7)
   }
+
+  // ------------------------------------------------------------- interval
+
+  private def bruteInterval(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, String)], before: Long, after: Long)
+      : Set[(Long, String)] =
+    (for {
+      (lid, k, ltv) <- left
+      (rk, rtv, p) <- right
+      if rk == k && rtv >= ltv - before && rtv <= ltv + after
+    } yield (lid, p)).toSet
+
+  test("intervalJoin matches the brute-force pair set, no duplicate pairs") {
+    import spark.implicits._
+    val (l, r) = seeded(31)
+    val out = TemporalJoin.intervalJoin(
+        l.toDF("lid", "k", "lt"), r.toDF("k", "rt", "payload"),
+        "k", "lt", "rt", Seq("payload"), before = 40L, after = 25L)
+      .collect().map(x => (x.getAs[Long]("lid"),
+        x.getAs[String]("matched_payload")))
+    // bag == set: the single-cell right mapping can never emit a pair twice
+    out.length shouldBe out.toSet.size
+    out.toSet shouldBe bruteInterval(l, r, 40L, 25L)
+  }
+
+  test("intervalJoin is bucket-size invariant (bucket only tunes cost)") {
+    import spark.implicits._
+    val (l, r) = seeded(37)
+    def run(bucket: Long) = TemporalJoin.intervalJoin(
+        l.toDF("lid", "k", "lt"), r.toDF("k", "rt", "payload"),
+        "k", "lt", "rt", Seq("payload"), before = 30L, after = 30L,
+        bucketWidth = bucket)
+      .collect().map(x => (x.getAs[Long]("lid"),
+        x.getAs[String]("matched_payload"))).toSet
+    val want = bruteInterval(l, r, 30L, 30L)
+    run(7L) shouldBe want
+    run(60L) shouldBe want
+    run(500L) shouldBe want
+  }
+
+  test("intervalJoin window bounds are inclusive on both ends; " +
+      "asymmetric windows work") {
+    import spark.implicits._
+    val lf = Seq((1L, 5L, 100L)).toDF("lid", "k", "lt")
+    val rf = Seq((5L, 90L, "at_lo"), (5L, 89L, "below"), (5L, 110L, "at_hi"),
+      (5L, 111L, "above"), (6L, 100L, "wrong_key"))
+      .toDF("k", "rt", "payload")
+    TemporalJoin.intervalJoin(lf, rf, "k", "lt", "rt", Seq("payload"),
+        before = 10L, after = 10L)
+      .collect().map(_.getAs[String]("matched_payload")).sorted shouldBe
+      Array("at_hi", "at_lo")
+    // before-only window: nothing after the left time matches
+    TemporalJoin.intervalJoin(lf, rf, "k", "lt", "rt", Seq("payload"),
+        before = 10L, after = 0L)
+      .collect().map(_.getAs[String]("matched_payload")).sorted shouldBe
+      Array("at_lo")
+  }
+
+  test("intervalJoin handles negative time axes (floor cells, not truncate)") {
+    import spark.implicits._
+    val lf = Seq((1L, 5L, -100L)).toDF("lid", "k", "lt")
+    val rf = Seq((5L, -95L, "in"), (5L, -150L, "out")).toDF("k", "rt", "payload")
+    TemporalJoin.intervalJoin(lf, rf, "k", "lt", "rt", Seq("payload"),
+        before = 10L, after = 10L)
+      .collect().map(_.getAs[String]("matched_payload")) shouldBe Array("in")
+  }
+
+  test("intervalJoin plans an equi-join on (key, cell), never a cartesian") {
+    import spark.implicits._
+    val (l, r) = seeded(41)
+    val plan = TemporalJoin.intervalJoin(
+        l.toDF("lid", "k", "lt"), r.toDF("k", "rt", "payload"),
+        "k", "lt", "rt", Seq("payload"), before = 30L, after = 30L)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
