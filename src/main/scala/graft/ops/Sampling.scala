@@ -55,6 +55,41 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Deterministic weighted-sampling key (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): `u^(1/w)` with `u` a
+    * uniform drawn from the row id's md5 — taking the top-n rows by this
+    * key is EXACTLY a weighted sample without replacement, but with every
+    * property of [[hashSample]]: retry-stable, partition-invariant,
+    * engine-portable (any system with md5 + pow reproduces the draw).
+    *
+    * `u` uses 52 md5 bits ((v + 0.5) / 2^52, exactly representable in a
+    * double), so both engines feed IDENTICAL doubles to `pow`; the result
+    * is cast to FLOAT before any rank comparison — the q41 rank-on-float
+    * rule — so a last-ulp `pow` divergence between libm implementations
+    * cannot flip a selection boundary. Rows with weight <= 0 get key 0
+    * (never win a slot) in both engines: pow(u<1, +inf) = 0. */
+  def weightedKey(id: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(id.cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    pow(u, lit(1.0) / weight.cast("double")).cast("float")
+  }
+
+  /** Weighted sample of `n` rows per stratum, without replacement —
+    * the quality-weighted data-selection primitive (inclusion odds scale
+    * with `weightCol`, e.g. token count or a quality score). One hash
+    * shuffle on the stratum + per-stratum rank; ties on the float key
+    * break by id, so the draw is a pure function of the data. */
+  def weightedSamplePerKey(df: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(desc("__wkey"), col(idCol))
+    df.withColumn("__wkey", weightedKey(col(idCol), weight))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__wkey", "__rn")
+  }
+
   /** Per-key WEIGHT-budget cap: walk each key's rows in `orderCol` order and
     * keep rows while the running weight total (inclusive) stays within
     * `budget` — the data-mixing quota primitive ("at most N tokens per

@@ -70,6 +70,53 @@ class SamplingSpec extends SparkSpec {
     Sampling.thresholdHex(0.0) shouldBe "0000"
   }
 
+  test("weightedSamplePerKey matches a driver-side A-ES draw") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 400L).map(i =>
+      (i, s"s${i % 4}", 1L + rnd.nextInt(200).toLong))
+    // driver-side mirror of the exact key math (same 52-bit u, float cast)
+    def key(id: Long, w: Long): Float = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      math.pow(u, 1.0 / w).toFloat
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, ks) =>
+      ks.sortBy { case (id, _, w) => (-key(id, w), id) }.take(7)
+    }.map(_._1).toSet
+    val out = Sampling.weightedSamplePerKey(rows.toDF("id", "s", "w"),
+        "id", "s", col("w"), n = 7)
+      .collect().map(_.getLong(0)).toSet
+    out shouldBe expected
+  }
+
+  test("weightedSamplePerKey inclusion scales with weight (statistical)") {
+    import spark.implicits._
+    // two weight classes, 10x apart; heavy rows must win most slots
+    val rows = (0L until 2000L).map(i =>
+      (i, "one", if (i % 2 == 0) 100L else 10L))
+    val picked = Sampling.weightedSamplePerKey(rows.toDF("id", "s", "w"),
+        "id", "s", col("w"), n = 200)
+      .collect().map(_.getLong(0))
+    picked.length shouldBe 200
+    val heavy = picked.count(_ % 2 == 0)
+    // E[heavy] ~ 178 of 200 under without-replacement weighted draw;
+    // a generous floor separates it from the unweighted 100
+    heavy should be > 150
+  }
+
+  test("weightedSamplePerKey is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, s"s${i % 3}", (i % 23) + 1))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSamplePerKey(df, "id", "s", col("w"), 11)
+        .collect().map(_.getLong(0)).toSet
+    run(rows.toDF("id", "s", "w")) shouldBe
+      run(rows.toDF("id", "s", "w").repartition(13))
+  }
+
   test("capPerKeyBudget matches a driver-side greedy walk") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
