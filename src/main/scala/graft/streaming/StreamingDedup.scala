@@ -31,4 +31,27 @@ object StreamingDedup {
       .withColumn("__fp", unhex(md5(col(textCol))))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming NEAR-dup by 64-bit SimHash: emit the first document per
+    * simhash signature within the watermark horizon — whitespace/typo-level
+    * rewrites that leave the token sign-sum unchanged dedup with it, which
+    * exact fingerprinting misses. State is ONE LONG per surviving
+    * signature (vs 16 digest bytes for [[exactByFingerprint]]).
+    *
+    * This is signature-equality dedup (hamming radius 0) — the streaming
+    * point of the batch family's curve, not a replacement for
+    * [[graft.ops.Dedup.simhashPairs]]'s radius-k pairing: a banded
+    * radius-k would need a state key per chunk AND cross-row candidate
+    * state that `dropDuplicatesWithinWatermark` cannot express; run the
+    * batch operator over the landed data for radius > 0. Semantics match
+    * batch first-occurrence-per-signature exactly (spec-verified). */
+  def nearDupBySimhash(stream: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .withColumn("__sig",
+        graft.ops.Dedup.simhash(
+          graft.functions.TextFunctions.tokens(col(textCol))))
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
 }

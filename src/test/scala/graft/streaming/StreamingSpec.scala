@@ -123,6 +123,42 @@ class StreamingSpec extends SparkSpec {
     got.sorted shouldBe Seq("alpha", "beta", "gamma")
   }
 
+  test("streaming near-dup by simhash: token-order rewrites dedup, " +
+      "distinct content survives, equals batch first-occurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val df = stream.toDS().toDF("ts", "text")
+    val out = StreamingDedup.nearDupBySimhash(df, "ts", "text")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "the quick brown fox"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "entirely different words here"),
+      // same token multiset, different order -> same simhash -> dropped
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "brown fox the quick"),
+      // extra whitespace only -> same tokens -> dropped
+      (Timestamp.valueOf("2024-01-01 10:03:00"), "the  quick   brown fox"),
+      (Timestamp.valueOf("2024-01-01 10:04:00"), "yet another document body"))
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_stream").select("text")
+      .collect().map(_.getString(0)).toSeq
+    got.sorted shouldBe Seq("entirely different words here",
+      "the quick brown fox", "yet another document body")
+    // batch mirror: first occurrence per signature over the same rows
+    val batch = rows.toDF("ts", "text")
+      .withColumn("__sig", graft.ops.Dedup.simhash(
+        graft.functions.TextFunctions.tokens(col("text"))))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__sig")
+          .orderBy("ts")))
+      .filter(col("__rn") === 1)
+      .select("text").collect().map(_.getString(0)).toSeq
+    got.sorted shouldBe batch.sorted
+  }
+
   test("hashSample is stateless: identical rows pass on stream and batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
