@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-relative quality gating — drop rows whose metric falls
+  * outside their GROUP's quantile band (too-short/too-long documents per
+  * language, outlier values per source). The Gopher-style length filters
+  * use absolute bounds; quantile bands adapt per group, which is what a
+  * multilingual corpus needs (a "short" Chinese document and a "short"
+  * German one sit at very different token counts).
+  *
+  * Scale shape: one aggregation computes the per-group band (groups =
+  * languages/sources — a SHORT key domain, thousands at most), then the
+  * band relation broadcasts back onto the corpus scan — the corpus never
+  * shuffles, the same discipline as [[Decontaminate]].
+  *
+  * Exactness: `exact = true` uses Spark's exact `percentile` (full sort
+  * per group in the aggregation buffer) — right when groups are bounded
+  * and REQUIRED for oracle-grade determinism; at 100 TB with huge groups
+  * switch `exact = false` for `approx_percentile` (KLL-style sketch,
+  * bounded memory) and accept rank error <= the accuracy parameter.
+  * Quantile FRACTIONS should be binary-exact doubles (0.25, 0.5, 0.75…)
+  * when cross-engine equality matters: the type-7 interpolation weight
+  * `(n-1)*q` is then computed exactly on both sides (the q38 rule). */
+object Quality {
+
+  /** Per-group [lo, hi] quantile band of `metric`. Output: (<groupCol>,
+    * __qlo, __qhi) — one row per group. */
+  def quantileBand(df: DataFrame, groupCol: String, metric: Column,
+      lo: Double, hi: Double, exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val m = metric.cast("double")
+    val (qlo, qhi) =
+      if (exact) (percentile(m, lit(lo)), percentile(m, lit(hi)))
+      else (approx_percentile(m, lit(lo), lit(accuracy)),
+        approx_percentile(m, lit(hi), lit(accuracy)))
+    df.groupBy(col(groupCol))
+      .agg(qlo.as("__qlo"), qhi.as("__qhi"))
+  }
+
+  /** Keep rows whose `metric` lies INSIDE their group's [lo, hi] quantile
+    * band (inclusive). The band (one row per group) broadcasts; the corpus
+    * side is scanned, never shuffled. */
+  def quantileGate(df: DataFrame, groupCol: String, metric: Column,
+      lo: Double, hi: Double, exact: Boolean = true): DataFrame = {
+    val band = quantileBand(df, groupCol, metric, lo, hi, exact)
+    df.withColumn("__m", metric.cast("double"))
+      .join(broadcast(band), Seq(groupCol))
+      .filter(col("__m") >= col("__qlo") && col("__m") <= col("__qhi"))
+      .select(df.columns.map(col).toIndexedSeq: _*) // caller's column order
+  }
+}
