@@ -656,7 +656,31 @@ object SparkEntry {
            SELECT doc_id, lang, n_tokens,
              row_number() OVER (PARTITION BY lang
                ORDER BY wkey DESC, doc_id) AS rn FROM k)
-         WHERE rn <= 10""") ++
+         WHERE rn <= 10""",
+    "q62_quantile_gate" -> // exact type-7 percentiles at binary-exact
+      // fractions (the q38 rule), inclusive band
+      """WITH tok AS (SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         band AS (SELECT lang,
+             quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS qlo,
+             quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS qhi
+           FROM tok GROUP BY lang)
+         SELECT doc_id, tok.lang, n_tokens
+         FROM tok JOIN band ON tok.lang = band.lang
+         WHERE CAST(n_tokens AS DOUBLE) >= qlo
+           AND CAST(n_tokens AS DOUBLE) <= qhi""",
+    // q63 scans a COMPACTED rewrite of lineitem; compaction is content-
+    // preserving, so the oracle is the same scan + aggregate over the
+    // original table (float total absorbs summation-order drift — q50's
+    // rule)
+    "q63_compact_scan" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l_quantity) AS FLOAT) AS total_qty
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY l_returnflag""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

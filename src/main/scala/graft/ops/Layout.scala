@@ -210,4 +210,37 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** Small-file compaction — the third layout operator (z-order solves
+    * range pruning, bucketing join locality, compaction the SMALL-FILES
+    * problem: a streaming ingest or over-parallel write leaves thousands of
+    * KB-scale files whose per-file open/footer/task overhead dominates every
+    * later scan). Rewrites `path` into files of ~`targetBytes` using the
+    * source's own on-disk size (file-listing metadata — no data pass):
+    *
+    *   - file count = ceil(diskBytes / targetBytes), so the result tracks
+    *     the DATA size, not the parallelism of whoever wrote it;
+    *   - a round-robin `repartition(n)` (no keys, no sort) — the cheapest
+    *     possible full shuffle, and the only one compaction needs; pass
+    *     `sortCols` to re-cluster while compacting (then it is a range
+    *     shuffle, [[zOrderWrite]]'s little sibling for one column).
+    *
+    * Content is preserved exactly; only file granularity changes. Returns
+    * the file count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      out: String, targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Seq.empty): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (sortCols.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    arranged.write.mode("overwrite").parquet(out)
+    n
+  }
 }

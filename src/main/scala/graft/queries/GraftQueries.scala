@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Boilerplate, Decontaminate, Dedup, HybridSearch, Layout, Packing, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TemporalJoin}
+import graft.ops.{Boilerplate, Decontaminate, Dedup, HybridSearch, Layout, Packing, Quality, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -887,6 +887,39 @@ object GraftQueries {
       idCol = "doc_id", stratumCol = "lang", weight = col("n_tokens"),
       n = 10)
 
+  /** Per-group quantile outlier gate ([[Quality.quantileGate]]): keep each
+    * language's documents inside its own [p25, p75] token-count band — the
+    * distribution-relative form of the Gopher length filters (absolute
+    * bounds are wrong across languages). Exact type-7 percentiles at
+    * binary-exact fractions (the q38 rule), band broadcast onto the scan —
+    * the corpus never shuffles. */
+  def q62QuantileGate(spark: SparkSession, dir: String): DataFrame =
+    Quality.quantileGate(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tokens")),
+      groupCol = "lang", metric = col("n_tokens"), lo = 0.25, hi = 0.75)
+
+  /** Small-file compaction ([[Layout.compact]]): rewrite lineitem into
+    * ~2 MB files re-clustered on l_shipdate, then run a date-range scan +
+    * aggregate over the compacted copy. Compaction is content-preserving,
+    * so the oracle is the same SQL over the ORIGINAL table (the q50/q53
+    * rule; float total absorbs summation-order drift across layouts),
+    * while LayoutSpec separately proves the file-count collapse and the
+    * disjoint per-file ranges sorted compaction yields. */
+  def q63CompactScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q63_compact_${spark.sparkContext.applicationId}").toString
+    Layout.compact(spark, s"$dir/lineitem.parquet", out,
+      targetBytes = 2L * 1024 * 1024, sortCols = Seq("l_shipdate"))
+    val c = spark.read.parquet(out)
+    c.filter(col("l_shipdate") >= tsLit(c, "l_shipdate", "1995-01-01 00:00:00")
+        && col("l_shipdate") < tsLit(c, "l_shipdate", "1996-01-01 00:00:00"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("float").as("total_qty"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -954,5 +987,7 @@ object GraftQueries {
     "q58_packing" -> (q58Packing _),
     "q59_sq_topk" -> (q59SqTopk _),
     "q60_interval_join" -> (q60IntervalJoin _),
-    "q61_weighted_sample" -> (q61WeightedSample _))
+    "q61_weighted_sample" -> (q61WeightedSample _),
+    "q62_quantile_gate" -> (q62QuantileGate _),
+    "q63_compact_scan" -> (q63CompactScan _))
 }

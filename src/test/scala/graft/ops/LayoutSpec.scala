@@ -211,4 +211,49 @@ class LayoutSpec extends SparkSpec {
       new Directory(new java.io.File(d2)).deleteRecursively()
     }
   }
+
+  test("compact: a fragmented write collapses to size-targeted files with " +
+      "content preserved; sortCols re-clusters while compacting") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft_comp1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_comp2").toString
+    try {
+      // simulate an over-parallel ingest: 64 tiny files
+      val rows = (0L until 20000L).map(i => (i, i % 97, s"payload_$i"))
+      rows.toDF("id", "k", "s").repartition(64)
+        .write.mode("overwrite").parquet(src)
+      def files(dir: String) = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files(src).length shouldBe 64
+      val totalBytes = files(src).map(_.length()).sum
+
+      // target ~ 1/4 of the data size -> expect about 4 files, never 64
+      val n = Layout.compact(spark, src, out1, targetBytes = totalBytes / 4)
+      files(out1).length shouldBe n
+      n should (be >= 3 and be <= 6)
+      // content preserved exactly
+      spark.read.parquet(out1).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sorted shouldBe
+        rows.sorted
+
+      // sorted compaction: per-file id ranges must be disjoint (clustered)
+      Layout.compact(spark, src, out2, targetBytes = totalBytes / 4,
+        sortCols = Seq("id"))
+      val ranges = files(out2).map { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("id").collect().map(_.getLong(0))
+        (ids.min, ids.max)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => hi should be < lo2
+        case _ =>
+      }
+      spark.read.parquet(out2).count() shouldBe rows.size
+    } finally {
+      import scala.reflect.io.Directory
+      Seq(src, out1, out2).foreach(d =>
+        new Directory(new java.io.File(d)).deleteRecursively())
+    }
+  }
 }
