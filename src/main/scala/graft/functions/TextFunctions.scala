@@ -152,6 +152,32 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       ipv4Pattern, "<IP>")
 
+  /** Markup-stripping patterns, kept to the Java/RE2 shared regex subset
+    * (notably: NO backreference for the script/style close tag — RE2 has
+    * none, so each gets its own literal pattern). `(?s)` lets blocks span
+    * lines; tag/entity matches are case-insensitive via `(?i)`. */
+  val scriptBlockPattern = "(?is)<script[^>]*>.*?</script>"
+  val styleBlockPattern = "(?is)<style[^>]*>.*?</style>"
+  val tagPattern = "(?s)<[^>]*>"
+  val entityPattern = "(?i)&[a-z]+;|&#[0-9]+;"
+
+  /** HTML/markup -> text: drop script/style blocks WITH their content,
+    * replace remaining tags and character entities with spaces, collapse
+    * whitespace — the CommonCrawl-style extraction step before any text
+    * analysis. Pure `regexp_replace` chain (codegen'd, map-only), and
+    * every pattern runs identically under Java regex and RE2, so the
+    * whole transformation is oracle-mirrorable like [[redactPii]].
+    * Replacement is a SPACE, not empty: `a<br>b` must not fuse into one
+    * token. */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, scriptBlockPattern, " "),
+      styleBlockPattern, " ")
+    val noTags = regexp_replace(noBlocks, tagPattern, " ")
+    val noEntities = regexp_replace(noTags, entityPattern, " ")
+    trim(regexp_replace(noEntities, "\\s+", " "))
+  }
+
   /** Within-document repetition ratio over word n-grams: the fraction of
     * n-gram occurrences that repeat an earlier occurrence,
     * `1 - distinct/total` (0 for docs too short to have a gram). The

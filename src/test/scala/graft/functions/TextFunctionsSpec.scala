@@ -117,4 +117,28 @@ class TextFunctionsSpec extends SparkSpec {
       "x <EMAIL> y"
     one(T.redactPii(col("t")), "plain text").getString(0) shouldBe "plain text"
   }
+
+  test("stripMarkup: blocks die with their content, tags become spaces, " +
+      "entities drop, whitespace collapses") {
+    val html = "<html><head><style>p { x: 1 }</style></head><body>" +
+      "<h1>Title</h1><p>alpha<br>beta</p>" +
+      "<SCRIPT>var a = 1 < 2; if (a > 0) {}</SCRIPT>" +
+      "gamma&nbsp;delta &#169; done</body></html>"
+    one(T.stripMarkup(col("t")), html).getString(0) shouldBe
+      "Title alpha beta gamma delta done"
+    // a<br>b must NOT fuse: tags are replaced by spaces
+    one(T.stripMarkup(col("t")), "a<br>b").getString(0) shouldBe "a b"
+    // plain text is a fixed point
+    one(T.stripMarkup(col("t")), "plain old text").getString(0) shouldBe
+      "plain old text"
+    // empty and all-markup inputs give empty text
+    one(T.stripMarkup(col("t")), "<p></p>").getString(0) shouldBe ""
+  }
+
+  test("stripMarkup: case-insensitive blocks, multiline content") {
+    val html = "keep <Style Type=\"a\">\nmulti\nline\n</STYLE> this"
+    one(T.stripMarkup(col("t")), html).getString(0) shouldBe "keep this"
+    val script = "x <script src=\"a.js\">\nlet y = \"<p>\";\n</script> z"
+    one(T.stripMarkup(col("t")), script).getString(0) shouldBe "x z"
+  }
 }
