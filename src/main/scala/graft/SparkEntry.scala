@@ -680,7 +680,39 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
            AND l_shipdate < TIMESTAMP '1996-01-01'
-         GROUP BY l_returnflag""") ++
+         GROUP BY l_returnflag""",
+    "q64_markup_strip" -> // same regex chain, Java/RE2 shared subset (no
+      // backrefs: script/style each get a literal close-tag pattern)
+      """WITH aug AS (SELECT doc_id,
+           '<html><head><style type="text/css">body { color: red }' ||
+           '</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</h1><p>' || text ||
+           '</p><script>var x = 1 < 2;</script>&nbsp;&#169;</body></html>'
+             AS a FROM documents),
+         s AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(a,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+               '(?i)&[a-z]+;|&#[0-9]+;', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean FROM aug)
+         SELECT doc_id, clean,
+           CAST(len(list_filter(string_split_regex(clean, '\s+'),
+             x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         FROM s""",
+    "q65_unigram_score" -> // ln(c) - ln(total) per term on both sides;
+      // float-cast mean absorbs summation-order drift (q29 rule)
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_transform(list_filter(
+               string_split_regex(text, '\s+'), x -> len(x) > 0),
+               x -> lower(x))) AS term FROM documents),
+         freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c
+           FROM tok GROUP BY term),
+         total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+         lp AS (SELECT term, ln(c) - ln(t) AS logp FROM freq, total)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(avg(logp) AS FLOAT) AS avg_logprob
+         FROM tok JOIN lp USING (term) GROUP BY doc_id""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -51,4 +51,40 @@ object Quality {
       .filter(col("__m") >= col("__qlo") && col("__m") <= col("__qhi"))
       .select(df.columns.map(col).toIndexedSeq: _*) // caller's column order
   }
+
+  /** Unigram language-model quality score — the relational core of the
+    * CCNet/LLaMA "perplexity filter": score every document by the mean
+    * log-probability of its tokens under a unigram LM fitted on the corpus
+    * itself (here) or on a trusted reference corpus (pass its frequencies
+    * as `model`). Documents full of gibberish/rare junk score low; fluent
+    * text scores near the corpus mode. Output: (<idCol>, n_tokens,
+    * avg_logprob FLOAT) — float-cast absorbs summation-order ulp drift
+    * (the q29 rule), so the score is oracle-comparable.
+    *
+    * Scale shape: fit = ONE shuffle on lowercased terms (map-side partial
+    * counts); scoring joins the exploded tokens against the term table —
+    * a natural-language vocabulary is Zipf-bounded (millions of terms for
+    * terabytes of text), so AQE broadcasts it in practice; the per-doc
+    * aggregation ships (id, logprob) doubles only. Self-trained scoring
+    * has no OOV tokens by construction; a reference `model` should be
+    * smoothed before passing in. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      model: Option[DataFrame] = None): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+        .as("__term"))
+    val lm = model.getOrElse {
+      val counts = toks.groupBy(col("__term"))
+        .agg(count(lit(1)).as("__c"))
+      // total token count: a 1-row aggregate broadcast into the logprob —
+      // log(c) - log(total) keeps the math a pure per-term function
+      val total = counts.agg(sum(col("__c"))).head().getLong(0).toDouble
+      counts.select(col("__term"),
+        (log(col("__c").cast("double")) - math.log(total)).as("__logp"))
+    }
+    toks.join(lm, Seq("__term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("__logp")).cast("float").as("avg_logprob"))
+  }
 }

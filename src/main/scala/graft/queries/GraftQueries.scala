@@ -920,6 +920,35 @@ object GraftQueries {
         sum(col("l_quantity")).cast("float").as("total_qty"))
   }
 
+  /** Markup stripping ([[graft.functions.TextFunctions.stripMarkup]]): the
+    * fixture documents wrapped in HTML (per-doc heading, style block,
+    * script with a bare `<` in its body, entities) and extracted back to
+    * text — the CommonCrawl HTML-to-text step. Pure regexp_replace chain
+    * in the Java/RE2 shared subset, mirrored verbatim in the oracle (the
+    * q40 construction). */
+  def q64MarkupStrip(spark: SparkSession, dir: String): DataFrame = {
+    val aug = t(spark, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<html><head><style type=\"text/css\">body { color: red }" +
+          "</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><script>var x = 1 < 2;</script>&nbsp;&#169;</body></html>"))
+        .as("a"))
+    val clean = stripMarkup(col("a"))
+    aug.select(col("doc_id"), clean.as("clean"),
+      tokenCount(clean).cast("long").as("n_tokens"))
+  }
+
+  /** Unigram LM quality scoring ([[Quality.unigramLogProb]]): every
+    * document scored by the mean log-probability of its tokens under the
+    * corpus's own unigram model — the relational core of the CCNet-style
+    * perplexity filter. Float-cast mean absorbs summation-order drift, so
+    * the fit + join + score pipeline hash-checks against the DuckDB
+    * mirror. */
+  def q65UnigramScore(spark: SparkSession, dir: String): DataFrame =
+    Quality.unigramLogProb(t(spark, dir, "documents"), "doc_id", "text")
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -989,5 +1018,7 @@ object GraftQueries {
     "q60_interval_join" -> (q60IntervalJoin _),
     "q61_weighted_sample" -> (q61WeightedSample _),
     "q62_quantile_gate" -> (q62QuantileGate _),
-    "q63_compact_scan" -> (q63CompactScan _))
+    "q63_compact_scan" -> (q63CompactScan _),
+    "q64_markup_strip" -> (q64MarkupStrip _),
+    "q65_unigram_score" -> (q65UnigramScore _))
 }

@@ -83,4 +83,45 @@ class QualitySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Quality.quantileBand(df, "g", col("v"), -0.1, 0.5)
   }
+
+  test("unigramLogProb matches a driver-side fit + score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "RARE Words Here"),
+      (4L, "the the the"))
+    val toks = docs.flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w => (id, w.toLowerCase)) }
+    val total = toks.size.toDouble
+    val freq = toks.groupBy(_._2).map { case (w, xs) =>
+      w -> (math.log(xs.size.toDouble) - math.log(total)) }
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase)
+      id -> ((ws.length.toLong, (ws.map(freq).sum / ws.length).toFloat))
+    }.toMap
+
+    val out = Quality.unigramLogProb(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getFloat(2))))
+      .toMap
+    out.keySet shouldBe expected.keySet
+    out.foreach { case (id, (n, s)) =>
+      n shouldBe expected(id)._1
+      s shouldBe expected(id)._2 +- 1e-5f
+    }
+    // ordering sanity: the all-stopword doc outscores the all-rare doc
+    out(4L)._2 should be > out(3L)._2
+  }
+
+  test("unigramLogProb accepts an external reference model") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb"), (2L, "aa cc")).toDF("doc_id", "text")
+    val model = Seq(("aa", -1.0), ("bb", -2.0), ("cc", -10.0))
+      .toDF("__term", "__logp")
+    val out = Quality.unigramLogProb(docs, "doc_id", "text", Some(model))
+      .collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    out(1L) shouldBe -1.5f +- 1e-6f
+    out(2L) shouldBe -5.5f +- 1e-6f
+  }
 }
