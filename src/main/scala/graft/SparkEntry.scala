@@ -712,7 +712,18 @@ object SparkEntry {
          lp AS (SELECT term, ln(c) - ln(t) AS logp FROM freq, total)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(avg(logp) AS FLOAT) AS avg_logprob
-         FROM tok JOIN lp USING (term) GROUP BY doc_id""") ++
+         FROM tok JOIN lp USING (term) GROUP BY doc_id""",
+    "q66_chunk_docs" -> // 32-token windows striding 24; range() mirrors
+      // the engine's sequence() starts, slices clamp at the tail
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         c AS (SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_id,
+               array_to_string(toks[s+1:s+32], ' ') AS chunk,
+               CAST(len(toks[s+1:s+32]) AS BIGINT) AS n_tokens
+               FROM tok, UNNEST(range(0, len(toks), 24)) AS t(s)
+               WHERE len(toks) > 0)
+         SELECT doc_id, chunk_id, chunk, n_tokens FROM c""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

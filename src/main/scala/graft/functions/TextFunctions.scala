@@ -214,6 +214,30 @@ object TextFunctions {
         struct(ns.map(n => ratio(shingles(toks, n)).as(s"rep$n")): _*)), 1)
   }
 
+  /** Overlapping token windows — the chunking step of an embedding/RAG
+    * ingestion pipeline (documents exceed the embedder's context, so each
+    * becomes several `size`-token chunks striding by `size - overlap`;
+    * the overlap keeps boundary-straddling passages retrievable). Returns
+    * the array of chunk strings in document order (`posexplode` it for
+    * chunk ids); the final chunk may be shorter, an empty document gets no
+    * chunks. Map-only column math; the token array is let-bound via the
+    * one-element-array transform (the [[wordShingles]] rule — HOF lambdas
+    * get no common-subexpression elimination). */
+  def tokenChunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    val stride = size - overlap
+    element_at(
+      transform(array(tokens(text)), toks =>
+        when(size_(toks) === 0, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(0), size_(toks) - 1, lit(stride)),
+            s => concat_ws(" ", slice(toks, s + 1, lit(size)))))), 1)
+  }
+
+  // `size` the Int parameter shadows functions.size inside tokenChunks
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Jaccard similarity of the distinct-element sets of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -949,6 +949,20 @@ object GraftQueries {
   def q65UnigramScore(spark: SparkSession, dir: String): DataFrame =
     Quality.unigramLogProb(t(spark, dir, "documents"), "doc_id", "text")
 
+  /** Document chunking ([[graft.functions.TextFunctions.tokenChunks]]):
+    * every document split into 32-token windows striding by 24 (8-token
+    * overlap) — the embedding-ingestion step for documents longer than the
+    * embedder's context. Map-only (posexplode of let-bound column math);
+    * chunk ids and text mirror DuckDB's range-stride reconstruction
+    * exactly. */
+  def q66ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(tokenChunks(col("text"), size = 32, overlap = 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk"),
+        tokenCount(col("col")).cast("long").as("n_tokens"))
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1020,5 +1034,6 @@ object GraftQueries {
     "q62_quantile_gate" -> (q62QuantileGate _),
     "q63_compact_scan" -> (q63CompactScan _),
     "q64_markup_strip" -> (q64MarkupStrip _),
-    "q65_unigram_score" -> (q65UnigramScore _))
+    "q65_unigram_score" -> (q65UnigramScore _),
+    "q66_chunk_docs" -> (q66ChunkDocs _))
 }

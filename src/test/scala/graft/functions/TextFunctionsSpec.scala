@@ -141,4 +141,33 @@ class TextFunctionsSpec extends SparkSpec {
     val script = "x <script src=\"a.js\">\nlet y = \"<p>\";\n</script> z"
     one(T.stripMarkup(col("t")), script).getString(0) shouldBe "x z"
   }
+
+  test("tokenChunks: stride, overlap, ragged tail, empty doc") {
+    def chunks(t: String, size: Int, overlap: Int): Seq[String] =
+      one(T.tokenChunks(col("t"), size, overlap), t).getSeq[String](0)
+    // 7 tokens, size 3, overlap 1 -> starts 0,2,4,6
+    chunks("a b c d e f g", 3, 1) shouldBe
+      Seq("a b c", "c d e", "e f g", "g")
+    // no overlap: disjoint cover
+    chunks("a b c d e", 2, 0) shouldBe Seq("a b", "c d", "e")
+    // doc shorter than one chunk: a single short chunk
+    chunks("a b", 5, 2) shouldBe Seq("a b")
+    // empty / blank: no chunks
+    chunks("", 4, 1) shouldBe Seq.empty
+    chunks("   ", 4, 1) shouldBe Seq.empty
+    // every token appears in some chunk; consecutive chunks share overlap
+    val rnd = new scala.util.Random(3)
+    val doc = Seq.fill(50)(s"w${rnd.nextInt(9)}").mkString(" ")
+    val cs = chunks(doc, 8, 3).map(_.split(" ").toSeq)
+    cs.flatten.mkString(" ") should include(doc.split(" ").last)
+    cs.init.foreach(_.size shouldBe 8)
+    cs.sliding(2).foreach {
+      case Seq(a, b) => a.takeRight(3) shouldBe b.take(3)
+      case _ =>
+    }
+    an[IllegalArgumentException] should be thrownBy
+      T.tokenChunks(col("t"), 4, 4)
+    an[IllegalArgumentException] should be thrownBy
+      T.tokenChunks(col("t"), 0, 0)
+  }
 }
