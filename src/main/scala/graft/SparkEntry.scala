@@ -723,7 +723,74 @@ object SparkEntry {
                CAST(len(toks[s+1:s+32]) AS BIGINT) AS n_tokens
                FROM tok, UNNEST(range(0, len(toks), 24)) AS t(s)
                WHERE len(toks) > 0)
-         SELECT doc_id, chunk_id, chunk, n_tokens FROM c""") ++
+         SELECT doc_id, chunk_id, chunk, n_tokens FROM c""",
+    "q67_pivot" -> // FILTERed aggregation mirrors the pinned-values pivot;
+      // float-cast value sums absorb summation-order drift (q29 rule)
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+         CAST(sum(value) FILTER (WHERE event_type = 'click') AS FLOAT) AS click_val,
+         CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_n,
+         CAST(sum(value) FILTER (WHERE event_type = 'error') AS FLOAT) AS error_val,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
+         CAST(sum(value) FILTER (WHERE event_type = 'purchase') AS FLOAT) AS purchase_val,
+         CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_n,
+         CAST(sum(value) FILTER (WHERE event_type = 'signup') AS FLOAT) AS signup_val,
+         CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
+         CAST(sum(value) FILTER (WHERE event_type = 'view') AS FLOAT) AS view_val
+         FROM events GROUP BY 1""",
+    "q68_retention" -> // same lag-window formulation; date_diff guards the
+      // DATE-minus-DATE representation difference across engines
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+             FROM events),
+         l AS (SELECT day, user_id,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+             FROM d)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS active,
+           CAST(count(CASE WHEN date_diff('day', prev, day) = 1 THEN 1 END)
+             AS BIGINT) AS retained,
+           CAST(CAST(count(CASE WHEN date_diff('day', prev, day) = 1 THEN 1
+             END) AS DOUBLE) / count(*) AS FLOAT) AS rate
+         FROM l GROUP BY day""",
+    "q69_postings" -> // same bigram construction; string_agg ORDER BY
+      // mirrors the engine's sorted comma-joined postings
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0) AS tk FROM documents),
+         big0 AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+             i -> tk[i] || ' ' || tk[i+1])) AS term FROM toks),
+         big AS (SELECT DISTINCT doc_id, term FROM big0),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM big
+             GROUP BY term HAVING count(*) BETWEEN 5 AND 60)
+         SELECT term, df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+         FROM big JOIN dfc USING (term) GROUP BY term, df""",
+    "q70_funnel" -> // identical chained conditional-min windows; epoch
+      // micros so both engines compare at the same precision
+      """WITH e0 AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+             FROM events),
+         e1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_us END)
+             OVER (PARTITION BY user_id) AS s1 FROM e0),
+         e2 AS (SELECT *, min(CASE WHEN event_type = 'view'
+               AND ts_us > s1 THEN ts_us END)
+             OVER (PARTITION BY user_id) AS s2 FROM e1),
+         e3 AS (SELECT *, min(CASE WHEN event_type = 'click'
+               AND ts_us > s2 THEN ts_us END)
+             OVER (PARTITION BY user_id) AS s3 FROM e2),
+         e4 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+               AND ts_us > s3 THEN ts_us END)
+             OVER (PARTITION BY user_id) AS s4 FROM e3)
+         SELECT
+           CAST(count(DISTINCT CASE WHEN s1 IS NOT NULL THEN user_id END)
+             AS BIGINT) AS n_signup,
+           CAST(count(DISTINCT CASE WHEN s2 IS NOT NULL THEN user_id END)
+             AS BIGINT) AS n_view,
+           CAST(count(DISTINCT CASE WHEN s3 IS NOT NULL THEN user_id END)
+             AS BIGINT) AS n_click,
+           CAST(count(DISTINCT CASE WHEN s4 IS NOT NULL THEN user_id END)
+             AS BIGINT) AS n_purchase
+         FROM e4""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

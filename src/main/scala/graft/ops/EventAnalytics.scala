@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics shapes: ordered conversion funnels and
+  * day-over-day retention. Extends the reference's event surface (the
+  * notebook only previews rows) with the reporting queries an events table
+  * exists to answer.
+  *
+  * Scale shape: both operators are single-shuffle. The funnel chains its
+  * per-stage thresholds as window columns over ONE user partitioning
+  * (Spark stacks the Window operators on the same Exchange); retention
+  * uses a lag window instead of the textbook activity-to-activity
+  * self-join on day+1, which would shuffle the activity table twice.
+  */
+object EventAnalytics {
+
+  /** Users reaching each stage of `stages` with strictly increasing event
+    * times: stage i counts a user iff an event of type `stages(i)` exists
+    * after their stage i-1 time. One row, one `n_<stage>` count per stage.
+    * `tsCol` should be a totally ordered column (epoch micros — portable
+    * comparison precision). */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(userCol))
+    val staged = stages.zipWithIndex.foldLeft(df) { case (d, (tpe, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === tpe
+        else col(typeCol) === tpe && col(tsCol) > col(s"__s${i - 1}")
+      d.withColumn(s"__s$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val counts = stages.zipWithIndex.map { case (tpe, i) =>
+      countDistinct(when(col(s"__s$i").isNotNull, col(userCol)))
+        .as(s"n_$tpe")
+    }
+    staged.agg(counts.head, counts.tail: _*)
+  }
+
+  /** Per-day active users and how many were also active the previous
+    * calendar day. Output: (day: date, active, retained) — one lag window
+    * over the distinct (day, user) activity set. */
+  def dailyRetention(df: DataFrame, userCol: String,
+      dayCol: String): DataFrame = {
+    val d = df.select(col(dayCol).as("day"), col(userCol)).distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col("day"))
+    d.withColumn("__prev", lag(col("day"), 1).over(w))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active"),
+        count(when(datediff(col("day"), col("__prev")) === 1, 1))
+          .as("retained"))
+  }
+}

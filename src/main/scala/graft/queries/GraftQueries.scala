@@ -963,6 +963,59 @@ object GraftQueries {
         col("col").as("chunk"),
         tokenCount(col("col")).cast("long").as("n_tokens"))
 
+  /** Event-type pivot: per-day counts and value totals fanned out to one
+    * column pair per event type — the wide-table reporting shape. Spark's
+    * `pivot` with explicit values compiles to a single map-side-combinable
+    * aggregate (no second shuffle, no distinct-values job since the value
+    * list is pinned); the oracle is the equivalent FILTERed aggregation.
+    * Float-cast value sums absorb summation-order drift (q29 rule). */
+  def q67Pivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("val"))
+
+  /** Day-over-day retention ([[graft.ops.EventAnalytics.dailyRetention]]):
+    * per calendar day, how many users were active and how many of those
+    * were also active the previous day. One shuffle on user_id (the lag
+    * window), then a day rollup — no self-join of the activity table (the
+    * textbook formulation joins activity to itself on day+1, doubling the
+    * shuffle). Rate is a float division of two exact counts —
+    * engine-portable. */
+  def q68Retention(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.dailyRetention(
+      events(spark, dir).withColumn("day", to_date(col("ts"))),
+      "user_id", "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("active"), col("retained"),
+        (col("retained").cast("double") / col("active")).cast("float")
+          .as("rate"))
+
+  /** Inverted index over word bigrams ([[InvertedIndex.build]]): term →
+    * (document frequency, sorted postings string) for the df band [5, 60].
+    * Bigrams because the fixture's unigram vocabulary is 31 near-universal
+    * terms; the band drops hapax noise and unbounded-posting stopword
+    * grams, and — per the two-pass build — drops them BEFORE any postings
+    * are collected. */
+  def q69Postings(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.InvertedIndex.build(
+      t(spark, dir, "documents"), "doc_id",
+      wordShingles(lower(col("text")), 2), minDf = 5, maxDf = 60)
+
+  /** Ordered conversion funnel ([[graft.ops.EventAnalytics.funnel]]):
+    * users reaching signup → view → click → purchase with strictly
+    * increasing event times. Four chained conditional-min window passes
+    * over ONE user_id partitioning (a single shuffle; each stage's
+    * threshold is the previous stage's column), then a one-row
+    * distinct-count rollup. Timestamps compared as epoch micros so both
+    * engines rank at identical precision (q36/q60 rule). */
+  def q70Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnel(
+      events(spark, dir).withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "event_type", "ts_us",
+      Seq("signup", "view", "click", "purchase"))
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1035,5 +1088,9 @@ object GraftQueries {
     "q63_compact_scan" -> (q63CompactScan _),
     "q64_markup_strip" -> (q64MarkupStrip _),
     "q65_unigram_score" -> (q65UnigramScore _),
-    "q66_chunk_docs" -> (q66ChunkDocs _))
+    "q66_chunk_docs" -> (q66ChunkDocs _),
+    "q67_pivot" -> (q67Pivot _),
+    "q68_retention" -> (q68Retention _),
+    "q69_postings" -> (q69Postings _),
+    "q70_funnel" -> (q70Funnel _))
 }

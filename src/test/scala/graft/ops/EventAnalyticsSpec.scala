@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("funnel requires strictly increasing stage times") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "click", 30L),
+      (1L, "purchase", 40L),
+      // user 2: purchase BEFORE click — must not count past view
+      (2L, "signup", 10L), (2L, "view", 20L), (2L, "purchase", 25L),
+      (2L, "click", 30L),
+      // user 3: view precedes signup — counts signup only
+      (3L, "view", 5L), (3L, "signup", 10L),
+      // user 4: never signed up
+      (4L, "view", 1L), (4L, "click", 2L), (4L, "purchase", 3L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val r = EventAnalytics.funnel(ev, "user_id", "event_type", "ts_us",
+      Seq("signup", "view", "click", "purchase")).collect()(0)
+    r.getLong(0) shouldBe 3 // users 1,2,3 signed up
+    r.getLong(1) shouldBe 2 // users 1,2 viewed after signup
+    r.getLong(2) shouldBe 2 // users 1,2 clicked after view
+    r.getLong(3) shouldBe 1 // only user 1 purchased after click
+  }
+
+  test("funnel uses later same-type events when the first is too early") {
+    import spark.implicits._
+    // view at 5 is before signup, but the view at 15 still qualifies
+    val ev = Seq((1L, "view", 5L), (1L, "signup", 10L), (1L, "view", 15L))
+      .toDF("user_id", "event_type", "ts_us")
+    val r = EventAnalytics.funnel(ev, "user_id", "event_type", "ts_us",
+      Seq("signup", "view")).collect()(0)
+    (r.getLong(0), r.getLong(1)) shouldBe ((1L, 1L))
+  }
+
+  test("dailyRetention counts previous-calendar-day actives only") {
+    import spark.implicits._
+    val act = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-02"), // dup row
+      (2L, "2024-01-01"), (2L, "2024-01-03"),                     // gap day
+      (3L, "2024-01-02"), (3L, "2024-01-03")
+    ).toDF("user_id", "d").withColumn("day", to_date(col("d")))
+    val r = EventAnalytics.dailyRetention(act, "user_id", "day")
+      .collect()
+      .map(x => x.getDate(0).toString -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    r("2024-01-01") shouldBe ((2L, 0L))
+    r("2024-01-02") shouldBe ((2L, 1L)) // user 1 returned; user 3 is new
+    r("2024-01-03") shouldBe ((2L, 1L)) // user 3 returned; user 2 gapped
+  }
+
+  test("funnel plans one exchange: stage windows share the partitioning") {
+    import spark.implicits._
+    val ev = Seq((1L, "signup", 10L), (1L, "view", 20L))
+      .toDF("user_id", "event_type", "ts_us")
+    val plan = EventAnalytics.funnel(ev, "user_id", "event_type", "ts_us",
+      Seq("signup", "view", "click")).queryExecution.executedPlan.toString
+    // one shuffle for the user windows + the final single-row aggregate's
+    // exchange; the three stage windows must NOT each re-shuffle
+    val shuffles = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    shuffles shouldBe 1
+  }
+}
