@@ -120,7 +120,7 @@ object Bench {
       var cents: Array[Array[Float]] = null
       val build = timed {
         val (ix, cs) = SimilaritySearch.ivfBuildKMeans(scaled, "vec_id",
-          "embedding", nCells = 32)
+          "embedding", nCells = 32, totalHint = Some(n))
         indexedP = ix.persist(); cents = cs
         indexedP.count()
       }

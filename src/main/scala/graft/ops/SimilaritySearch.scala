@@ -327,14 +327,20 @@ object SimilaritySearch {
     * iteration; MLlib's KMeans adds k-means|| init — itself rounds of
     * distributed re-sampling — plus `ml.Vector` conversion; both measured
     * 3-5x slower at modest k). Iteration stops early when no centroid
-    * moves more than `tol` (squared L2). */
+    * moves more than `tol` (squared L2).
+    *
+    * `totalHint` skips the corpus-count job when the caller already knows
+    * the row count (Bench counts to materialize the cache; an ingest
+    * pipeline knows its batch size) — at 100 TB that count is a full scan
+    * saved. */
   def ivfBuildKMeans(corpus: DataFrame, pk: String, vecCol: String,
       nCells: Int = 16, maxIter: Int = 5, seed: Long = 42L,
-      fitRowsPerCell: Int = 1024, tol: Double = 1e-4)
+      fitRowsPerCell: Int = 1024, tol: Double = 1e-4,
+      totalHint: Option[Long] = None)
       : (DataFrame, Array[Array[Float]]) = {
     import graft.expressions.VectorExpressions.nearestCentroid
     import graft.functions.VectorFunctions.l2Normalize
-    val total = corpus.count()
+    val total = totalHint.getOrElse(corpus.count())
     require(total > 0, "ivfBuildKMeans: empty corpus")
     val cells = math.min(nCells.toLong, total).toInt
     val target = cells.toLong * fitRowsPerCell
@@ -345,9 +351,19 @@ object SimilaritySearch {
         math.min(1.0, target.toDouble / total * 1.05), seed)
     val fit = sampled.select(col(vecCol))
       .rdd.map(_.getSeq[Float](0).toArray).persist()
-    // deterministic distributed seeded draw; ships k rows only
-    var cents: Array[Array[Float]] = fit.takeSample(
-      withReplacement = false, cells, seed)
+    // Init: head rows of each partition of the (already seeded-random)
+    // fit sample — ONE job, one-per-partition spread. takeSample would be
+    // an extra full pass (its internal count) before the sample collect;
+    // it remains the fallback when the head pick comes up short (tiny or
+    // skewed-empty partitions). Deterministic given data + partitioning,
+    // same contract as takeSample.
+    var cents: Array[Array[Float]] = {
+      val parts = math.max(1, fit.getNumPartitions)
+      val perPart = cells / parts + (if (cells % parts == 0) 0 else 1)
+      val head = fit.mapPartitions(_.take(perPart)).collect()
+      if (head.length >= cells) head.take(cells)
+      else fit.takeSample(withReplacement = false, cells, seed)
+    }
     val dim = cents.head.length
     val sc = corpus.sparkSession.sparkContext
     var iter = 0

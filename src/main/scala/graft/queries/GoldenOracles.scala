@@ -182,14 +182,15 @@ object GoldenOracles {
          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                 CAST(b.embedding AS DOUBLE[])) > 0.45)"""
 
-  /** Round-3 pinned fallback (used only when no SparkSession is active to
-    * self-derive): q13's exact-pair SQL minus the pinned 10-pair
-    * cross-cell miss list. */
+  /** Round-4 pinned fallback (used only when no SparkSession is active to
+    * self-derive): q13's exact-pair SQL minus the pinned 9-pair
+    * cross-cell miss list (re-derived after the round-4 head-of-partition
+    * centroid init in [[graft.ops.SimilaritySearch.ivfBuildKMeans]]). */
   private def q47Pinned: String = q47ExactWith +
     """,
          miss(m_a, m_b) AS (VALUES
-           (7,340), (28,305), (44,301), (45,298), (53,300), (75,256),
-           (158,452), (169,466), (238,287), (338,406))
+           (53,300), (75,256), (156,438), (158,452), (166,324),
+           (169,466), (238,287), (290,325), (387,388))
          SELECT id_a, id_b, score FROM exact
          WHERE NOT EXISTS (SELECT 1 FROM miss
            WHERE m_a = id_a AND m_b = id_b)"""
