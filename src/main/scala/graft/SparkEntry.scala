@@ -790,7 +790,15 @@ object SparkEntry {
              AS BIGINT) AS n_click,
            CAST(count(DISTINCT CASE WHEN s4 IS NOT NULL THEN user_id END)
              AS BIGINT) AS n_purchase
-         FROM e4""") ++
+         FROM e4""",
+    "q71_heavy_hitters" -> // capacity 64 > the 31-term vocabulary, so the
+      // MG sketch is exact and the plain top-10 is the oracle
+      """WITH tok AS (SELECT
+             unnest(list_transform(list_filter(string_split_regex(text,
+               '\s+'), x -> len(x) > 0), x -> lower(x))) AS term
+             FROM documents)
+         SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
+         GROUP BY term ORDER BY n DESC, term LIMIT 10""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -1,8 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -150,6 +153,106 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Misra-Gries frequent-items sketch as a typed aggregate (Misra & Gries
+  * 1982; merge rule from Agarwal et al. 2012, "Mergeable Summaries"). At
+  * most `capacity` counters of state per partial buffer, independent of
+  * cardinality — the one-pass top-k shape for 100 TB term/URL/n-gram
+  * streams where `groupBy(term).count` would shuffle a vocabulary of
+  * billions. Guarantees: estimates never exceed true counts, undercount by
+  * at most N/(capacity+1), and any item with true count > N/(capacity+1)
+  * survives; with capacity ≥ distinct items the counts are exact.
+  *
+  * Returns ALL surviving counters as array<struct<term,count>> sorted by
+  * (count desc, term asc) — callers explode and limit to their k. Note:
+  * with drops, which borderline items survive depends on merge order, so
+  * only the guarantees above (not the exact counter set) are stable across
+  * partitionings; at capacity ≥ distinct the result is deterministic. */
+case class MgTopK(child: Expression, capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Long]]
+    with UnaryLike[Expression] {
+  require(capacity > 0, "mg_topk: capacity must be positive")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("count", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_topk needs a string column, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): scala.collection.mutable.HashMap[String, Long] =
+    scala.collection.mutable.HashMap.empty
+
+  override def update(b: scala.collection.mutable.HashMap[String, Long],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.asInstanceOf[UTF8String].toString
+      b.get(t) match {
+        case Some(c) => b.update(t, c + 1)
+        case None if b.size < capacity => b.update(t, 1L)
+        case None =>
+          // classic MG step: the unseen item and every counter pay 1
+          b.toList.foreach { case (k, c) =>
+            if (c == 1) b.remove(k) else b.update(k, c - 1)
+          }
+      }
+    }
+    b
+  }
+
+  override def merge(b: scala.collection.mutable.HashMap[String, Long],
+      other: scala.collection.mutable.HashMap[String, Long])
+      : scala.collection.mutable.HashMap[String, Long] = {
+    other.foreach { case (k, c) => b.update(k, b.getOrElse(k, 0L) + c) }
+    if (b.size > capacity) {
+      // subtract the (capacity+1)-th largest count from all, drop <= 0 —
+      // the mergeable-summaries rule (error adds, stays <= N/(capacity+1))
+      val m = b.values.toArray.sortInPlace()(Ordering[Long].reverse)
+        .apply(capacity)
+      b.toList.foreach { case (k, c) =>
+        if (c - m <= 0) b.remove(k) else b.update(k, c - m)
+      }
+    }
+    b
+  }
+
+  override def eval(b: scala.collection.mutable.HashMap[String, Long]): Any = {
+    val sorted = b.toArray.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(sorted.map { case (t, c) =>
+      org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(t), c)
+    })
+  }
+
+  override def serialize(b: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(b.size)
+    b.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = scala.collection.mutable.HashMap.empty[String, Long]
+    (0 until n).foreach { _ => val k = in.readUTF(); b.update(k, in.readLong()) }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MgTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MgTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MgTopK =
+    copy(child = newChild)
+  override def prettyName: String = "mg_topk"
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -158,4 +261,8 @@ object SketchExpressions {
 
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
+
+  /** Misra-Gries frequent items over a string column (see [[MgTopK]]). */
+  def mgTopK(term: Column, capacity: Int): Column =
+    column(MgTopK(expression(term), capacity).toAggregateExpression())
 }

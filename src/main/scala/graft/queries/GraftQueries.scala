@@ -1016,6 +1016,23 @@ object GraftQueries {
       "user_id", "event_type", "ts_us",
       Seq("signup", "view", "click", "purchase"))
 
+  /** Heavy hitters ([[graft.expressions.MgTopK]]): top-10 corpus terms via
+    * the Misra-Gries sketch — at most 64 counters of state per partial
+    * buffer regardless of vocabulary, vs `groupBy(term).count`'s
+    * full-vocabulary shuffle (billions of keys for URL/n-gram streams at
+    * 100 TB). The fixture vocabulary (31 terms) sits under the capacity,
+    * so the sketch is provably exact and the oracle is the plain exact
+    * top-10; MgSketchSpec covers the lossy regime's bounds. */
+  def q71HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .agg(graft.expressions.SketchExpressions.mgTopK(col("term"), 64)
+        .as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.count").as("n"))
+      .orderBy(desc("n"), col("term"))
+      .limit(10)
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1092,5 +1109,6 @@ object GraftQueries {
     "q67_pivot" -> (q67Pivot _),
     "q68_retention" -> (q68Retention _),
     "q69_postings" -> (q69Postings _),
-    "q70_funnel" -> (q70Funnel _))
+    "q70_funnel" -> (q70Funnel _),
+    "q71_heavy_hitters" -> (q71HeavyHitters _))
 }
