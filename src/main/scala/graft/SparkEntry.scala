@@ -798,7 +798,39 @@ object SparkEntry {
                '\s+'), x -> len(x) > 0), x -> lower(x))) AS term
              FROM documents)
          SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
-         GROUP BY term ORDER BY n DESC, term LIMIT 10""") ++
+         GROUP BY term ORDER BY n DESC, term LIMIT 10""",
+    "q72_mixture" -> // same rollup-then-window construction; float casts
+      // absorb the tiny window-sum fold order (q29 rule)
+      """WITH d AS (SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+         s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens FROM d GROUP BY source),
+         w AS (SELECT *, CAST(tokens AS DOUBLE) / sum(tokens) OVER ()
+             AS share FROM s),
+         v AS (SELECT *, sqrt(share) AS wr FROM w)
+         SELECT source, n_docs, tokens, CAST(share AS FLOAT) AS share,
+           CAST(wr / sum(wr) OVER () AS FLOAT) AS weight FROM v""",
+    "q73_quality_deciles" -> // q65's scoring pipeline, then rank-exact
+      // ntile; (score, doc_id) tiebreak makes the order total so both
+      // engines bin identically
+      """WITH tok AS (SELECT doc_id,
+             unnest(list_transform(list_filter(
+               string_split_regex(text, '\s+'), x -> len(x) > 0),
+               x -> lower(x))) AS term FROM documents),
+         freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c
+           FROM tok GROUP BY term),
+         total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tok),
+         lp AS (SELECT term, ln(c) - ln(t) AS logp FROM freq, total),
+         scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(avg(logp) AS FLOAT) AS avg_logprob
+           FROM tok JOIN lp USING (term) GROUP BY doc_id),
+         b AS (SELECT *, CAST(ntile(10) OVER (ORDER BY avg_logprob, doc_id)
+             AS BIGINT) AS decile FROM scored)
+         SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(avg(avg_logprob) AS FLOAT) AS mean_score
+         FROM b GROUP BY decile""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -1033,6 +1033,44 @@ object GraftQueries {
       .orderBy(desc("n"), col("term"))
       .limit(10)
 
+  /** Source-mixture weights: per-source doc/token totals and
+    * temperature-scaled sampling weights (weight ∝ sqrt(token share),
+    * renormalized — the multinomial mixing step of multi-source LLM
+    * pipelines, temperature 2 flattens head sources). The global windows
+    * run AFTER the per-source rollup, over one row per source — bounded
+    * by source count, not corpus size. Float casts absorb the 5-double
+    * window-sum fold order (q29 rule). */
+  def q72Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    t(spark, dir, "documents")
+      .select(col("source"), tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("share",
+        col("tokens").cast("double") / sum(col("tokens")).over(all))
+      .withColumn("w", sqrt(col("share")))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        col("share").cast("float").as("share"),
+        (col("w") / sum(col("w")).over(all)).cast("float").as("weight"))
+  }
+
+  /** Rank-exact quality deciles over the q65 unigram scores: ntile(10) by
+    * (score, doc_id), then per-decile doc/token rollups — the curriculum
+    * view of corpus quality. The global ntile sorts ONE narrow
+    * (doc_id, n_tokens, score) projection, never the text; rank-exact
+    * deciles are inherently a global sort — [[Quality.quantileGate]]
+    * (q62) is the broadcast-band scale path when value-based bins
+    * suffice. doc_id tiebreak makes the ordering total, so both engines
+    * bin identically (float scores tie across near-dup docs). */
+  def q73QualityDeciles(spark: SparkSession, dir: String): DataFrame =
+    Quality.unigramLogProb(t(spark, dir, "documents"), "doc_id", "text")
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("avg_logprob"), col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        avg(col("avg_logprob")).cast("float").as("mean_score"))
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1110,5 +1148,7 @@ object GraftQueries {
     "q68_retention" -> (q68Retention _),
     "q69_postings" -> (q69Postings _),
     "q70_funnel" -> (q70Funnel _),
-    "q71_heavy_hitters" -> (q71HeavyHitters _))
+    "q71_heavy_hitters" -> (q71HeavyHitters _),
+    "q72_mixture" -> (q72Mixture _),
+    "q73_quality_deciles" -> (q73QualityDeciles _))
 }
