@@ -32,11 +32,18 @@ object EventAnalytics {
         else col(typeCol) === tpe && col(tsCol) > col(s"__s${i - 1}")
       d.withColumn(s"__s$i", min(when(cond, col(tsCol))).over(w))
     }
+    // Collapse to one row per user BEFORE counting: the stage columns are
+    // per-user constants, and dropDuplicates reuses the windows' user
+    // partitioning (no new exchange), so the final count is a plain
+    // conditional count — a multi-column countDistinct here would compile
+    // to an N-stage Expand over every event row.
+    val perUser = staged
+      .select(col(userCol) +: stages.indices.map(i => col(s"__s$i")): _*)
+      .dropDuplicates(userCol)
     val counts = stages.zipWithIndex.map { case (tpe, i) =>
-      countDistinct(when(col(s"__s$i").isNotNull, col(userCol)))
-        .as(s"n_$tpe")
+      count(when(col(s"__s$i").isNotNull, 1)).as(s"n_$tpe")
     }
-    staged.agg(counts.head, counts.tail: _*)
+    perUser.agg(counts.head, counts.tail: _*)
   }
 
   /** Per-day active users and how many were also active the previous

@@ -964,11 +964,13 @@ object GraftQueries {
         tokenCount(col("col")).cast("long").as("n_tokens"))
 
   /** Event-type pivot: per-day counts and value totals fanned out to one
-    * column pair per event type — the wide-table reporting shape. Spark's
-    * `pivot` with explicit values compiles to a single map-side-combinable
-    * aggregate (no second shuffle, no distinct-values job since the value
-    * list is pinned); the oracle is the equivalent FILTERed aggregation.
-    * Float-cast value sums absorb summation-order drift (q29 rule). */
+    * column pair per event type — the wide-table reporting shape. Pinning
+    * the value list skips the distinct-values job, and the plan is
+    * two-phase: a map-side-combinable (day, type) pre-aggregate, then
+    * pivotfirst over day — the second exchange ships only pre-aggregated
+    * (day x type) rows, never events. Oracle is the equivalent FILTERed
+    * aggregation; float-cast value sums absorb summation-order drift
+    * (q29 rule). */
   def q67Pivot(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

@@ -60,9 +60,12 @@ class EventAnalyticsSpec extends SparkSpec {
     val plan = EventAnalytics.funnel(ev, "user_id", "event_type", "ts_us",
       Seq("signup", "view", "click")).queryExecution.executedPlan.toString
     // one shuffle for the user windows + the final single-row aggregate's
-    // exchange; the three stage windows must NOT each re-shuffle
+    // exchange; the three stage windows must NOT each re-shuffle, and the
+    // per-user collapse must reuse the windows' partitioning
     val shuffles = "Exchange hashpartitioning\\(user_id".r
       .findAllIn(plan).length
     shuffles shouldBe 1
+    // the per-user collapse also kills the countDistinct Expand
+    plan should not include "Expand"
   }
 }
