@@ -830,7 +830,39 @@ object SparkEntry {
          SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS tokens,
            CAST(avg(avg_logprob) AS FLOAT) AS mean_score
-         FROM b GROUP BY decile""") ++
+         FROM b GROUP BY decile""",
+    "q74_profile" -> // one UNION ALL branch per profiled column; numeric
+      // min/max as doubles, string as strings (the other pair null)
+      """SELECT 'o_orderkey' AS col_name,
+           CAST(count(o_orderkey) AS BIGINT) AS non_nulls,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str FROM orders
+         UNION ALL
+         SELECT 'o_totalprice',
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE),
+           CAST(max(o_totalprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus',
+           CAST(count(o_orderstatus) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderstatus), max(o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority',
+           CAST(count(o_orderpriority) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           min(o_orderpriority), max(o_orderpriority) FROM orders""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

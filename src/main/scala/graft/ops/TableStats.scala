@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** ANALYZE-style table profiling: per-column row counts, null counts,
+  * distinct counts, and min/max in ONE pass over the table — the stats
+  * collection a cost-based optimizer (and any data-quality report) runs
+  * before everything else.
+  *
+  * Scale shape: all columns' statistics come from a single aggregate scan.
+  * With `exactNdv = false` (the 100 TB default) distinct counts use HLL++
+  * (`approx_count_distinct`, rsd 5%): constant sketch state per column,
+  * map-side combinable, no extra passes. `exactNdv = true` swaps in
+  * `count(DISTINCT col)` per column, which Spark executes via an N-way
+  * Expand of the scan (one replica per distinct aggregate) — acceptable on
+  * validation-scale tables, wrong at 100 TB; it exists so small-table
+  * profiles can be oracle-exact.
+  *
+  * Output: one row per column — (col_name, non_nulls, nulls, n_distinct,
+  * min_num, max_num, min_str, max_str). Numeric columns report min/max as
+  * doubles; string columns as strings; each leaves the other pair null
+  * (mixed-type min/max as strings would inherit engine-specific number
+  * formatting).
+  */
+object TableStats {
+
+  def profile(df: DataFrame, cols: Seq[String],
+      exactNdv: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns given")
+    val total = count(lit(1))
+    val aggs = total.as("__total") +: cols.flatMap { c =>
+      val ndv =
+        if (exactNdv) countDistinct(col(c)) else approx_count_distinct(c)
+      Seq(count(col(c)).as(s"__nn_$c"), ndv.as(s"__nd_$c")) ++
+        (df.schema(c).dataType match {
+          case _: NumericType => Seq(
+            min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c"))
+          case _ => Seq(
+            min(col(c)).cast("string").as(s"__smin_$c"),
+            max(col(c)).cast("string").as(s"__smax_$c"))
+        })
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+      struct(
+        lit(c).as("col_name"),
+        col(s"__nn_$c").as("non_nulls"),
+        (col("__total") - col(s"__nn_$c")).as("nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (numeric) col(s"__min_$c") else lit(null).cast("double"))
+          .as("min_num"),
+        (if (numeric) col(s"__max_$c") else lit(null).cast("double"))
+          .as("max_num"),
+        (if (numeric) lit(null).cast("string") else col(s"__smin_$c"))
+          .as("min_str"),
+        (if (numeric) lit(null).cast("string") else col(s"__smax_$c"))
+          .as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+}

@@ -1073,6 +1073,16 @@ object GraftQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
         avg(col("avg_logprob")).cast("float").as("mean_score"))
 
+  /** Table profiling ([[TableStats.profile]]): ANALYZE-style per-column
+    * stats over orders in one aggregate scan. Oracle-exact ndv here
+    * (validation-scale table); the op's default is the HLL sketch path —
+    * constant state, no Expand — which is the 100 TB shape
+    * (TableStatsSpec pins both regimes). */
+  def q74Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TableStats.profile(t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"),
+      exactNdv = true)
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1152,5 +1162,6 @@ object GraftQueries {
     "q70_funnel" -> (q70Funnel _),
     "q71_heavy_hitters" -> (q71HeavyHitters _),
     "q72_mixture" -> (q72Mixture _),
-    "q73_quality_deciles" -> (q73QualityDeciles _))
+    "q73_quality_deciles" -> (q73QualityDeciles _),
+    "q74_profile" -> (q74Profile _))
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TableStatsSpec extends SparkSpec {
+
+  private lazy val mixed = {
+    import spark.implicits._
+    Seq(
+      (Some(1L), Some(2.5), Some("b")),
+      (Some(2L), None, Some("a")),
+      (Some(2L), Some(7.5), None),
+      (None, Some(2.5), Some("c"))
+    ).toDF("k", "v", "s")
+  }
+
+  test("exact profile: counts, nulls, ndv, typed min/max") {
+    val rows = TableStats.profile(mixed, Seq("k", "v", "s"),
+      exactNdv = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    (k.getLong(1), k.getLong(2), k.getLong(3)) shouldBe ((3L, 1L, 2L))
+    (k.getDouble(4), k.getDouble(5)) shouldBe ((1.0, 2.0))
+    k.isNullAt(6) shouldBe true
+    val v = rows("v")
+    (v.getLong(1), v.getLong(2), v.getLong(3)) shouldBe ((3L, 1L, 2L))
+    (v.getDouble(4), v.getDouble(5)) shouldBe ((2.5, 7.5))
+    val s = rows("s")
+    (s.getLong(1), s.getLong(2), s.getLong(3)) shouldBe ((3L, 1L, 3L))
+    s.isNullAt(4) shouldBe true
+    (s.getString(6), s.getString(7)) shouldBe (("a", "c"))
+  }
+
+  test("approx profile: HLL ndv within rsd bounds of exact") {
+    import spark.implicits._
+    val df = (0L until 20000L).map(i => i % 5000).toDF("k")
+    val nd = TableStats.profile(df, Seq("k")).collect()(0).getLong(3)
+    nd.toDouble shouldBe 5000.0 +- 500.0 // ~3 sigma at rsd 0.05
+  }
+
+  test("approx mode is Expand-free (one-pass at scale); exact mode is not") {
+    val approx = TableStats.profile(mixed, Seq("k", "v", "s"))
+      .queryExecution.executedPlan.toString
+    approx should not include "Expand"
+    val exact = TableStats.profile(mixed, Seq("k", "v", "s"),
+      exactNdv = true).queryExecution.executedPlan.toString
+    exact should include("Expand")
+  }
+}
