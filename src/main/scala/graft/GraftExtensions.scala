@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{SortedCountCommon, VecDot}
+import graft.expressions.{MgTopK, SortedCountCommon, VecDot}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   * or into a live session with [[GraftFunctions.register]]. Registered
   * functions: `vec_dot(a, b)`, `vec_cosine(a, b)` (alias of dot for
-  * unit-norm vectors), `sorted_count_common(a, b)`.
+  * unit-norm vectors), `sorted_count_common(a, b)`, and the aggregate
+  * `mg_topk(term, capacity)` (capacity a literal).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -33,7 +34,14 @@ object GraftFunctions {
       (es: Seq[Expression]) => VecDot(es(0), es(1))),
     ("sorted_count_common",
       new ExpressionInfo(classOf[SortedCountCommon].getName, null, "sorted_count_common"),
-      (es: Seq[Expression]) => SortedCountCommon(es(0), es(1))))
+      (es: Seq[Expression]) => SortedCountCommon(es(0), es(1))),
+    ("mg_topk", // aggregate: the analyzer wraps AggregateFunctions
+      new ExpressionInfo(classOf[MgTopK].getName, null, "mg_topk"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 && es(1).foldable,
+          "mg_topk(term, capacity) needs a literal capacity")
+        MgTopK(es(0), es(1).eval().asInstanceOf[Number].intValue())
+      }))
 
   /** Register into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -862,7 +862,18 @@ object SparkEntry {
            CAST(count(*) - count(o_orderpriority) AS BIGINT),
            CAST(count(DISTINCT o_orderpriority) AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           min(o_orderpriority), max(o_orderpriority) FROM orders""") ++
+           min(o_orderpriority), max(o_orderpriority) FROM orders""",
+    "q75_histogram" -> // identical double bin math on both sides; the
+      // right edge clamps into the last bin
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             FROM orders),
+         h AS (SELECT least(CAST(floor((o_totalprice - lo) /
+                 ((hi - lo) / 20.0)) AS BIGINT), 19) AS bin, lo, hi
+             FROM orders, b WHERE o_totalprice IS NOT NULL)
+         SELECT bin, lo + bin * ((hi - lo) / 20.0) AS bin_lo,
+           lo + (bin + 1) * ((hi - lo) / 20.0) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+         FROM h GROUP BY bin, lo, hi""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

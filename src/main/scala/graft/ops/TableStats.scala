@@ -62,4 +62,33 @@ object TableStats {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equal-width value histogram of a numeric column: `bins` buckets over
+    * [lo, hi] (data min/max when not given — ONE bounded bounds-aggregate,
+    * its two doubles folded into the bin expression), right edge clamped
+    * into the last bin. Map-only bin assignment + one bin-keyed aggregate;
+    * nulls and out-of-range rows are dropped. Output: (bin, bin_lo,
+    * bin_hi, n). */
+  def histogram(df: DataFrame, c: String, bins: Int,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
+    require(bins > 0, "histogram: bins must be positive")
+    val (lo, hi) = bounds.getOrElse {
+      val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .head()
+      require(!r.isNullAt(0), s"histogram: $c has no non-null values")
+      (r.getDouble(0), r.getDouble(1))
+    }
+    require(hi >= lo, s"histogram: empty range [$lo, $hi]")
+    val width = if (hi > lo) (hi - lo) / bins else 1.0
+    val bin = least(floor((col(c).cast("double") - lit(lo)) / lit(width))
+      .cast("long"), lit(bins - 1L))
+    df.filter(col(c).isNotNull &&
+        col(c).cast("double").between(lo, hi))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(width)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
+        col("n"))
+  }
 }

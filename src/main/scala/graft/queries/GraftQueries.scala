@@ -1083,6 +1083,15 @@ object GraftQueries {
       Seq("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"),
       exactNdv = true)
 
+  /** Value histogram ([[TableStats.histogram]]): 20 equal-width bins over
+    * o_totalprice with data-derived bounds — the profiling companion of
+    * q74. The bounds aggregate collects two doubles; bin assignment is
+    * map-only identical double math in both engines, so counts and
+    * boundaries hash-match without casts. */
+  def q75Histogram(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TableStats.histogram(t(spark, dir, "orders"),
+      "o_totalprice", bins = 20)
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1163,5 +1172,6 @@ object GraftQueries {
     "q71_heavy_hitters" -> (q71HeavyHitters _),
     "q72_mixture" -> (q72Mixture _),
     "q73_quality_deciles" -> (q73QualityDeciles _),
-    "q74_profile" -> (q74Profile _))
+    "q74_profile" -> (q74Profile _),
+    "q75_histogram" -> (q75Histogram _))
 }

@@ -58,6 +58,22 @@ class MgSketchSpec extends SparkSpec {
     rows shouldBe Seq(("a", 2L), ("b", 2L), ("c", 1L))
   }
 
+  test("mg_topk is callable from SQL (GraftExtensions surface)") {
+    graft.GraftFunctions.register(spark)
+    zipf.createOrReplaceTempView("mg_zipf")
+    val rows = spark.sql(
+      "SELECT explode(mg_topk(term, 16)) AS e FROM mg_zipf")
+      .select(col("e.term"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows("t0") shouldBe 1024L
+    rows("t9") shouldBe 2L
+    // literal-capacity guard
+    val err = intercept[Exception] {
+      spark.sql("SELECT mg_topk(term, length(term)) FROM mg_zipf").collect()
+    }
+    err.getMessage should include("literal capacity")
+  }
+
   test("partial aggregation: the plan carries the sketch, not the terms") {
     // TypedImperativeAggregate runs map-side partial + reduce-side final:
     // the exchange ships <= capacity counters per partition, not rows

@@ -38,6 +38,29 @@ class TableStatsSpec extends SparkSpec {
     nd.toDouble shouldBe 5000.0 +- 500.0 // ~3 sigma at rsd 0.05
   }
 
+  test("histogram: equal-width bins, right-edge clamp, null drop") {
+    import spark.implicits._
+    val df = (Seq(0.0, 1.0, 2.5, 5.0, 7.5, 10.0).map(Option(_)) :+
+      Option.empty[Double]).toDF("v")
+    val bins = TableStats.histogram(df, "v", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // width 2.5: [0,2.5) has 0,1; [2.5,5) has 2.5; [5,7.5) has 5;
+    // [7.5,10] has 7.5 and the clamped right edge 10
+    bins(0L) shouldBe ((0.0, 2.5, 2L))
+    bins(1L) shouldBe ((2.5, 5.0, 1L))
+    bins(2L) shouldBe ((5.0, 7.5, 1L))
+    bins(3L) shouldBe ((7.5, 10.0, 2L))
+  }
+
+  test("histogram with pinned bounds drops out-of-range rows") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.0, 1.0, 9.0, 42.0).toDF("v")
+    val bins = TableStats.histogram(df, "v", 2, bounds = Some((0.0, 10.0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    bins shouldBe Map(0L -> 2L, 1L -> 1L)
+  }
+
   test("approx mode is Expand-free (one-pass at scale); exact mode is not") {
     val approx = TableStats.profile(mixed, Seq("k", "v", "s"))
       .queryExecution.executedPlan.toString
