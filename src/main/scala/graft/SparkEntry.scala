@@ -873,7 +873,32 @@ object SparkEntry {
          SELECT bin, lo + bin * ((hi - lo) / 20.0) AS bin_lo,
            lo + (bin + 1) * ((hi - lo) / 20.0) AS bin_hi,
            CAST(count(*) AS BIGINT) AS n
-         FROM h GROUP BY bin, lo, hi""") ++
+         FROM h GROUP BY bin, lo, hi""",
+    "q76_diff" -> // value-level compare mirrors the engine's digest
+      // compare (equal digests == equal casted values); +1.0 on a double
+      // is exact in both engines
+      """WITH after AS (
+           SELECT o_orderkey,
+             o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0
+               ELSE 0.0 END AS o_totalprice,
+             o_orderstatus, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_totalprice,
+             o_orderstatus, o_orderpriority
+           FROM orders WHERE o_orderkey % 83 = 0),
+         j AS (SELECT
+             coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN a.o_orderkey IS NULL THEN 'removed'
+                  WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+                    OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+                    OR b.o_orderpriority IS DISTINCT FROM a.o_orderpriority
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status
+           FROM orders b FULL OUTER JOIN after a
+             ON b.o_orderkey = a.o_orderkey)
+         SELECT o_orderkey, status FROM j WHERE status <> 'unchanged'""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

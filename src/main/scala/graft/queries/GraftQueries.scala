@@ -1092,6 +1092,25 @@ object GraftQueries {
     graft.ops.TableStats.histogram(t(spark, dir, "orders"),
       "o_totalprice", bins = 20)
 
+  /** Snapshot diff ([[TableDiff.diff]]): orders vs a deterministically
+    * perturbed copy (every 97th key dropped, every 89th repriced, every
+    * 83rd re-keyed as new) — added/removed/changed classification. The
+    * engine compares 16-byte digests after collapsing each side to
+    * (pk, digest); the oracle compares the values themselves, so digest
+    * and value equality are checked against each other. */
+  def q76Diff(spark: SparkSession, dir: String): DataFrame = {
+    val before = t(spark, dir, "orders")
+    val kept = before.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        col("o_totalprice") +
+          when(col("o_orderkey") % 89 === 0, 1.0).otherwise(0.0))
+    val added = before.filter(col("o_orderkey") % 83 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val after = kept.unionByName(added)
+    graft.ops.TableDiff.diff(before, after, "o_orderkey",
+      Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1173,5 +1192,6 @@ object GraftQueries {
     "q72_mixture" -> (q72Mixture _),
     "q73_quality_deciles" -> (q73QualityDeciles _),
     "q74_profile" -> (q74Profile _),
-    "q75_histogram" -> (q75Histogram _))
+    "q75_histogram" -> (q75Histogram _),
+    "q76_diff" -> (q76Diff _))
 }
