@@ -47,7 +47,10 @@ object Bench {
     // round-4 additions (new anchors): z-order rewrite+scan, bucketed
     // write+join — the layout queries time the WRITE cost the layouts
     // repay at read/join time
-    "q50_zorder_scan", "q53_bucket_join")
+    "q50_zorder_scan", "q53_bucket_join",
+    // round-4 continuation additions (new anchors): inverted index,
+    // funnel windows, MG sketch, snapshot diff
+    "q69_postings", "q70_funnel", "q71_heavy_hitters", "q76_diff")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
