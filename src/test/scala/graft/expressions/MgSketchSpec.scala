@@ -74,6 +74,29 @@ class MgSketchSpec extends SparkSpec {
     err.getMessage should include("literal capacity")
   }
 
+  test("mg_topk aggregates under Structured Streaming (mergeable state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val sdf = stream.toDF().toDF("term")
+      .agg(SketchExpressions.mgTopK(col("term"), 16).as("hh"))
+    val q = sdf.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    // two separate micro-batches: the final sketch must merge incremental
+    // buffer state across them, not recompute from scratch
+    stream.addData("a", "a", "b")
+    q.processAllAvailable()
+    stream.addData("a", "c")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mg_stream")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
+  }
+
   test("partial aggregation: the plan carries the sketch, not the terms") {
     // TypedImperativeAggregate runs map-side partial + reduce-side final:
     // the exchange ships <= capacity counters per partition, not rows
