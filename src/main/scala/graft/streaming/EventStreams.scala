@@ -27,6 +27,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream interval join (the streaming attribution shape): every
+    * left row paired with right rows of the same key whose event time lies
+    * in [leftTs - before, leftTs + after]. Both sides carry watermarks and
+    * the join predicate bounds BOTH event times, so Spark derives a state
+    * watermark per side and evicts buffered rows once they can no longer
+    * match — state is bounded by watermark + interval width, never by
+    * stream length (the batch twin is [[graft.ops.TemporalJoin
+    * .intervalJoin]]; at 100 TB/day the bounded state is the whole
+    * point). Column names must be disjoint across sides apart from the
+    * join key; the result carries left columns + `right`-prefixed
+    * payload. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, before: String, after: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= expr(s"l.$leftTs - INTERVAL $before") &&
+        col(s"r.$rightTs") <= expr(s"l.$leftTs + INTERVAL $after"))
+      .drop(col(s"r.$key"))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, nEvents: Int, total: Double)
   case class Session(user_id: Long, start_ts: java.sql.Timestamp,

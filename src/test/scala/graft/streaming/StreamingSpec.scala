@@ -230,4 +230,43 @@ class StreamingSpec extends SparkSpec {
       .toSet
     got shouldBe want
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // errors at :01 and :30; clicks inside/outside the [-10 min, +5 min]
+    // window around each error
+    val errs = Seq((1L, ts(1), 100L), (1L, ts(30), 101L), (2L, ts(30), 102L))
+    val clks = Seq((1L, ts(4), 900L), (1L, ts(25), 901L), (1L, ts(50), 902L),
+      (2L, ts(28), 903L), (3L, ts(30), 904L))
+    val es = MemoryStream[(Long, Timestamp, Long)]
+    val cs = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.intervalJoinStream(
+      es.toDF().toDF("user_id", "e_ts", "error_id"),
+      cs.toDF().toDF("user_id", "c_ts", "click_id"),
+      "user_id", "e_ts", "c_ts", "'10' MINUTE", "'5' MINUTE",
+      watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    es.addData(errs: _*); cs.addData(clks: _*)
+    q.processAllAvailable()
+    // advance both watermarks far enough to flush all pairs
+    es.addData((8L, ts(59), 0L)); cs.addData((9L, ts(59), 0L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin")
+      .select($"error_id", $"click_id").as[(Long, Long)].collect().toSet
+    // batch twin on the same rows
+    val want = graft.ops.TemporalJoin.intervalJoin(
+      errs.toDF("user_id", "ts_us", "error_id")
+        .withColumn("ts_us", unix_micros($"ts_us")),
+      clks.toDF("user_id", "ts_us", "click_id")
+        .withColumn("ts_us", unix_micros($"ts_us")),
+      "user_id", "ts_us", "ts_us", rightPayload = Seq("click_id"),
+      before = 600000000L, after = 300000000L)
+      .select($"error_id", $"matched_click_id").as[(Long, Long)]
+      .collect().toSet
+    want should not be empty
+    got shouldBe want
+  }
 }
