@@ -59,7 +59,8 @@ object GoldenOracles {
         "q23_semantic_topk" -> q23,
         "q25_hybrid" -> q25,
         "q47_semdedup" -> q47For(dir),
-        "q48_approx_distinct" -> q48)
+        "q48_approx_distinct" -> q48,
+        "q77_sketch_rollup" -> q77)
     else always
   }
 
@@ -287,6 +288,39 @@ object GoldenOracles {
          SELECT event_type, day, CAST(approx_users AS BIGINT) AS approx_users,
            CAST(exact_users AS BIGINT) AS exact_users
          FROM exact JOIN approx ON event_type = a_type AND day = a_day
+         WHERE abs(approx_users - exact_users) <= 0.10 * exact_users"""
+
+  /** q77 (sketch-merge rollup): the approx column is a union of daily
+    * Datasketches HLL sketches — deterministic (register max-merge) but
+    * with no DuckDB twin, so pinned (q48's construction); DuckDB computes
+    * the weekly exact counts and the 10% guard self-audits the pins. At
+    * the fixture's <=150-user weeks the sketch sits in its exact (sparse)
+    * regime, so pins equal exact — HllMergeSpec covers the estimation
+    * regime. */
+  private val q77: String =
+    """WITH exact AS (SELECT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           count(DISTINCT user_id) AS exact_users
+         FROM events GROUP BY 1, 2),
+         approx(a_type, a_week, approx_users) AS (VALUES
+           ('click','2024-01-01',147), ('click','2024-01-08',145),
+           ('click','2024-01-15',146), ('click','2024-01-22',144),
+           ('click','2024-01-29',84),
+           ('error','2024-01-01',143), ('error','2024-01-08',147),
+           ('error','2024-01-15',142), ('error','2024-01-22',142),
+           ('error','2024-01-29',83),
+           ('purchase','2024-01-01',143), ('purchase','2024-01-08',141),
+           ('purchase','2024-01-15',141), ('purchase','2024-01-22',143),
+           ('purchase','2024-01-29',92),
+           ('signup','2024-01-01',141), ('signup','2024-01-08',144),
+           ('signup','2024-01-15',146), ('signup','2024-01-22',147),
+           ('signup','2024-01-29',90),
+           ('view','2024-01-01',139), ('view','2024-01-08',145),
+           ('view','2024-01-15',140), ('view','2024-01-22',143),
+           ('view','2024-01-29',101))
+         SELECT event_type, week, CAST(approx_users AS BIGINT) AS approx_users,
+           CAST(exact_users AS BIGINT) AS exact_users
+         FROM exact JOIN approx ON event_type = a_type AND week = a_week
          WHERE abs(approx_users - exact_users) <= 0.10 * exact_users"""
 
   private val q21: String =

@@ -1111,6 +1111,29 @@ object GraftQueries {
       Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
   }
 
+  /** Sketch-merge rollup: per-(type, week) distinct users estimated by
+    * UNIONING the seven daily HLL sketches (`hll_sketch_agg` →
+    * `hll_union_agg` → estimate) instead of rescanning the week — the
+    * 100 TB pattern where daily sketches are persisted once and every
+    * coarser rollup (week/month/quarter) is a cheap register-max merge
+    * over kilobyte sketches. The exact column exists to audit the
+    * estimate (same construction as q48); HllMergeSpec proves the merge
+    * itself is lossless (union of parts == sketch of the whole). */
+  def q77SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .withColumn("week",
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val daily = e.groupBy(col("event_type"), col("week"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"), col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_users"))
+    val exact = e.groupBy(col("event_type"), col("week"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type", "week"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1193,5 +1216,6 @@ object GraftQueries {
     "q73_quality_deciles" -> (q73QualityDeciles _),
     "q74_profile" -> (q74Profile _),
     "q75_histogram" -> (q75Histogram _),
-    "q76_diff" -> (q76Diff _))
+    "q76_diff" -> (q76Diff _),
+    "q77_sketch_rollup" -> (q77SketchRollup _))
 }
