@@ -345,13 +345,17 @@ object Bench {
       }
       name -> times
     }
+    // extras run on a full bench, or when named in `only` ("x_vec",
+    // "x_ingest", "x_dedup") — so a contended-run row can be re-anchored
+    // alone without paying for the whole suite
+    def wantExtra(tag: String) = only.forall(_.contains(tag))
     val (vecMin, vecMed) =
-      if (only.isEmpty) scaledVectorBench(spark, sfDir, reps)
+      if (wantExtra("x_vec")) scaledVectorBench(spark, sfDir, reps)
       else (Seq.empty, Seq.empty)
     val ingestBench =
-      if (only.isEmpty) ingestEmbedIndexBench(spark) else Seq.empty
+      if (wantExtra("x_ingest")) ingestEmbedIndexBench(spark) else Seq.empty
     val dedupScaled =
-      if (only.isEmpty) scaledDedupBench(spark, sfDir) else Seq.empty
+      if (wantExtra("x_dedup")) scaledDedupBench(spark, sfDir) else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
