@@ -36,6 +36,40 @@ class TableDiffSpec extends SparkSpec {
     d shouldBe Map(1L -> "changed")
   }
 
+  test("property: random perturbations classify exactly as a driver diff") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val before = (0L until 500L).map(i =>
+        (i, Option.when(rnd.nextDouble() > 0.1)(s"v${rnd.nextInt(5)}"),
+          Option.when(rnd.nextDouble() > 0.1)(rnd.nextInt(3).toDouble)))
+      val after = before.flatMap { case (k, s, v) =>
+        rnd.nextDouble() match {
+          case d if d < 0.1 => None // removed
+          case d if d < 0.3 => // changed (maybe to an equal value)
+            Some((k, s.map(_ => s"v${rnd.nextInt(5)}"), v))
+          case _ => Some((k, s, v))
+        }
+      } ++ (1000L until 1000L + rnd.nextInt(20)).map(k =>
+        (k, Some("new"), Some(1.0)))
+      val got = TableDiff.diff(
+        before.toDF("pk", "s", "v"), after.toDF("pk", "s", "v"),
+        "pk", Seq("s", "v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bm = before.map(r => r._1 -> ((r._2, r._3))).toMap
+      val am = after.map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = ((bm.keySet ++ am.keySet).flatMap { k =>
+        (bm.get(k), am.get(k)) match {
+          case (None, Some(_)) => Some(k -> "added")
+          case (Some(_), None) => Some(k -> "removed")
+          case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+          case _ => None
+        }
+      }).toMap
+      got shouldBe want
+    }
+  }
+
   test("the full-outer join ships digests, not payloads") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"s$i", i.toDouble))
