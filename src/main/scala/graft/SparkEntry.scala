@@ -898,7 +898,36 @@ object SparkEntry {
                   ELSE 'unchanged' END AS status
            FROM orders b FULL OUTER JOIN after a
              ON b.o_orderkey = a.o_orderkey)
-         SELECT o_orderkey, status FROM j WHERE status <> 'unchanged'""") ++
+         SELECT o_orderkey, status FROM j WHERE status <> 'unchanged'""",
+    "q78_session_funnel" -> // q42's session CTEs + q70's chained stage
+      // windows, partitioned by (user, session); DISTINCT collapse then
+      // plain conditional counts, mirroring the engine
+      """WITH lagd AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts)) AS prev
+           FROM events),
+         flag AS (SELECT user_id, event_type, ts_us,
+             CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                  THEN 1 ELSE 0 END AS new_s FROM lagd),
+         sess AS (SELECT user_id, event_type, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) AS sid FROM flag),
+         e1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+             OVER (PARTITION BY user_id, sid) AS s1 FROM sess),
+         e2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+               AND ts_us > s1 THEN ts_us END)
+             OVER (PARTITION BY user_id, sid) AS s2 FROM e1),
+         e3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+               AND ts_us > s2 THEN ts_us END)
+             OVER (PARTITION BY user_id, sid) AS s3 FROM e2),
+         k AS (SELECT DISTINCT user_id, sid, s1, s2, s3 FROM e3)
+         SELECT CAST(count(CASE WHEN s1 IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_view,
+           CAST(count(CASE WHEN s2 IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_click,
+           CAST(count(CASE WHEN s3 IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_purchase
+         FROM k""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

@@ -23,27 +23,35 @@ object EventAnalytics {
     * `tsCol` should be a totally ordered column (epoch micros — portable
     * comparison precision). */
   def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame =
+    funnelByKeys(df, Seq(userCol), typeCol, tsCol, stages)
+
+  /** [[funnel]] generalized to a composite entity key — e.g. (user,
+    * session) for within-session conversion. A coarser existing
+    * partitioning (user) satisfies the (user, session) clustering, so
+    * composing after a sessionizing window adds NO exchange. */
+  def funnelByKeys(df: DataFrame, keyCols: Seq[String], typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val w = Window.partitionBy(col(userCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
     val staged = stages.zipWithIndex.foldLeft(df) { case (d, (tpe, i)) =>
       val cond =
         if (i == 0) col(typeCol) === tpe
         else col(typeCol) === tpe && col(tsCol) > col(s"__s${i - 1}")
       d.withColumn(s"__s$i", min(when(cond, col(tsCol))).over(w))
     }
-    // Collapse to one row per user BEFORE counting: the stage columns are
-    // per-user constants, and dropDuplicates reuses the windows' user
+    // Collapse to one row per key BEFORE counting: the stage columns are
+    // per-key constants, and dropDuplicates reuses the windows'
     // partitioning (no new exchange), so the final count is a plain
     // conditional count — a multi-column countDistinct here would compile
     // to an N-stage Expand over every event row.
-    val perUser = staged
-      .select(col(userCol) +: stages.indices.map(i => col(s"__s$i")): _*)
-      .dropDuplicates(userCol)
+    val perKey = staged
+      .select(keyCols.map(col) ++ stages.indices.map(i => col(s"__s$i")): _*)
+      .dropDuplicates(keyCols)
     val counts = stages.zipWithIndex.map { case (tpe, i) =>
       count(when(col(s"__s$i").isNotNull, 1)).as(s"n_$tpe")
     }
-    perUser.agg(counts.head, counts.tail: _*)
+    perKey.agg(counts.head, counts.tail: _*)
   }
 
   /** Per-day active users and how many were also active the previous

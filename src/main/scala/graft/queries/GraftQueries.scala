@@ -1134,6 +1134,26 @@ object GraftQueries {
     merged.join(exact, Seq("event_type", "week"))
   }
 
+  /** Per-session conversion funnel: q42's session assignment (30-min gap,
+    * lag/flag/cumsum per user) composed with
+    * [[graft.ops.EventAnalytics.funnelByKeys]] partitioned by
+    * (user, session) — how many SESSIONS reach view → click → purchase
+    * in order. The session windows partition by user and the funnel
+    * windows by (user, sid); the coarser user partitioning satisfies
+    * both, so the whole pipeline runs on ONE exchange. */
+  def q78SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sess = events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.ops.EventAnalytics.funnelByKeys(sess, Seq("user_id", "sid"),
+      "event_type", "ts_us", Seq("view", "click", "purchase"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1217,5 +1237,6 @@ object GraftQueries {
     "q74_profile" -> (q74Profile _),
     "q75_histogram" -> (q75Histogram _),
     "q76_diff" -> (q76Diff _),
-    "q77_sketch_rollup" -> (q77SketchRollup _))
+    "q77_sketch_rollup" -> (q77SketchRollup _),
+    "q78_session_funnel" -> (q78SessionFunnel _))
 }

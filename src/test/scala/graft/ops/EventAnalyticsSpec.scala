@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class EventAnalyticsSpec extends SparkSpec {
@@ -51,6 +52,41 @@ class EventAnalyticsSpec extends SparkSpec {
     r("2024-01-01") shouldBe ((2L, 0L))
     r("2024-01-02") shouldBe ((2L, 1L)) // user 1 returned; user 3 is new
     r("2024-01-03") shouldBe ((2L, 1L)) // user 3 returned; user 2 gapped
+  }
+
+  test("funnelByKeys counts entities per composite key") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 session 0: full funnel; session 1: view only
+      (1L, 0L, "view", 10L), (1L, 0L, "click", 20L),
+      (1L, 1L, "view", 100L),
+      // user 2 session 0: click before view — view counts, click doesn't
+      (2L, 0L, "click", 5L), (2L, 0L, "view", 10L)
+    ).toDF("user_id", "sid", "event_type", "ts_us")
+    val r = EventAnalytics.funnelByKeys(ev, Seq("user_id", "sid"),
+      "event_type", "ts_us", Seq("view", "click")).collect()(0)
+    (r.getLong(0), r.getLong(1)) shouldBe ((3L, 1L))
+  }
+
+  test("session funnel composes on the session windows' user exchange") {
+    import spark.implicits._
+    val ev = Seq((1L, "view", 10L), (1L, "click", 20L), (2L, "view", 5L))
+      .toDF("user_id", "event_type", "ts_us")
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sess = ev
+      .withColumn("prev", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("new_s", when(col("prev").isNull ||
+        col("ts_us") - col("prev") > 100L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val plan = EventAnalytics.funnelByKeys(sess, Seq("user_id", "sid"),
+      "event_type", "ts_us", Seq("view", "click"))
+      .queryExecution.executedPlan.toString
+    // the (user, sid) funnel windows and collapse must reuse the session
+    // windows' hashpartitioning(user_id) — exactly one user exchange
+    "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length shouldBe 1
+    "Exchange hashpartitioning\\(user_id#\\d+, sid".r
+      .findAllIn(plan).length shouldBe 0
   }
 
   test("funnel plans one exchange: stage windows share the partitioning") {
