@@ -83,7 +83,24 @@ object Bench {
         .agg(count(lit(1)).as("n"))
         .select(sum(col("n"))).head()
     })
-    Map("cpu" -> cpu, "shuffle" -> shuffle)
+    // Raw 32-thread JVM burn: effective PARALLEL capacity, no Spark in the
+    // way. Round-4 finding: this box class can run ~1.6x slower on
+    // sustained 32-way work while the 1-second Spark sentinels read near
+    // the good band (vCPU overcommit) — long single-timing rows (the 50k
+    // dedup family) track THIS number, not cpu_min.
+    val par = (1 to reps).map(_ => timed {
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val threads = (0 until 32).map { t =>
+        new Thread(() => {
+          var s = 0L; var i = 0L
+          while (i < 150000000L) { s += i ^ t; i += 1 }
+          sink.addAndGet(s)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      require(sink.get() != 0L)
+    })
+    Map("cpu" -> cpu, "shuffle" -> shuffle, "par" -> par)
   }
 
   /** The sf0.1 embeddings table is tiny (2k rows); to measure the vector
@@ -258,15 +275,24 @@ object Bench {
       val scaled = DedupStress.replicateDocs(docs, 10)
         .repartition(32).persist()
       val n = scaled.count() / 1000
-      val mh = timed { force(Dedup.minhashPairs(scaled, "doc_id", "text",
+      // Min of two timings — the same warmup-then-measure discipline the
+      // headline rows get, at the only scale that actually warms these
+      // paths. A small-scale warmup does NOT suffice here: with a 5k-doc
+      // warmup the 50k minhash run still measured 41-43s, while the
+      // IDENTICAL job re-run in the same JVM measured 19.5s (vs 39.6
+      // cold) — the first full-volume run pays C2 compilation of the
+      // sort/spill/shuffle runtime that only the 40M-candidate join
+      // exercises. The row should measure the algorithm, not JIT.
+      def minOf2(f: => Unit): Double = { val a = timed(f); math.min(a, timed(f)) }
+      val mh = minOf2 { force(Dedup.minhashPairs(scaled, "doc_id", "text",
         n = 1, numHashes = 48, bands = 6, threshold = 0.9)) }
-      val sh = timed { force(Dedup.simhashPairs(scaled, "doc_id", "text",
+      val sh = minOf2 { force(Dedup.simhashPairs(scaled, "doc_id", "text",
         maxHamming = 6)) }
       scaled.unpersist()
       val synth = DedupStress.syntheticDocs(spark, 50000)
         .repartition(32).persist()
       val sn = synth.count() / 1000
-      val jac = timed { force(Dedup.ngramJaccardPairs(synth, "doc_id",
+      val jac = minOf2 { force(Dedup.ngramJaccardPairs(synth, "doc_id",
         "text", n = 1, threshold = 0.9)) }
       synth.unpersist()
       Seq(s"x_dedup_minhash_${n}k" -> mh, s"x_dedup_simhash_${n}k" -> sh,
@@ -368,7 +394,9 @@ object Bench {
       "cpu_before_min" -> sentBefore("cpu").min,
       "cpu_after_min" -> sentAfter("cpu").min,
       "shuffle_before_min" -> sentBefore("shuffle").min,
-      "shuffle_after_min" -> sentAfter("shuffle").min)
+      "shuffle_after_min" -> sentAfter("shuffle").min,
+      "par_before_min" -> sentBefore("par").min,
+      "par_after_min" -> sentAfter("par").min)
     val total = mins.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"reps":$reps%d,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}""")
     spark.stop()
