@@ -315,7 +315,7 @@ object Bench {
     try {
       val embedder = new graft.embed.DeterministicEmbedder(64)
       val imgDir = graft.multimodal.ImageFixtures.ensure()
-      val t = timed {
+      def once(): Unit = {
         val scanned = graft.ingest.BinaryIngest
           .scan(spark, imgDir, "*.{png,jpg}")
           .crossJoin(spark.range(1000).select(col("id").as("rep")))
@@ -329,6 +329,12 @@ object Bench {
           projected = Seq("filepath"))
         force(idx.search(embedder.forQuery("columnar table of orders"), 10))
       }
+      // min of two full timings — same rationale as the dedup block: the
+      // decode/embed mapPartitions and index build paths only JIT at full
+      // volume, and this row's round-4 spread (4.9-9.5s on identical
+      // code) tracked JVM warmth, not the machine
+      val a = timed(once())
+      val t = math.min(a, timed(once()))
       Seq("x_ingest_embed_index" -> t)
     } catch { case _: Throwable => Seq("x_ingest_embed_index" -> -1.0) }
   }
