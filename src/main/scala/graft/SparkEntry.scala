@@ -927,7 +927,20 @@ object SparkEntry {
              AS n_click,
            CAST(count(CASE WHEN s3 IS NOT NULL THEN 1 END) AS BIGINT)
              AS n_purchase
-         FROM k""") ++
+         FROM k""",
+    "q79_hard_negatives" -> // q12b's self-kept ranking, offset past the
+      // self match (rank 1) and the positive (rank 2)
+      """SELECT query_id, negative_id, score,
+           CAST(rnk - 2 AS BIGINT) AS neg_rank FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS negative_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b ON a.vec_id < 8)
+         WHERE rnk BETWEEN 3 AND 6""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

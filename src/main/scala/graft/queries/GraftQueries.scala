@@ -1154,6 +1154,22 @@ object GraftQueries {
       "event_type", "ts_us", Seq("view", "click", "purchase"))
   }
 
+  /** Hard-negative mining ([[SimilaritySearch.knnJoin]]): for each of 8
+    * anchor vectors, the 4 most-similar corpus vectors AFTER the self
+    * match (rank 1, score 1 on unit vectors) and the nearest true
+    * neighbor (rank 2, the contrastive positive) — the in-corpus negative
+    * sampling step of embedding-model training (DPR-style). Broadcast
+    * query side, map-only scoring; at retrieval scale the same mining
+    * routes through [[SimilaritySearch.knnJoinIvf]]. */
+  def q79HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    SimilaritySearch.knnJoin(e.filter(col("vec_id") < 8), e,
+        "vec_id", "vec_id", "embedding", k = 6)
+      .filter(col("rank") >= 3)
+      .select(col("query_id"), col("vec_id").as("negative_id"),
+        col("score"), (col("rank") - 2).cast("long").as("neg_rank"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1238,5 +1254,6 @@ object GraftQueries {
     "q75_histogram" -> (q75Histogram _),
     "q76_diff" -> (q76Diff _),
     "q77_sketch_rollup" -> (q77SketchRollup _),
-    "q78_session_funnel" -> (q78SessionFunnel _))
+    "q78_session_funnel" -> (q78SessionFunnel _),
+    "q79_hard_negatives" -> (q79HardNegatives _))
 }
