@@ -396,13 +396,26 @@ object Bench {
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled
+    // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
+    // end: a full suite generates hundreds of janino classes, and the 50k
+    // dedup rows measured ~2x slower in full-suite context than isolated
+    // with IDENTICAL code + machine sentinels (round 4) — if this number
+    // sits near the reserved cap on a slow run, the JIT stopped compiling
+    // and the row measured interpreted code, not the engine.
+    val codeCacheUsedMb = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / (1024.0 * 1024.0)
+    }
     val sent = Seq(
       "cpu_before_min" -> sentBefore("cpu").min,
       "cpu_after_min" -> sentAfter("cpu").min,
       "shuffle_before_min" -> sentBefore("shuffle").min,
       "shuffle_after_min" -> sentAfter("shuffle").min,
       "par_before_min" -> sentBefore("par").min,
-      "par_after_min" -> sentAfter("par").min)
+      "par_after_min" -> sentAfter("par").min,
+      "codecache_used_mb" -> codeCacheUsedMb)
     val total = mins.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"reps":$reps%d,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}""")
     spark.stop()
