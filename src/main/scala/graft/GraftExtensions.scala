@@ -38,8 +38,13 @@ object GraftFunctions {
     ("mg_topk", // aggregate: the analyzer wraps AggregateFunctions
       new ExpressionInfo(classOf[MgTopK].getName, null, "mg_topk"),
       (es: Seq[Expression]) => {
-        require(es.length == 2 && es(1).foldable,
-          "mg_topk(term, capacity) needs a literal capacity")
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val integral = es.length == 2 && (es(1).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })
+        require(integral && es(1).foldable && es(1).eval() != null,
+          "mg_topk(term, capacity) needs a non-null integral literal capacity")
         MgTopK(es(0), es(1).eval().asInstanceOf[Number].intValue())
       }))
 

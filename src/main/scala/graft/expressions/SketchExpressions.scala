@@ -232,7 +232,12 @@ case class MgTopK(child: Expression, capacity: Int,
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(b.size)
-    b.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    // length-prefixed raw UTF-8 (writeUTF caps modified-UTF-8 at 64 KiB and
+    // would throw on long terms — the input is an arbitrary string column)
+    b.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -240,7 +245,11 @@ case class MgTopK(child: Expression, capacity: Int,
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val b = scala.collection.mutable.HashMap.empty[String, Long]
-    (0 until n).foreach { _ => val k = in.readUTF(); b.update(k, in.readLong()) }
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      b.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     b
   }
 

@@ -970,13 +970,21 @@ object GraftQueries {
     * pivotfirst over day — the second exchange ships only pre-aggregated
     * (day x type) rows, never events. Oracle is the equivalent FILTERed
     * aggregation; float-cast value sums absorb summation-order drift
-    * (q29 rule). */
-  def q67Pivot(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    * (q29 rule). Counts coalesce to 0 because pivot yields NULL for an
+    * absent (day, type) combination where `count(*) FILTER` yields 0 —
+    * the twin must agree on sparse fixtures too (sums stay NULL on both
+    * engines). */
+  def q67Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .groupBy(col("day"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", types)
       .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("val"))
+    pivoted.select(col("day") +: types.flatMap(t => Seq(
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+      col(s"${t}_val"))): _*)
+  }
 
   /** Day-over-day retention ([[graft.ops.EventAnalytics.dailyRetention]]):
     * per calendar day, how many users were active and how many of those
