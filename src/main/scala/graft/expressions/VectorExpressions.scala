@@ -475,6 +475,132 @@ object VecDotMulti {
   }
 }
 
+/** Executor-side PQ lookup-table build: from a query vector, compute
+  * `lut[sub * ksub + k] = dot(query_sub, codebook(sub)(k))` as ONE flat
+  * double array (m·ksub entries). The codebook — m·ksub·dsub floats,
+  * tiny and batch-independent — rides into generated code as a reference
+  * object, so a DISTRIBUTED query relation can derive its own LUTs where
+  * the rows live: batch retrieval never collects queries to the driver
+  * (the per-query math is identical to the driver-side
+  * [[graft.ops.SimilaritySearch.PqModel.lut]], bit for bit). */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(codebooks.nonEmpty &&
+    codebooks.forall(_.length == codebooks(0).length),
+    "pq_lut: codebooks must share one ksub (flat LUT indexing)")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_lut needs an array<float> (query vector) input")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqLut.lut(input.asInstanceOf[ArrayData], codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val books = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.PqLut.lut($a, $books));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqLut = copy(child = newChild)
+}
+
+object PqLut {
+  /** Shared by eval and generated code: per-subspace codeword dots, double
+    * accumulator, left-to-right fold — the same arithmetic as the
+    * driver-side `PqModel.lut`. */
+  def lut(v: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Double] = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dim = codebooks.map(_(0).length).sum
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"pq_lut: query dim ${v.numElements()} != model dim $dim")
+    val out = new Array[Double](m * ksub)
+    var off = 0
+    var sub = 0
+    while (sub < m) {
+      val book = codebooks(sub)
+      val dsub = book(0).length
+      var k = 0
+      while (k < ksub) {
+        val cw = book(k)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) { s += v.getFloat(off + i).toDouble * cw(i); i += 1 }
+        out(sub * ksub + k) = s
+        k += 1
+      }
+      off += dsub
+      sub += 1
+    }
+    out
+  }
+}
+
+/** ADC dot product where the LUT arrives as a COLUMN (the flat m·ksub
+  * layout [[PqLut]] emits) instead of a driver-built reference object —
+  * the scoring half of fully-distributed batch retrieval: each scored row
+  * reads its query's LUT from the join side, so no per-query state ever
+  * exists on the driver. Same math as [[PqAdcDot]]. */
+case class PqAdcDotLut(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "pq_adc_dot_lut needs (binary pq code, array<double> lut) inputs, " +
+            s"got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    PqAdcDotLut.score(codes.asInstanceOf[Array[Byte]],
+      lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.PqAdcDotLut.score($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcDotLut =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcDotLut {
+  def score(codes: Array[Byte], lut: ArrayData): Double = {
+    val m = codes.length
+    val n = lut.numElements()
+    // a LUT from a different PqModel than the codes means silent garbage —
+    // reject any layout whose flat length isn't an exact multiple
+    if (m == 0 || n % m != 0) throw new IllegalArgumentException(
+      s"pq_adc_dot_lut: lut length $n not a multiple of $m subspaces")
+    val ksub = n / m
+    var s = 0.0
+    var sub = 0
+    while (sub < m) {
+      s += lut.getDouble(sub * ksub + (codes(sub) & 0xff))
+      sub += 1
+    }
+    s
+  }
+}
+
 /** Scalar-quantization (SQ8) encoder: each dimension maps to one byte on a
   * per-dimension [min, max] grid — `dim` bytes per vector, a fixed 4x
   * compression with far lower distortion than PQ's m-byte codes (the
@@ -601,6 +727,12 @@ object VectorExpressions {
   def pqAdcDotMulti(codes: Column, queryIdx: Column,
       luts: Array[Array[Array[Double]]]): Column =
     column(PqAdcDotMulti(expression(codes), expression(queryIdx), luts))
+
+  def pqLut(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqLut(expression(v), codebooks))
+
+  def pqAdcDotLut(codes: Column, lut: Column): Column =
+    column(PqAdcDotLut(expression(codes), expression(lut)))
 
   def vecDotMulti(vec: Column, queryIdx: Column,
       table: Array[Array[Float]]): Column =

@@ -143,22 +143,24 @@ object SimilaritySearch {
     * shape at 100 TB (Q queries against a corpus whose scan side is M-byte
     * codes, touching only each query's nProbe cells).
     *
-    * Driver prep is bounded by the BATCH, not the corpus: collect the Q
-    * query vectors (Q · dim floats — batch serving's standing assumption),
-    * compute Q LUTs (Q · m · ksub doubles) and each query's nProbe cells
-    * against the k·dim centroid matrix, ship all of it as ONE broadcast
-    * reference object. Scoring is then a single codegen'd pass over the
-    * cell-equi-join of the code table with the (query, cell) routing
-    * relation — [[graft.expressions.PqAdcDotMulti]] picks each row's LUT
-    * by dense query index, so vectors appear nowhere in the scan or the
+    * The query side never visits the driver: only the BATCH-INDEPENDENT
+    * model state is broadcast (the m·ksub·dsub-float codebook inside
+    * [[graft.expressions.PqLut]], the nCells·dim centroid matrix as
+    * routing literals), and each query derives its own LUT and probe
+    * cells executor-side, where its row lives — a 1M-query batch costs
+    * the driver nothing. Routing stays an equi-join on `cell` against
+    * the exploded (query_id, lut, cell) relation (query side small →
+    * broadcast; huge → plain shuffle join, still fully distributed);
+    * [[graft.expressions.PqAdcDotLut]] reads each scored row's LUT from
+    * the join side, so raw vectors appear nowhere in the scan or the
     * rank exchange. The exact re-rank re-scores each query's `k * refine`
     * ADC candidates: corpus vectors for the bounded candidate pk set are
-    * fetched via broadcast semi-join, query vectors re-attach by dense
-    * index from the same broadcast table ([[graft.functions.VectorFunctions.vecLit]]
-    * of the collected batch), ranked per query. With `nProbe >= nCells`
-    * and `refine` deep enough this equals exact [[knnJoin]]
-    * (spec-verified). Result: `(query_id, cPk, score, rank)`; integral
-    * pks required (they ride exchanges as longs). */
+    * fetched via broadcast semi-join, query vectors re-attach by a
+    * query_id join, ranked per query. With `nProbe >= nCells` and
+    * `refine` deep enough this equals exact [[knnJoin]] (spec-verified).
+    * An empty query batch yields an empty result. Result: `(query_id,
+    * cPk, score, rank)`; integral pks required (they ride exchanges as
+    * longs). */
   def knnJoinIvfPq(queries: DataFrame, indexed: DataFrame,
       centroids: Array[Array[Float]], model: PqModel, qPk: String,
       cPk: String, vecCol: String, k: Int, nProbe: Int = 4,
@@ -168,43 +170,45 @@ object SimilaritySearch {
     requireIntegralPks(queries, qPk, indexed, cPk)
     val spark = indexed.sparkSession
     import spark.implicits._
-    // bounded driver prep: the query BATCH (ids, vectors -> luts, probes)
-    val qRows = queries.select(col(qPk).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    require(qRows.nonEmpty, "knnJoinIvfPq: empty query batch")
-    val luts = qRows.map { case (_, v) => model.lut(v) }
-    val routing = qRows.zipWithIndex.flatMap { case ((qid, v), qi) =>
-      centroids.indices.sortBy(i => -dot(v, centroids(i)))
-        .take(math.min(nProbe, centroids.length))
-        .map(cell => (qid, qi, cell))
-    }.toSeq.toDF("query_id", "__qi", "cell")
+    // executor-side query prep: LUT from the broadcast codebook, probe
+    // cells by ranking the centroid matrix — one codegen'd projection
+    val centArr = array(centroids.indices.map(i =>
+      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
+        lit(i).as("cell"))): _*)
+    val probed = queries
+      .select(col(qPk).cast("long").as("query_id"),
+        graft.expressions.VectorExpressions
+          .pqLut(col(vecCol), model.codebooks).as("__lut"),
+        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
+          .as("__probes"))
+      .select($"query_id", $"__lut", explode($"__probes.cell").as("cell"))
     val scored = indexed.select(col(cPk), col("cell"), col("pq_code"))
-      .join(broadcast(routing), Seq("cell"))
-      .select($"query_id", $"__qi", col(cPk),
-        graft.expressions.VectorExpressions.pqAdcDotMulti(
-          col("pq_code"), $"__qi", luts).as("adc_score"))
+      .join(broadcast(probed), Seq("cell"))
+      .select($"query_id", col(cPk),
+        graft.expressions.VectorExpressions
+          .pqAdcDotLut(col("pq_code"), $"__lut").as("adc_score"))
     val w = Window.partitionBy($"query_id")
       .orderBy(desc("adc_score"), col(cPk))
     exactSource match {
       case None =>
         scored.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= k).drop("__qi")
+          .filter($"rank" <= k)
           .withColumnRenamed("adc_score", "score")
       case Some((source, srcVec)) =>
         val cand = scored.withColumn("rank", row_number().over(w))
           .filter($"rank" <= k * refine)
-          .select($"query_id", $"__qi", col(cPk))
+          .select($"query_id", col(cPk))
         // bounded: Q * k * refine candidate rows; their vectors arrive via
         // a broadcast semi-join on pk, never a corpus shuffle
         val vecs = source.select(col(cPk), col(srcVec).as("__cv"))
           .join(broadcast(cand.select(col(cPk)).distinct()), Seq(cPk))
-        val qv = qRows.map { case (_, v) => v }
+        // query vectors re-attach by query_id — the query relation is the
+        // broadcast side; corpus vectors are unit-norm so dot == cosine
+        val qv = queries.select(col(qPk).cast("long").as("query_id"),
+          col(vecCol).as("__qv"))
         val rescored = cand.join(vecs, Seq(cPk))
-          // per-row query vector by dense index from one broadcast
-          // reference table (Q * dim floats) — same mechanism as the LUT
-          // table; corpus vectors are unit-norm so dot == cosine
-          .withColumn("score", graft.expressions.VectorExpressions
-            .vecDotMulti($"__cv", $"__qi", qv))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("score", cosineUnit($"__cv", $"__qv"))
           .select($"query_id", col(cPk), $"score")
         val wf = Window.partitionBy($"query_id")
           .orderBy(desc("score"), col(cPk))

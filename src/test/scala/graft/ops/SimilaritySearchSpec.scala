@@ -164,7 +164,8 @@ class SimilaritySearchSpec extends SparkSpec {
   }
 
   test("knnJoinIvfPq: full probe + deep refine == exact knnJoin; ADC-only " +
-      "path returns k ranked rows per query; empty batch rejected") {
+      "path returns k ranked rows per query; LUTs built executor-side; " +
+      "empty batch yields empty result") {
     val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(emb, "vec_id",
       "embedding", nCells = 8)
     val model = SimilaritySearch.pqTrain(emb, "embedding", m = 16, ksub = 32)
@@ -190,9 +191,25 @@ class SimilaritySearchSpec extends SparkSpec {
       model, "vec_id", "vec_id", "embedding", k = 10, nProbe = 8)
     adcOnly.collect().map(_.getAs[Long]("query_id"))
       .groupBy(identity).values.foreach(_.length shouldBe 10)
-    an[IllegalArgumentException] should be thrownBy
-      SimilaritySearch.knnJoinIvfPq(emb.filter(col("vec_id") < 0), encoded,
-        cents, model, "vec_id", "vec_id", "embedding", k = 5)
+    // driver-independence guard: the per-query LUT is an expression IN the
+    // plan (computed executor-side from the broadcast codebook), not a
+    // driver-collected reference table — an unbounded query batch never
+    // builds per-query state on the driver
+    val plan = adcOnly.queryExecution.optimizedPlan
+    val lutNodes = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: graft.expressions.PqLut => e })
+    }.flatten
+    lutNodes should not be empty
+    plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: graft.expressions.PqAdcDotMulti => e })
+    }.flatten shouldBe empty
+    // empty batch: empty result, still the right schema — no driver-side
+    // materialization means nothing to reject
+    SimilaritySearch.knnJoinIvfPq(emb.filter(col("vec_id") < 0), encoded,
+      cents, model, "vec_id", "vec_id", "embedding", k = 5)
+      .count() shouldBe 0L
   }
 
   test("knnJoinIvf recall >= 0.95@10 at a SHALLOW probe on a clustered " +
