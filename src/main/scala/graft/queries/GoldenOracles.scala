@@ -49,9 +49,11 @@ object GoldenOracles {
 
   def forDir(dir: String): Map[String, String] = {
     // q52 runs the same corpus/query/scoring through the index handle, so
-    // it shares q33's fixture-derived oracle bit for bit
+    // it shares q33's fixture-derived oracle bit for bit; q80 is q33's
+    // corpus after a TRIGGERED refresh appended one version-2 row
     val always = Map("q33_image_pipeline" -> q33,
-      "q52_index_pipeline" -> q33)
+      "q52_index_pipeline" -> q33,
+      "q80_index_refresh" -> q80)
     if (sfPinned(dir))
       always ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
@@ -377,5 +379,19 @@ object GoldenOracles {
            (4,'/root/repo/fixtures/images/img_04.png',2.02169230966506075e-01),
            (6,'/root/repo/fixtures/images/img_06.png',1.40910238011360184e-01),
            (7,'/root/repo/fixtures/images/img_07.png',2.92403701356917928e-02),
+           (9,'/root/repo/fixtures/images/img_09.jpg',3.87356582385107867e-02)) AS t(image_id, filepath, score)"""
+
+  /** q80 (TRIGGERED index refresh): q33's pinned top-4 plus the appended
+    * version-2 row at rank 1 — its score is the query's self-dot (the
+    * float-embedding left-fold of a unit vector, not exactly 1.0), and
+    * q33's rank-5 (image 7) is displaced. A refresh that misses the
+    * append, double-applies it, or perturbs the v1 rows hash-fails. */
+  private val q80: String =
+    """SELECT CAST(image_id AS BIGINT) AS image_id, filepath, score
+         FROM (VALUES
+           (9999,'appended://img_9999',9.99999991299399205e-01),
+           (4,'/root/repo/fixtures/images/img_04.png',2.02169230966506075e-01),
+           (6,'/root/repo/fixtures/images/img_06.png',1.40910238011360184e-01),
+           (1,'/root/repo/fixtures/images/img_01.png',8.06290007791083119e-02),
            (9,'/root/repo/fixtures/images/img_09.jpg',3.87356582385107867e-02)) AS t(image_id, filepath, score)"""
 }

@@ -1178,6 +1178,34 @@ object GraftQueries {
         col("score"), (col("rank") - 2).cast("long").as("neg_rank"))
   }
 
+  /** Index sync under the oracle gate: build the q52 index at version 1,
+    * append ONE version-2 row whose embedding IS the query vector, run a
+    * TRIGGERED [[graft.index.VectorIndex.refresh]] (the engine's
+    * delta-sync analog, `NB:278, 315-323`: the version watermark admits
+    * only the appended row into the upsert), then search. The appended
+    * row MUST surface at rank 1 with a self-dot score — a refresh that
+    * drops, duplicates, or re-reads v1 rows changes the result set and
+    * hash-fails against the golden oracle (q33's pin plus the appended
+    * row, minus the displaced rank-5). */
+  def q80IndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val embedder = new DeterministicEmbedder(32)
+    val imgDir = graft.multimodal.ImageFixtures.ensure()
+    val binary = BinaryIngest.withDenseIds(
+      BinaryIngest.scan(spark, imgDir, "*.{png,jpg}"))
+    val embedded = BinaryIngest.embedImages(binary, embedder, version = 1L)
+    val idx = graft.index.VectorIndex.build(embedded, "q80_idx", "image_id",
+      "embedding", projected = Seq("filepath"))
+    val qv = embedder.forQuery("columnar table of orders")
+    val appended = Seq((9999L, "appended://img_9999", qv.toSeq, 2L))
+      .toDF("image_id", "filepath", "embedding", "version")
+    idx.refresh(embedded.unionByName(appended))
+    require(idx.currentVersion == 2L,
+      s"q80: refresh watermark ${idx.currentVersion} != 2")
+    idx.search(qv, k = 5)
+      .select(col("image_id"), col("filepath"), col("score"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1263,5 +1291,6 @@ object GraftQueries {
     "q76_diff" -> (q76Diff _),
     "q77_sketch_rollup" -> (q77SketchRollup _),
     "q78_session_funnel" -> (q78SessionFunnel _),
-    "q79_hard_negatives" -> (q79HardNegatives _))
+    "q79_hard_negatives" -> (q79HardNegatives _),
+    "q80_index_refresh" -> (q80IndexRefresh _))
 }
