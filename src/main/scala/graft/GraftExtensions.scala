@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MgTopK, SortedCountCommon, VecDot}
+import graft.expressions.{MgTopK, SortedCountCommon, VecDot, VecTopK}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -14,8 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   * or into a live session with [[GraftFunctions.register]]. Registered
   * functions: `vec_dot(a, b)`, `vec_cosine(a, b)` (alias of dot for
-  * unit-norm vectors), `sorted_count_common(a, b)`, and the aggregate
-  * `mg_topk(term, capacity)` (capacity a literal).
+  * unit-norm vectors), `sorted_count_common(a, b)`, and the aggregates
+  * `mg_topk(term, capacity)` and `vec_topk(id, score, k)` (capacity/k
+  * literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -38,15 +39,28 @@ object GraftFunctions {
     ("mg_topk", // aggregate: the analyzer wraps AggregateFunctions
       new ExpressionInfo(classOf[MgTopK].getName, null, "mg_topk"),
       (es: Seq[Expression]) => {
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val integral = es.length == 2 && (es(1).dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _ => false
-        })
-        require(integral && es(1).foldable && es(1).eval() != null,
+        require(es.length == 2 && intLiteral(es(1)),
           "mg_topk(term, capacity) needs a non-null integral literal capacity")
         MgTopK(es(0), es(1).eval().asInstanceOf[Number].intValue())
+      }),
+    ("vec_topk", // aggregate: bounded top-k (id, score) pairs
+      new ExpressionInfo(classOf[VecTopK].getName, null, "vec_topk"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3 && intLiteral(es(2)),
+          "vec_topk(id, score, k) needs a non-null integral literal k")
+        VecTopK(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue())
       }))
+
+  /** Non-null integral literal guard: misuse fails with the builder's
+    * descriptive message instead of a ClassCastException. */
+  private def intLiteral(e: Expression): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    integral && e.foldable && e.eval() != null
+  }
 
   /** Register into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

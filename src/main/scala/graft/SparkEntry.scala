@@ -940,7 +940,14 @@ object SparkEntry {
                                          CAST(b.embedding AS DOUBLE[])) DESC,
                         b.vec_id) AS rnk
            FROM embeddings a JOIN embeddings b ON a.vec_id < 8)
-         WHERE rnk BETWEEN 3 AND 6""") ++
+         WHERE rnk BETWEEN 3 AND 6""",
+    "q81_sql_vec_topk" -> // pure-SQL flagship search == q11's oracle: the
+      // vec_topk aggregate must reproduce ORDER BY score DESC, id LIMIT k
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
       goldenOracles(dir)
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==

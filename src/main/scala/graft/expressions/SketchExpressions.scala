@@ -262,6 +262,132 @@ case class MgTopK(child: Expression, capacity: Int,
   override def prettyName: String = "mg_topk"
 }
 
+/** Bounded top-k as a typed aggregate: keep the `k` (id, score) pairs with
+  * the highest scores (ties to the LOWER id — the engine's standard rank
+  * order `desc(score), asc(pk)`), returned sorted as
+  * array<struct<id,score>>. This is `TakeOrderedAndProject`'s per-partition
+  * heap discipline surfaced as a SQL aggregate: partial buffers hold at
+  * most k pairs regardless of input size, so the exchange carries
+  * O(k · partitions) rows — and `GROUP BY query_id` gives the multi-query
+  * kNN-join shape ([[graft.ops.TopKAggregator]]) in pure SQL. */
+case class VecTopK(left: Expression, right: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecTopK.Buf]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(k > 0, "vec_topk: k must be positive")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val idOk = left.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val scoreOk = right.dataType match {
+      case FloatType | DoubleType => true
+      case _ => false
+    }
+    if (idOk && scoreOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "vec_topk needs (integral id, float|double score) inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def createAggregationBuffer(): VecTopK.Buf = new VecTopK.Buf(k)
+
+  private def idAsLong(v: Any): Long = v match {
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  private def scoreAsDouble(v: Any): Double = v match {
+    case f: Float => f.toDouble
+    case d: Double => d
+  }
+
+  override def update(b: VecTopK.Buf,
+      input: org.apache.spark.sql.catalyst.InternalRow): VecTopK.Buf = {
+    val id = left.eval(input)
+    val score = right.eval(input)
+    if (id != null && score != null) b.add(idAsLong(id), scoreAsDouble(score))
+    b
+  }
+
+  override def merge(b: VecTopK.Buf, other: VecTopK.Buf): VecTopK.Buf = {
+    other.foreach((id, s) => b.add(id, s))
+    b
+  }
+
+  override def eval(b: VecTopK.Buf): Any = {
+    val sorted = b.toArray.sortBy { case (id, s) => (-s, id) }
+    new GenericArrayData(sorted.map { case (id, s) =>
+      org.apache.spark.sql.catalyst.InternalRow(id, s)
+    })
+  }
+
+  override def serialize(b: VecTopK.Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val arr = b.toArray
+    out.writeInt(b.k); out.writeInt(arr.length)
+    arr.foreach { case (id, s) => out.writeLong(id); out.writeDouble(s) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecTopK.Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new VecTopK.Buf(in.readInt())
+    val n = in.readInt()
+    (0 until n).foreach(_ => b.add(in.readLong(), in.readDouble()))
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecTopK = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_topk"
+}
+
+object VecTopK {
+  /** Bounded worst-at-head heap: O(log k) insert, at most k pairs of state.
+    * A candidate beats the current worst when its score is higher, or equal
+    * with a lower id (the `desc(score), asc(id)` total order). */
+  final class Buf(val k: Int) {
+    // head = WORST kept pair under the rank order, so ordering ranks
+    // lower-score (then higher-id) pairs greater
+    private val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](
+      new Ordering[(Long, Double)] {
+        def compare(a: (Long, Double), b: (Long, Double)): Int = {
+          val c = java.lang.Double.compare(b._2, a._2)
+          if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+        }
+      })
+
+    def add(id: Long, score: Double): Unit =
+      if (heap.size < k) heap.enqueue((id, score))
+      else {
+        val (wid, wscore) = heap.head
+        if (score > wscore || (score == wscore && id < wid)) {
+          heap.dequeue(); heap.enqueue((id, score))
+        }
+      }
+
+    def foreach(f: (Long, Double) => Unit): Unit =
+      heap.foreach { case (id, s) => f(id, s) }
+
+    def toArray: Array[(Long, Double)] = heap.toArray
+  }
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -274,4 +400,8 @@ object SketchExpressions {
   /** Misra-Gries frequent items over a string column (see [[MgTopK]]). */
   def mgTopK(term: Column, capacity: Int): Column =
     column(MgTopK(expression(term), capacity).toAggregateExpression())
+
+  /** Bounded top-k (id, score) pairs by rank order (see [[VecTopK]]). */
+  def vecTopK(id: Column, score: Column, k: Int): Column =
+    column(VecTopK(expression(id), expression(score), k).toAggregateExpression())
 }

@@ -1206,6 +1206,24 @@ object GraftQueries {
       .select(col("image_id"), col("filepath"), col("score"))
   }
 
+  /** The flagship O24 similarity search in PURE SQL — the reference's
+    * declarative surface without a line of Scala: `vec_dot` scores the
+    * broadcast self-join, the [[graft.expressions.VecTopK]] aggregate
+    * keeps the top-10 under the engine's rank order (`desc(score),
+    * asc(id)`) with at most k pairs of partial state per partition, and
+    * `inline` unnests the result. Hash-matched against q11's oracle —
+    * the SQL surface and the Column-API surface must agree bit for bit. */
+  def q81SqlVecTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    t(spark, dir, "embeddings").createOrReplaceTempView("g_embeddings")
+    spark.sql(
+      """SELECT id AS vec_id, score FROM (
+           SELECT inline(top) FROM (
+             SELECT vec_topk(b.vec_id, vec_dot(a.embedding, b.embedding), 10)
+               AS top
+             FROM g_embeddings a JOIN g_embeddings b ON a.vec_id = 0))""")
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1292,5 +1310,6 @@ object GraftQueries {
     "q77_sketch_rollup" -> (q77SketchRollup _),
     "q78_session_funnel" -> (q78SessionFunnel _),
     "q79_hard_negatives" -> (q79HardNegatives _),
-    "q80_index_refresh" -> (q80IndexRefresh _))
+    "q80_index_refresh" -> (q80IndexRefresh _),
+    "q81_sql_vec_topk" -> (q81SqlVecTopk _))
 }

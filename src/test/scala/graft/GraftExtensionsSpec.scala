@@ -19,6 +19,7 @@ class GraftExtensionsSpec extends SparkSpec {
     // the shared test session already exists; verify the extension object
     // exposes the same builders the registry path uses
     GraftFunctions.all.map(_._1).toSet shouldBe
-      Set("vec_dot", "vec_cosine", "sorted_count_common", "mg_topk")
+      Set("vec_dot", "vec_cosine", "sorted_count_common", "mg_topk",
+        "vec_topk")
   }
 }
