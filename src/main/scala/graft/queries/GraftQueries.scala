@@ -670,21 +670,26 @@ object GraftQueries {
   }
 
   /** Z-order clustered storage layout ([[Layout.zOrderWrite]]): rewrite
-    * orders clustered on (o_custkey, o_totalprice), then run a box
-    * predicate + aggregate over the clustered copy. The layout rewrite is
+    * orders clustered on (o_custkey, o_totalprice) with QUANTILE-spaced
+    * Morton buckets (`quantileKnots = 16` — o_totalprice is skewed toward
+    * the low tail, so equal-occupancy segments keep file sizes balanced
+    * where linear min/max scaling would crowd the head; LayoutSpec asserts
+    * the balance on this exact table + config), then run a box predicate +
+    * aggregate over the clustered copy. The layout rewrite is
     * content-preserving, so the oracle is plain SQL over the original
-    * table — a green row proves the Morton math and the range-shuffled
-    * write lose/duplicate/corrupt nothing, while LayoutSpec separately
-    * proves the scan-pruning payoff (fewer row groups decoded on exactly
-    * this predicate shape). Float total absorbs summation-order ulp drift
-    * across layouts (the q29 rule). */
+    * table — a green row proves the piecewise-quantile Morton math and the
+    * range-shuffled write lose/duplicate/corrupt nothing, while LayoutSpec
+    * separately proves the scan-pruning payoff (fewer row groups decoded
+    * on exactly this predicate shape). Float total absorbs summation-order
+    * ulp drift across layouts (the q29 rule). */
   def q50ZorderScan(spark: SparkSession, dir: String): DataFrame = {
     // app-id suffix: concurrent Verify/Bench/test runs on one machine must
     // not race on a shared overwrite path
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_q50_zorder_${spark.sparkContext.applicationId}").toString
     Layout.zOrderWrite(t(spark, dir, "orders"),
-      Seq("o_custkey", "o_totalprice"), out, numFiles = 8)
+      Seq("o_custkey", "o_totalprice"), out, numFiles = 8,
+      quantileKnots = 16)
     spark.read.parquet(out)
       .filter(col("o_custkey").between(100, 600) &&
         col("o_totalprice").between(50000, 100000))

@@ -149,6 +149,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q50's exact config (orders, 2 dims, 8 files, 16 quantile knots): " +
+      "file occupancy stays balanced on the real skewed table") {
+    // the oracled query proves content preservation; THIS guards the
+    // layout quality of the very same write — a regression that collapses
+    // the skewed o_totalprice dim into few buckets stays visible even
+    // while q50 hash-passes
+    val qDir = java.nio.file.Files.createTempDirectory("graft_q50cfg").toString
+    try {
+      val orders = spark.read.parquet(
+        s"${graft.TestSpark.sf0001}/orders.parquet")
+      val n = orders.count()
+      Layout.zOrderWrite(orders, Seq("o_custkey", "o_totalprice"), qDir,
+        numFiles = 8, quantileKnots = 16)
+      val counts = spark.read.parquet(qDir)
+        .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+      counts.sum.toLong shouldBe n.longValue()
+      counts.length should be >= 6
+      // equal-occupancy target is n/8 per file; allow 2.5x imbalance
+      counts.max.toDouble / n should be < 0.32
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(qDir)).deleteRecursively()
+    }
+  }
+
   test("bucketWrite: equi-join of two tables bucketed on the join key " +
       "plans with ZERO shuffle exchanges; content preserved") {
     import spark.implicits._
