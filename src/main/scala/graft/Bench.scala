@@ -59,11 +59,35 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * deltas around a timing attribute wall-time to collection pressure. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  private def heapUsedMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed >> 20
+
   private def med(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
     else if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** One rep of the pure-CPU sentinel — also used as the probe behind the
+    * rep-retry gate (a slow rep asks the MACHINE whether it was contended
+    * before being re-run). */
+  private def cpuSentinelOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    timed {
+      // modulo keeps the ANSI-mode long sum bounded (2e8 * 1e6 << 2^63)
+      spark.range(0, 200000000L, 1, 32)
+        .select(sum(xxhash64(col("id")) % 1000000L).as("h")).head()
+    }
   }
 
   /** Machine sentinels — fixed workloads whose cost depends only on the
@@ -72,11 +96,7 @@ object Bench {
     * BASELINE.md §(c). */
   private def sentinels(spark: SparkSession, reps: Int): Map[String, Seq[Double]] = {
     import org.apache.spark.sql.functions._
-    val cpu = (1 to reps).map(_ => timed {
-      // modulo keeps the ANSI-mode long sum bounded (2e8 * 1e6 << 2^63)
-      spark.range(0, 200000000L, 1, 32)
-        .select(sum(xxhash64(col("id")) % 1000000L).as("h")).head()
-    })
+    val cpu = (1 to reps).map(_ => cpuSentinelOnce(spark))
     val shuffle = (1 to reps).map(_ => timed {
       spark.range(0, 20000000L, 1, 32)
         .groupBy((col("id") % 1000000L).as("k"))
@@ -283,20 +303,55 @@ object Bench {
       // cold) — the first full-volume run pays C2 compilation of the
       // sort/spill/shuffle runtime that only the 40M-candidate join
       // exercises. The row should measure the algorithm, not JIT.
-      def minOf2(f: => Unit): Double = { val a = timed(f); math.min(a, timed(f)) }
-      val mh = minOf2 { force(Dedup.minhashPairs(scaled, "doc_id", "text",
-        n = 1, numHashes = 48, bands = 6, threshold = 0.9)) }
-      val sh = minOf2 { force(Dedup.simhashPairs(scaled, "doc_id", "text",
-        maxHamming = 6)) }
+      // Each timing logs its stop-the-world GC share and starting heap:
+      // the round-4 open question is WHY full-suite minhash runs 1.3-2x
+      // its isolated time with in-band machine sentinels (code cache ruled
+      // out at 114/240 MB) — if the excess shows up here as GC seconds /
+      // a high heap floor, the mechanism is accumulated old-gen churn.
+      def minOf2(tag: String)(f: => Unit): Double = {
+        def one(i: Int): Double = {
+          val g0 = gcMillis(); val h0 = heapUsedMb()
+          val t = timed(f)
+          System.err.println(f"[bench] $tag%s rep$i%d wall=$t%.1fs " +
+            f"gc=${(gcMillis() - g0) / 1000.0}%.1fs heapStart=${h0}%dMB")
+          t
+        }
+        math.min(one(1), one(2))
+      }
+      val mh = minOf2("x_dedup_minhash") { force(Dedup.minhashPairs(scaled,
+        "doc_id", "text", n = 1, numHashes = 48, bands = 6, threshold = 0.9)) }
+      val sh = minOf2("x_dedup_simhash") { force(Dedup.simhashPairs(scaled,
+        "doc_id", "text", maxHamming = 6)) }
       scaled.unpersist()
       val synth = DedupStress.syntheticDocs(spark, 50000)
         .repartition(32).persist()
       val sn = synth.count() / 1000
-      val jac = minOf2 { force(Dedup.ngramJaccardPairs(synth, "doc_id",
-        "text", n = 1, threshold = 0.9)) }
+      val jac = minOf2("x_dedup_jaccard") { force(Dedup.ngramJaccardPairs(
+        synth, "doc_id", "text", n = 1, threshold = 0.9)) }
+      // CC collapse at 50k: the rows above time pair GENERATION; this
+      // times the cluster collapse those pairs feed — alternating
+      // large-star/small-star to the fixpoint, then the survivor
+      // anti-join. Pairs are materialized first so the row measures the
+      // collapse, not a pair recompute.
+      val pairs50 = Dedup.ngramJaccardPairs(synth, "doc_id", "text",
+        n = 1, threshold = 0.9)
+        .select("id_a", "id_b").persist()
+      pairs50.count()
+      var ccRounds = -1
+      val collapse = minOf2("x_dedup_collapse") {
+        val (victims, rounds) = Dedup.ccAlternatingStars(pairs50, 20)
+        ccRounds = rounds
+        force(synth.join(victims,
+          synth("doc_id") === victims("id"), "left_anti"))
+      }
+      // rounds should stay ~log^2(largest component), NOT track corpus
+      // size — the O(log^2 n) contract the bench row exists to watch
+      System.err.println(s"[bench] x_dedup_collapse_${sn}k rounds=$ccRounds")
+      pairs50.unpersist()
       synth.unpersist()
       Seq(s"x_dedup_minhash_${n}k" -> mh, s"x_dedup_simhash_${n}k" -> sh,
-        s"x_dedup_jaccard_${sn}k" -> jac)
+        s"x_dedup_jaccard_${sn}k" -> jac,
+        s"x_dedup_collapse_${sn}k" -> collapse)
     } catch { case _: Throwable => Seq("x_dedup_scaled" -> -1.0)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
@@ -370,10 +425,30 @@ object Bench {
       try force(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
+    // Rep retry (round-5): one contended rep can poison a recorded median
+    // (BENCH_r04: q09 median 3.81s against six quiet-box runs at
+    // 0.34-0.63s). A rep >3x the query's running min triggers a machine
+    // probe; if the probe is out of band — above 1.5x the better of the
+    // run-start cpu sentinel and the known good band (BASELINE §c4) — the
+    // rep was contention-marred, is re-run once, and the query is listed
+    // under "retried" in the JSON. An in-band probe means the slowness is
+    // real and the timing stands.
+    val cpuBandRef = math.min(sentBefore("cpu").min, 0.13)
+    val retried = scala.collection.mutable.LinkedHashSet[String]()
     val runs: Seq[(String, Seq[Double])] = queries.map { name =>
-      val times = (1 to reps).map { _ =>
+      def rep(): Double =
         try timed(force(SparkEntry.queries(name)(spark, sfDir)))
         catch { case _: Throwable => -1.0 }
+      var minSoFar = Double.MaxValue
+      val times = (1 to reps).map { _ =>
+        var t = rep()
+        if (t >= 0 && minSoFar < Double.MaxValue && t > 3 * minSoFar &&
+            t - minSoFar > 0.25 && cpuSentinelOnce(spark) > 1.5 * cpuBandRef) {
+          val t2 = rep()
+          if (t2 >= 0) { retried += name; t = math.min(t, t2) }
+        }
+        if (t >= 0) minSoFar = math.min(minSoFar, t)
+        t
       }
       name -> times
     }
@@ -417,7 +492,8 @@ object Bench {
       "par_after_min" -> sentAfter("par").min,
       "codecache_used_mb" -> codeCacheUsedMb)
     val total = mins.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"reps":$reps%d,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}""")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"reps":$reps%d,"retried":$retriedJson%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -444,7 +444,7 @@ object Dedup {
     * Returns (victims = non-representative node ids (one column `id`),
     * rounds taken). Spec-verified: a 1k-node chain converges in ≤ ~log N
     * rounds with survivors identical to min-label propagation. */
-  private[ops] def ccAlternatingStars(pairs: DataFrame,
+  private[graft] def ccAlternatingStars(pairs: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
