@@ -947,8 +947,46 @@ object SparkEntry {
          list_dot_product(CAST(a.embedding AS DOUBLE[]),
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
-         ORDER BY score DESC, b.vec_id LIMIT 10""") ++
-      goldenOracles(dir)
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q82_stream_hourly" -> // the streaming windowed aggregation drained
+      // with AvailableNow == the batch hourly rollup, split by event_type
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q84_stream_sessionize" -> // q42's FULL session set (sentinel-flushed
+      // AvailableNow drain — see q84StreamSessionize), without the sid
+      """WITH lagd AS (SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         flag AS (SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s FROM lagd),
+         sess AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid FROM flag)
+         SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value
+         FROM sess GROUP BY user_id, sid""") ++
+      goldenOracles(dir) ++
+      // q83 runs the bloom-prefiltered two-phase plan against q45's SQL
+      // VERBATIM: approximate-then-confirm must be bit-identical to exact
+      Map("q83_decontam_bloom" ->
+        """WITH tok AS (SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         g AS (SELECT doc_id, source,
+               array_to_string(toks[s+1:s+4], ' ') AS gram
+               FROM tok, UNNEST(range(0, len(toks)-3)) AS t(s)
+               WHERE len(toks) >= 4),
+         ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+         tr AS (SELECT doc_id, gram FROM g WHERE source <> 'src0')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_spans,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_contam_grams
+         FROM tr JOIN ev USING (gram) GROUP BY doc_id""")
     // q13b (LSH candidate recall is total) and q44 (two-stage PQ covers the
     // exact top-k at the pinned refine depth) assert approximate-path ==
     // exact-path equality that was verified on the sf0.01 fixture; at a

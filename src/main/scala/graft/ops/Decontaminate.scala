@@ -61,6 +61,48 @@ object Decontaminate {
     train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
   }
 
+  /** [[contamination]] through a two-phase bloom prefilter — identical
+    * output, different scale shape. The broadcast-join paths above assume
+    * the eval digest set fits a broadcast; a large benchmark suite
+    * (10M docs x ~100 grams = 1e9 digests x 16 B ~ 16 GB) does not. Here:
+    *
+    *   1. build a bloom filter over xxhash64 of the eval digests —
+    *      distributed partial filters OR-merged, ~1.2 GB at 1e9 entries /
+    *      1% fpp where the exact set is 16 GB, shipped once per executor —
+    *      and probe every train gram map-side ([[graft.expressions
+    *      .BloomMightContainLong]], codegen'd);
+    *   2. equi-join ONLY the survivors against the eval digests. The
+    *      surviving side is true hits + an fpp-bounded trickle of false
+    *      positives, so the shuffled confirm join moves ~fpp x |train
+    *      grams|, not |train grams|.
+    *
+    * Exactness is restored by construction: the sketch has no false
+    * negatives (nothing contaminated escapes phase 1), and no false
+    * positive survives the phase-2 equi-join. */
+  def contaminationBloom(train: DataFrame, idCol: String, textCol: String,
+      evalDigests: DataFrame, n: Int, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val hashed = evalDigests.select(xxhash64(col("__g")).as("__h"))
+    val bloom = hashed.stat.bloomFilter("__h",
+      math.max(hashed.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val survivors = train
+      .select(col(idCol), explode(gramDigests(textCol, n)).as("__g"))
+      .filter(graft.expressions.BloomExpressions
+        .bloomMightContainLong(xxhash64(col("__g")), bytes))
+    // deliberately NOT broadcast: in the regime this path exists for, the
+    // eval side is broadcast-infeasible — both sides shuffle, but the
+    // train side is already bloom-thinned (AQE still may broadcast small
+    // fixtures; the code just stops forcing it)
+    survivors.join(evalDigests, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contam_spans"),
+        count_distinct(col("__g")).as("n_contam_grams"))
+  }
+
   /** The shared map-side pipeline: exploded train gram digests broadcast-
     * hash-joined against the eval digests — one row per contaminated span
     * occurrence, (idCol, __g). */

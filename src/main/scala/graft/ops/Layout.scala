@@ -159,10 +159,15 @@ object Layout {
       numFiles: Int, bits: Int = 12, quantileKnots: Int = 0): Unit = {
     val z =
       if (quantileKnots > 0) {
-        // one bounded job: K+1 approx quantiles per column (ignores nulls)
+        // one bounded job: K+1 approx quantiles per column (ignores nulls).
+        // 1% rank error: bucketing needs segment BOUNDARIES, not precise
+        // quantiles — a knot off by 1% of rows shifts occupancy by 1%,
+        // invisible next to the 1/K segment width — and the Greenwald-
+        // Khanna summary buffer scales ~1/error, so 0.001 cost ~10x the
+        // scan-side memory and merge time for nothing the layout can see.
         val probs = (0 to quantileKnots)
           .map(_.toDouble / quantileKnots).toArray
-        val qs = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+        val qs = df.stat.approxQuantile(zCols.toArray, probs, 0.01)
         if (qs.exists(_.isEmpty))
           // empty input / all-null column: no quantiles to space — every
           // row lands in bucket 0, write degenerates to a plain copy

@@ -1229,6 +1229,115 @@ object GraftQueries {
              FROM g_embeddings a JOIN g_embeddings b ON a.vec_id = 0))""")
   }
 
+  /** The q10 hourly rollup as a REAL Structured-Streaming query: the events
+    * fixture read through `readStream` (file source), windowed-aggregated by
+    * [[graft.streaming.EventStreams.windowedAggregate]], drained with
+    * `Trigger.AvailableNow` into a memory sink, and the sink table returned.
+    * Complete output mode makes the bounded-input result deterministic (no
+    * watermark-timing dependence), so the batch SQL oracle applies verbatim
+    * — this puts the streaming aggregation path itself (source -> watermark
+    * -> stateful agg -> sink), previously spec-only, under the oracle gate. */
+  /** The streaming file source lists a DIRECTORY; the fixtures are single
+    * parquet files. Stage a per-app dir holding a symlink to the fixture
+    * (copy fallback) — a fixture-shape shim, not an engine cost: a real
+    * deployment streams the table directory itself. */
+  private def streamableDir(spark: SparkSession, dir: String,
+      name: String): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_${name}_${spark.sparkContext.applicationId}")
+    if (!d.exists()) {
+      d.mkdirs()
+      val src = java.nio.file.Paths.get(s"$dir/$name.parquet")
+      val dst = d.toPath.resolve(s"$name.parquet")
+      try java.nio.file.Files.createSymbolicLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+    }
+    d.toString
+  }
+
+  def q82StreamHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamableDir(spark, dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    spark.catalog.dropTempView("q82_stream_hourly")
+    val q = graft.streaming.EventStreams.windowedAggregate(stream)
+      .writeStream.format("memory").queryName("q82_stream_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q82_stream_hourly")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** q45's contamination report through the bloom scale path
+    * ([[Decontaminate.contaminationBloom]]): map-only bloom prefilter over
+    * xxhash64(gram digest) + exact confirm join. Oracled with q45's SQL
+    * VERBATIM — the two-phase approximate-then-confirm plan must be
+    * bit-identical to the exact broadcast plan, proving no false negatives
+    * leaked and every false positive died in the confirm join. */
+  def q83DecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val evalDigests = Decontaminate.evalGramDigests(
+      docs.filter(col("source") === "src0"), "text", n = 4)
+    Decontaminate.contaminationBloom(docs.filter(col("source") =!= "src0"),
+      "doc_id", "text", evalDigests, n = 4)
+  }
+
+  /** Gap-sessionization as a REAL Structured-Streaming query
+    * ([[graft.streaming.EventStreams.sessionize]],
+    * `flatMapGroupsWithState` + event-time timeout) drained with
+    * `Trigger.AvailableNow`. Append mode emits CLOSED sessions only, and
+    * which still-open sessions the final watermark batch times out depends
+    * on watermark arithmetic — not something an oracle should re-derive.
+    * So the staged stream carries one FAR-FUTURE sentinel event per user:
+    * inside the single AvailableNow batch the sentinel closes every real
+    * session through the gap logic itself, while the sentinel-only
+    * sessions stay open in state forever (their timeout sits past the
+    * final watermark) and are never emitted. Output = exactly q42's full
+    * session set, streamed. */
+  def q84StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val staged = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_events_s84_${spark.sparkContext.applicationId}")
+    if (!staged.exists()) {
+      // sentinel ts = max + (2h watermark + 30min gap + 1h margin): far
+      // enough that every real session's gap has elapsed, and the
+      // sentinel session's own timeout outlives the final watermark
+      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+      val farNs = maxNs + 12600L * 1000000000L
+      raw.select(col("user_id")).distinct()
+        .withColumn("ts", lit(farNs))
+        .withColumn("value", lit(0.0))
+        .write.mode("overwrite").parquet(staged.toString)
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val dst = staged.toPath.resolve("events.parquet")
+      try java.nio.file.Files.createSymbolicLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+    }
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    spark.catalog.dropTempView("q84_stream_sessionize")
+    val q = graft.streaming.EventStreams.sessionize(stream)
+      .writeStream.format("memory").queryName("q84_stream_sessionize")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q84_stream_sessionize")
+      .select(col("user_id"),
+        unix_micros(col("start_ts")).as("session_start_us"),
+        unix_micros(col("end_ts")).as("session_end_us"),
+        col("n_events").cast("long").as("n_events"),
+        col("total_value").as("sum_value"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1316,5 +1425,8 @@ object GraftQueries {
     "q78_session_funnel" -> (q78SessionFunnel _),
     "q79_hard_negatives" -> (q79HardNegatives _),
     "q80_index_refresh" -> (q80IndexRefresh _),
-    "q81_sql_vec_topk" -> (q81SqlVecTopk _))
+    "q81_sql_vec_topk" -> (q81SqlVecTopk _),
+    "q82_stream_hourly" -> (q82StreamHourly _),
+    "q83_decontam_bloom" -> (q83DecontamBloom _),
+    "q84_stream_sessionize" -> (q84StreamSessionize _))
 }

@@ -51,9 +51,19 @@ object EventStreams {
   }
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  // start/lastTs in MICROS: Timestamp.getTime is millis-truncating, and the
+  // batch twin (q42) compares session bounds at unix_micros precision
   case class SessionState(start: Long, lastTs: Long, nEvents: Int, total: Double)
   case class Session(user_id: Long, start_ts: java.sql.Timestamp,
       end_ts: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  private def toUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  }
+  private def fromUs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   /** Gap-based sessionization: a session closes after `gapMs` of user
     * inactivity (event-time timeout). Emits one row per closed session. */
@@ -61,6 +71,7 @@ object EventStreams {
       : Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
@@ -70,21 +81,21 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastTs), s.nEvents, s.total))
+            Iterator(Session(userId, fromUs(s.start),
+              fromUs(s.lastTs), s.nEvents, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => toUs(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toUs(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
+                case Some(s) if t - s.lastTs <= gapUs =>
                   cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
                     nEvents = s.nEvents + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.total)
+                  closed ::= Session(userId, fromUs(s.start),
+                    fromUs(s.lastTs), s.nEvents, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -94,9 +105,12 @@ object EventStreams {
               state.update(s)
               // clamp: a late event (ts behind the watermark) would otherwise
               // set a timeout in the past — setTimeoutTimestamp throws and
-              // kills the whole streaming query
+              // kills the whole streaming query. Timeout API is millis;
+              // round the micros-precision deadline UP so a timeout can
+              // never fire a fraction of a gap early.
               state.setTimeoutTimestamp(
-                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(-Math.floorDiv(-(s.lastTs + gapUs), 1000L),
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

@@ -94,4 +94,34 @@ class DecontaminateSpec extends SparkSpec {
       streamed.collect { case e: ShuffleExchangeExec => e } shouldBe empty
     }
   }
+
+  test("bloom two-phase == exact contamination (no false negatives leak, " +
+      "false positives die in the confirm join)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc() = Seq.fill(5 + rnd.nextInt(12))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (0L until 60L).map(i => (i, doc())).toDF("doc_id", "text")
+    val eval = (100L until 112L).map(i => (i, doc())).toDF("doc_id", "text")
+    val ev = Decontaminate.evalGramDigests(eval, "text", 3)
+    val exact = Decontaminate.contamination(train, "doc_id", "text", ev, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a deliberately terrible fpp maximizes false positives reaching the
+    // confirm join — they must all die there
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Decontaminate.contaminationBloom(train, "doc_id", "text",
+          ev, 3, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      bloom shouldBe exact
+    }
+  }
+
+  test("contaminationBloom rejects a nonsense fpp") {
+    val (train, eval) = fixture
+    val ev = Decontaminate.evalGramDigests(eval, "text", 3)
+    an[IllegalArgumentException] should be thrownBy
+      Decontaminate.contaminationBloom(train, "doc_id", "text", ev, 3,
+        fpp = 1.5)
+  }
 }
