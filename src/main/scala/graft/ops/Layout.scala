@@ -58,52 +58,23 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** Piecewise-linear z-bucket Column: like the linear scaling inside
-    * [[zOrderValue]] but driven by quantile breakpoints, so a skewed
-    * dimension (Zipf head, long tail) still spreads across the full
-    * `bits`-bit bucket space instead of collapsing into a handful of
-    * buckets. `breaks` is an ascending list of K+1 breakpoints splitting
-    * the value domain into K equal-occupancy segments (from
-    * `approxQuantile`); segment i owns bucket span
-    * [i·2^bits/K, (i+1)·2^bits/K) and values interpolate linearly inside
-    * it. A constant segment (duplicate-heavy quantile) maps to its span
-    * start. Chained `when`s over ≤ K segments — stays codegen'd.
-    */
-  def bucketPiecewise(c: Column, breaks: Seq[Double], bits: Int): Column = {
-    require(breaks.size >= 2, "need at least 2 breakpoints")
-    val top = (1L << bits) - 1
-    val k = breaks.size - 1
-    val segW = (top + 1).toDouble / k
-    val d = c.cast("double")
-    val inner = (0 until k).foldRight(lit(top): Column) { (i, rest) =>
-      val (lo, hi) = (breaks(i), breaks(i + 1))
-      val pos =
-        if (hi > lo) lit(i * segW) + (d - lit(lo)) / lit(hi - lo) * lit(segW)
-        else lit(i * segW)
-      when(d < lit(hi), greatest(lit(0L), least(lit(top),
-        floor(pos).cast("long")))).otherwise(rest)
-    }
-    when(d <= lit(breaks.head), lit(0L)).otherwise(inner)
-  }
-
-  /** Morton z-value from per-column quantile breakpoints (see
-    * [[bucketPiecewise]]): the skew-robust variant of [[zOrderValue]]. */
+  /** Morton z-value from per-column quantile breakpoints: the skew-robust
+    * variant of [[zOrderValue]]. `breaks(i)` is an ascending list of K+1
+    * breakpoints splitting column i's domain into K equal-occupancy
+    * segments (from `approxQuantile`); segment s owns bucket span
+    * [s·2^bits/K, (s+1)·2^bits/K), values interpolate linearly inside it,
+    * and a constant segment (duplicate-heavy quantile) maps to its span
+    * start — so a Zipf head or long tail still spreads across the full
+    * bucket space instead of collapsing into a handful of buckets.
+    * Backed by the single codegen'd [[graft.expressions.ZMortonQuantile]]
+    * — the Column-arithmetic formulation duplicated the K-branch segment
+    * search into every interleave term, and the range partitioner's
+    * interpreted sampling pass (no CSE) made the quantile write ~4x the
+    * linear one; semantics are spec-pinned to
+    * [[zOrderValueQuantileScala]]. */
   def zOrderValueQuantile(cols: Seq[Column], breaks: Seq[Seq[Double]],
-      bits: Int = 12): Column = {
-    require(cols.nonEmpty && cols.size == breaks.size,
-      "one breakpoint list per z-order column")
-    require(cols.size * bits <= 63,
-      s"${cols.size} cols x $bits bits exceeds a long's 63 usable bits")
-    val n = cols.size
-    val buckets = cols.zip(breaks).map { case (c, b) =>
-      bucketPiecewise(c, b, bits)
-    }
-    val terms = for {
-      j <- 0 until bits
-      (b, i) <- buckets.zipWithIndex
-    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * n + i)
-    terms.reduce(_ bitwiseOR _)
-  }
+      bits: Int = 12): Column =
+    graft.expressions.LayoutExpressions.zMortonQuantile(cols, breaks, bits)
 
   /** Scala mirror of [[bucketPiecewise]] for specs. */
   def bucketPiecewiseScala(v: Double, breaks: Seq[Double],
