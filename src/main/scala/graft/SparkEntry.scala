@@ -970,7 +970,18 @@ object SparkEntry {
            max(epoch_us(ts)) AS session_end_us,
            CAST(count(*) AS BIGINT) AS n_events,
            sum(value) AS sum_value
-         FROM sess GROUP BY user_id, sid""") ++
+         FROM sess GROUP BY user_id, sid""",
+    "q85_stream_interval_join" -> // q60's oracle verbatim: a single
+      // AvailableNow batch holds the watermark at zero, so the
+      // stream-stream join buffers everything and emits the full result
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           c.event_id AS click_event_id, epoch_us(c.ts) AS click_ts_us,
+           c.value AS click_value
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id
+          AND epoch_us(c.ts) >= epoch_us(e.ts) - 7200000000
+          AND epoch_us(c.ts) <= epoch_us(e.ts) + 3600000000""") ++
       goldenOracles(dir) ++
       // q83 runs the bloom-prefiltered two-phase plan against q45's SQL
       // VERBATIM: approximate-then-confirm must be bit-identical to exact

@@ -103,6 +103,19 @@ object Decontaminate {
         count_distinct(col("__g")).as("n_contam_grams"))
   }
 
+  /** [[clean]] through the bloom prefilter: identical output in the
+    * broadcast-infeasible-eval regime. The contaminated-id set comes out of
+    * [[contaminationBloom]] (exact by construction), and the final anti-join
+    * broadcasts only those ids — small in every regime where
+    * decontamination-by-drop is the right remedy at all. */
+  def cleanBloom(train: DataFrame, idCol: String, textCol: String,
+      evalDigests: DataFrame, n: Int, fpp: Double = 0.01): DataFrame = {
+    val contaminatedIds =
+      contaminationBloom(train, idCol, textCol, evalDigests, n, fpp)
+        .select(col(idCol))
+    train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
+  }
+
   /** The shared map-side pipeline: exploded train gram digests broadcast-
     * hash-joined against the eval digests — one row per contaminated span
     * occurrence, (idCol, __g). */

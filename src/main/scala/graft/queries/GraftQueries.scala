@@ -1338,6 +1338,38 @@ object GraftQueries {
         col("total_value").as("sum_value"))
   }
 
+  /** q60's error-click attribution as a REAL stream-stream interval join
+    * ([[graft.streaming.EventStreams.intervalJoinStream]]): both sides
+    * `readStream` the events fixture, the join buffers watermark-bounded
+    * state, and an AvailableNow drain returns the complete join — a single
+    * batch holds the watermark at zero while matching, so nothing is
+    * evicted early and q60's naive-inequality oracle applies verbatim. */
+  def q85StreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = streamableDir(spark, dir, "events")
+    def src() = spark.readStream.schema(schema).parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_event_id"), col("value").as("c_value"))
+    spark.catalog.dropTempView("q85_stream_interval")
+    val q = graft.streaming.EventStreams.intervalJoinStream(errors, clicks,
+        "user_id", "ts", "c_ts", before = "2 hours", after = "1 hour")
+      .writeStream.format("memory").queryName("q85_stream_interval")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q85_stream_interval")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("c_event_id").as("click_event_id"),
+        unix_micros(col("c_ts")).as("click_ts_us"),
+        col("c_value").as("click_value"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1428,5 +1460,6 @@ object GraftQueries {
     "q81_sql_vec_topk" -> (q81SqlVecTopk _),
     "q82_stream_hourly" -> (q82StreamHourly _),
     "q83_decontam_bloom" -> (q83DecontamBloom _),
-    "q84_stream_sessionize" -> (q84StreamSessionize _))
+    "q84_stream_sessionize" -> (q84StreamSessionize _),
+    "q85_stream_interval_join" -> (q85StreamIntervalJoin _))
 }

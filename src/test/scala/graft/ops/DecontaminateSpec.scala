@@ -115,6 +115,9 @@ class DecontaminateSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       bloom shouldBe exact
     }
+    Decontaminate.cleanBloom(train, "doc_id", "text", ev, 3, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      (0L until 60L).toSet -- exact.map(_._1)
   }
 
   test("contaminationBloom rejects a nonsense fpp") {
