@@ -981,7 +981,10 @@ object SparkEntry {
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON e.user_id = c.user_id
           AND epoch_us(c.ts) >= epoch_us(e.ts) - 7200000000
-          AND epoch_us(c.ts) <= epoch_us(e.ts) + 3600000000""") ++
+          AND epoch_us(c.ts) <= epoch_us(e.ts) + 3600000000""",
+    "q86_stream_dedup" -> // streaming first-occurrence dedup: survivor ids
+      // are processing-order semantics, the surviving digest SET is exact
+      """SELECT DISTINCT md5(text) AS fp FROM documents""") ++
       goldenOracles(dir) ++
       // q83 runs the bloom-prefiltered two-phase plan against q45's SQL
       // VERBATIM: approximate-then-confirm must be bit-identical to exact

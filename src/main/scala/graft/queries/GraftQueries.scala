@@ -1370,6 +1370,33 @@ object GraftQueries {
         col("c_value").as("click_value"))
   }
 
+  /** Streaming exact dedup under the oracle gate
+    * ([[graft.streaming.StreamingDedup.exactByFingerprint]],
+    * `dropDuplicatesWithinWatermark` keyed on the 16-byte digest):
+    * documents streamed with a synthetic event time, AvailableNow drain.
+    * WHICH doc survives per digest is processing-order-dependent — that is
+    * streaming first-occurrence semantics, not nondeterminism to paper
+    * over — so the oracled projection is the surviving DIGEST set:
+    * exactly one row per distinct content, none dropped, none invented. */
+  def q86StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamableDir(spark, dir, "documents"))
+      // +1: epoch 0 collides with the INITIAL watermark value and the
+      // boundary row is dropped as late — synthetic times must start
+      // strictly after the zero watermark
+      .withColumn("ts", timestamp_micros((col("doc_id") + 1) * 1000000L))
+    spark.catalog.dropTempView("q86_stream_dedup")
+    val q = graft.streaming.StreamingDedup
+      .exactByFingerprint(stream, "ts", "text")
+      .select(md5(col("text")).as("fp"))
+      .writeStream.format("memory").queryName("q86_stream_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q86_stream_dedup")
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1461,5 +1488,6 @@ object GraftQueries {
     "q82_stream_hourly" -> (q82StreamHourly _),
     "q83_decontam_bloom" -> (q83DecontamBloom _),
     "q84_stream_sessionize" -> (q84StreamSessionize _),
-    "q85_stream_interval_join" -> (q85StreamIntervalJoin _))
+    "q85_stream_interval_join" -> (q85StreamIntervalJoin _),
+    "q86_stream_dedup" -> (q86StreamDedup _))
 }
