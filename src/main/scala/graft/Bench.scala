@@ -50,7 +50,12 @@ object Bench {
     "q50_zorder_scan", "q53_bucket_join",
     // round-4 continuation additions (new anchors): inverted index,
     // funnel windows, MG sketch, snapshot diff
-    "q69_postings", "q70_funnel", "q71_heavy_hitters", "q76_diff")
+    "q69_postings", "q70_funnel", "q71_heavy_hitters", "q76_diff",
+    // round-5 additions (new anchors): the streaming runtime as
+    // throughput rows — each runs a REAL readStream query to completion
+    // (AvailableNow drain incl. source listing, state store, sink);
+    // q85 excluded (its join result is driver-memory-heavy at sf0.1)
+    "q82_stream_hourly", "q84_stream_sessionize", "q86_stream_dedup")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
