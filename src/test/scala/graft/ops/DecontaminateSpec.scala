@@ -120,6 +120,27 @@ class DecontaminateSpec extends SparkSpec {
       (0L until 60L).toSet -- exact.map(_._1)
   }
 
+  test("bloom prefilter sits BELOW the confirm join — survivors are " +
+      "thinned map-side before any exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val (train, eval) = fixture
+    val ev = Decontaminate.evalGramDigests(eval, "text", 3)
+    val plan = Decontaminate.contaminationBloom(train, "doc_id", "text",
+      ev, 3).queryExecution.optimizedPlan
+    def hasBloom(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean =
+      p.collect { case f: Filter if f.condition.collectFirst {
+        case b: graft.expressions.BloomMightContainLong => b
+      }.isDefined => f }.nonEmpty
+    val joins = plan.collect { case j: Join => j }
+    joins should not be empty
+    // the bottom-most join is the confirm join; the bloom probe must
+    // survive optimization INSIDE one of its input subtrees, not above it
+    val confirm = joins.last
+    assert(hasBloom(confirm.left) || hasBloom(confirm.right),
+      s"bloom filter not under the confirm join:\n$plan")
+  }
+
   test("contaminationBloom rejects a nonsense fpp") {
     val (train, eval) = fixture
     val ev = Decontaminate.evalGramDigests(eval, "text", 3)
