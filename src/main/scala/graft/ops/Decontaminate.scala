@@ -78,7 +78,14 @@ object Decontaminate {
     *
     * Exactness is restored by construction: the sketch has no false
     * negatives (nothing contaminated escapes phase 1), and no false
-    * positive survives the phase-2 equi-join. */
+    * positive survives the phase-2 equi-join.
+    *
+    * Sizing: the filter is built distributed (partial filters OR-merged)
+    * but the merged result lives on the driver and ships inside the plan —
+    * ~1.2 bits/entry/−log₂(fpp). Past ~1e9 entries raise `fpp` (every
+    * false positive is repaired by phase 2 anyway — a 10% fpp filter is
+    * 3x smaller and still thins the confirm join by 10x) or split the
+    * eval set and union the reports. */
   def contaminationBloom(train: DataFrame, idCol: String, textCol: String,
       evalDigests: DataFrame, n: Int, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
