@@ -72,8 +72,9 @@ object SimilaritySearch {
     * struct entries sorted by one codegen'd `array_sort` — centroids are
     * broadcast literals, k·dim floats) and keeps its `nProbe` nearest
     * cells; queries explode to (query_id, cell, qv) and equi-join the
-    * cell-assigned corpus on `cell`. The query side is the small side and
-    * broadcasts, so corpus scoring stays map-only, touching
+    * cell-assigned corpus on `cell`. A broadcast-sized query side
+    * broadcasts (a huge batch degrades to a plain shuffle join, still
+    * fully distributed), so corpus scoring stays map-only, touching
     * ~nProbe/nCells of the grid; a corpus row scores once per probing
     * query (cells are distinct per query). Scored rows project to
     * (query_id, pk, score) BEFORE the per-query rank, so the rank
@@ -104,7 +105,7 @@ object SimilaritySearch {
       .select($"query_id", $"__qv",
         explode($"__probes.cell").as("cell"))
     val scored = indexed.select(col(cPk), col("cell"), col(vecCol))
-      .join(broadcast(probed), Seq("cell"))
+      .join(broadcastIfSmall(probed), Seq("cell"))
       .select($"query_id", col(cPk),
         cosineUnit(col(vecCol), $"__qv").as("score"))
     if (viaAggregator) {
@@ -119,6 +120,18 @@ object SimilaritySearch {
         .filter($"rank" <= k)
     }
   }
+
+  /** Broadcast only when Catalyst's size estimate says the relation is
+    * broadcast-sized. The batch-retrieval contract is that DRIVER cost
+    * must not scale with Q — an unconditional `broadcast()` hint
+    * materializes the whole relation on the driver first, which is
+    * exactly the bottleneck the executor-side LUT path removed. Plan
+    * statistics cost no job; a misestimate degrades to AQE's runtime
+    * join choice, never to a driver OOM. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
+      broadcast(df)
+    else df
 
   /** The aggregator rank path carries pks as longs; a string/uuid pk would
     * cast to null and silently collapse every corpus row onto one key —
@@ -183,7 +196,7 @@ object SimilaritySearch {
           .as("__probes"))
       .select($"query_id", $"__lut", explode($"__probes.cell").as("cell"))
     val scored = indexed.select(col(cPk), col("cell"), col("pq_code"))
-      .join(broadcast(probed), Seq("cell"))
+      .join(broadcastIfSmall(probed), Seq("cell"))
       .select($"query_id", col(cPk),
         graft.expressions.VectorExpressions
           .pqAdcDotLut(col("pq_code"), $"__lut").as("adc_score"))
@@ -201,13 +214,13 @@ object SimilaritySearch {
         // bounded: Q * k * refine candidate rows; their vectors arrive via
         // a broadcast semi-join on pk, never a corpus shuffle
         val vecs = source.select(col(cPk), col(srcVec).as("__cv"))
-          .join(broadcast(cand.select(col(cPk)).distinct()), Seq(cPk))
+          .join(broadcastIfSmall(cand.select(col(cPk)).distinct()), Seq(cPk))
         // query vectors re-attach by query_id — the query relation is the
         // broadcast side; corpus vectors are unit-norm so dot == cosine
         val qv = queries.select(col(qPk).cast("long").as("query_id"),
           col(vecCol).as("__qv"))
         val rescored = cand.join(vecs, Seq(cPk))
-          .join(broadcast(qv), Seq("query_id"))
+          .join(broadcastIfSmall(qv), Seq("query_id"))
           .withColumn("score", cosineUnit($"__cv", $"__qv"))
           .select($"query_id", col(cPk), $"score")
         val wf = Window.partitionBy($"query_id")

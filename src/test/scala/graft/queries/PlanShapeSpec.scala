@@ -145,6 +145,54 @@ class PlanShapeSpec extends SparkSpec {
     refineJoins should not be empty
   }
 
+  test("knnJoinIvf batch routing: a broadcast-sized query batch still " +
+      "broadcasts; a huge-estimate batch degrades to a distributed join") {
+    // The cell equi-join's query side carries a size-CONDITIONAL broadcast
+    // hint (driver cost must not scale with Q). Two regressions matter:
+    // (a) the stats check misreading a small batch as large would silently
+    // turn the common nightly shape into a shuffle join; (b) re-hardcoding
+    // `broadcast()` would re-introduce the driver collect for 1M-query
+    // batches. Assert both directions on the STATIC plan (sparkPlan,
+    // pre-AQE): AQE may still broadcast at runtime from observed sizes —
+    // that is the intended degradation, not what this guards.
+    spark.sqlContext.clearCache()
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val (indexed, cents) = graft.ops.SimilaritySearch
+      .ivfBuild(emb, "vec_id", "embedding", nCells = 4)
+    import org.apache.spark.sql.functions._
+    def cellJoins(df: DataFrame) = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if (j.leftKeys ++ j.rightKeys)
+            .flatMap(_.references.map(_.name)).contains("cell") => j
+    }
+    val small = graft.ops.SimilaritySearch.knnJoinIvf(
+      emb.filter(col("vec_id") < 32), indexed, cents,
+      "vec_id", "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(cellJoins(small).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"32-query batch lost its broadcast:\n${small.queryExecution.sparkPlan}")
+    // a query relation whose Catalyst estimate is way past broadcast size
+    // (cross-join stats multiply) must NOT be the driver-built side —
+    // Catalyst broadcasting the tiny sf0.001 CORPUS side instead is fine
+    // (that side is bounded by the probed cells, not by Q)
+    val huge = graft.ops.SimilaritySearch.knnJoinIvf(
+      emb.crossJoin(emb.select(col("vec_id").as("__salt")))
+        .withColumn("vec_id", col("vec_id") * 100000 + col("__salt"))
+        .drop("__salt"),
+      indexed, cents, "vec_id", "vec_id", "embedding", k = 3, nProbe = 2)
+    val queryBuilt = cellJoins(huge).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        val built = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        built.output.map(_.name)
+    }.filter(_.exists(Set("query_id", "__qv").contains))
+    assert(queryBuilt.isEmpty,
+      s"huge-estimate QUERY side still broadcast-built ($queryBuilt):\n" +
+        s"${huge.queryExecution.sparkPlan}")
+  }
+
   test("q36: as-of join is join-free — one key shuffle, no range explosion") {
     val p = plan("q36_asof_join")
     // the merge formulation has NO join operator at all (union + window);
