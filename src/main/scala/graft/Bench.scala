@@ -247,22 +247,35 @@ object Bench {
         force(ScalarQuantization.sqSearch(sqEncodedP, sqModel, "vec_id",
           qv, 10, refine = 2, exactSource = Some((scaled, "embedding"))))
       })
+      // IVF-SQ: cell-pruned FMA scan (probe nProbe of 32 cells, byte codes
+      // only, shallow refine) — the scalar sibling of the IVFADC row
+      val ivfsqEncoded = ScalarQuantization
+        .sqEncode(indexedP, "embedding", sqModel)
+        .select(col("vec_id"), col("cell"), col("sq_code")).persist()
+      ivfsqEncoded.count()
+      val ivfsqT = (1 to reps).map(_ => timed {
+        force(ScalarQuantization.ivfSqSearch(ivfsqEncoded, cents, sqModel,
+          "vec_id", qv, 10, nProbe = 4, refine = 2,
+          exactSource = Some((scaled, "embedding"))))
+      })
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
-      ivfpqEncoded.unpersist(); sqEncodedP.unpersist()
+      ivfpqEncoded.unpersist(); sqEncodedP.unpersist(); ivfsqEncoded.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
         "x_ivf_build" -> build, "x_ivf_probe" -> probe.min,
         "x_knn_window_32q" -> knnWin.min, "x_knn_agg_32q" -> knnAgg.min,
         "x_knn_ivf_32q" -> knnIvf.min,
         "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min,
         "x_ivfpq_search" -> ivfpqT.min, "x_knn_ivfpq_32q" -> knnIvfPq.min,
-        "x_sq_build" -> sqBuild, "x_sq_search" -> sqSearchT.min)
+        "x_sq_build" -> sqBuild, "x_sq_search" -> sqSearchT.min,
+        "x_ivfsq_search" -> ivfsqT.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
         "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
         "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg),
         "x_knn_ivf_32q" -> med(knnIvf),
         "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT),
         "x_ivfpq_search" -> med(ivfpqT), "x_knn_ivfpq_32q" -> med(knnIvfPq),
-        "x_sq_build" -> sqBuild, "x_sq_search" -> med(sqSearchT))
+        "x_sq_build" -> sqBuild, "x_sq_search" -> med(sqSearchT),
+        "x_ivfsq_search" -> med(ivfsqT))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }

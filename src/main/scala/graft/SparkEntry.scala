@@ -631,6 +631,13 @@ object SparkEntry {
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
          ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q87_ivfsq_topk" -> // IVF-SQ at full probe == exact top-k at the
+      // default refine=2 (the q51/q59 construction), same exact-search SQL
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
     "q60_interval_join" -> // the naive inequality join IS the oracle: tiny
       // at sf0.01, the scale killer the bucketed engine path avoids
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
@@ -1009,7 +1016,7 @@ object SparkEntry {
     if (graft.queries.GoldenOracles.sfPinned(dir)) base
     else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk",
       "q51_ivfpq_topk", "q54_batch_ivfpq", "q55_threshold_lsh",
-      "q59_sq_topk")
+      "q59_sq_topk", "q87_ivfsq_topk")
   }
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

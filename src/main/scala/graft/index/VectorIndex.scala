@@ -228,6 +228,30 @@ final class VectorIndex private (
         :+ col("score"): _*)
   }
 
+  /** IVF-SQ top-k — IVF cell pruning composed with the SQ8 FMA scan
+    * ([[graft.ops.ScalarQuantization.ivfSqSearch]]). Needs BOTH
+    * [[buildIvf]] and [[buildSq]]. The scalar sibling of [[searchIvfPq]]:
+    * dim bytes per scanned row instead of m, but near-lossless, so the
+    * default `refine = 2` recovers exact [[search]] where PQ needs 16
+    * (spec-verified; q87 oracles the composition). Same columnar-source
+    * caveat as [[searchIvfPq]]: the compressed-scan payoff needs a
+    * [[save]]d+[[VectorIndex.load]]ed index. */
+  def searchIvfSq(queryVec: Array[Float], k: Int = 5, nProbe: Int = 4,
+      refine: Int = 2, columns: Seq[String] = Seq.empty): DataFrame = {
+    require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
+    val cents = ivfCents.getOrElse(
+      throw new IllegalStateException(s"index $name has no IVF layout; run buildIvf"))
+    val model = sqModel.getOrElse(
+      throw new IllegalStateException(s"index $name has no SQ layout; run buildSq"))
+    val cols = if (columns.isEmpty) defaultCols else columns
+    graft.ops.ScalarQuantization.ivfSqSearch(
+        state.select(col(primaryKey), col("cell"), col("sq_code")),
+        cents, model, primaryKey, queryVec, k, nProbe, refine,
+        exactSource = Some((state, vectorCol)))
+      .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col)
+        :+ col("score"): _*)
+  }
+
   /** Approximate top-k via LSH bucket probing. */
   def searchApprox(queryVec: Array[Float], k: Int = 5,
       columns: Seq[String] = Seq.empty): DataFrame = {

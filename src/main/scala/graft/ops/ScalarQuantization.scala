@@ -95,6 +95,31 @@ object ScalarQuantization {
       graft.expressions.VectorExpressions.sqEncode(col(vecCol),
         model.mins, model.steps))
 
+  /** IVF-SQ — IVF cell pruning composed with the SQ8 ADC scan, the scalar
+    * sibling of [[SimilaritySearch.ivfPqSearch]] (the Faiss
+    * `IVF<n>,SQ8` factory point on the same curve): probe the `nProbe`
+    * cells nearest the query, FMA-scan ONLY their dim-byte codes, exact
+    * re-rank the bounded candidate set. Per scanned row this reads dim
+    * bytes instead of PQ's m — less compression — but the near-lossless
+    * grid keeps `refine = 2` sufficient where PQ needs 16, so the refine
+    * stage touches 8x fewer raw vectors. At 100 TB pick by corpus width:
+    * SQ when the scan budget affords dim B/row, PQ/IVFADC below that.
+    * `nProbe >= nCells` with the default refine provably equals exact
+    * search on the fixture (spec + q87 oracle). `indexed` must carry
+    * `cell` AND `sq_code`. */
+  def ivfSqSearch(indexed: DataFrame, centroids: Array[Array[Float]],
+      model: SqModel, pk: String, query: Array[Float], k: Int,
+      nProbe: Int = 4, refine: Int = 2,
+      exactSource: Option[(DataFrame, String)] = None): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val probeCells = centroids.indices
+      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+    sqSearch(
+      indexed.filter(col("cell").isin(probeCells: _*))
+        .select(col(pk), col("sq_code")),
+      model, pk, query, k, refine, exactSource)
+  }
+
   /** Two-stage SQ search, shaped exactly like
     * [[SimilaritySearch.pqSearch]]: (1) fused-multiply-add ADC scan over
     * the byte codes, `TakeOrderedAndProject` keeps `k * refine`

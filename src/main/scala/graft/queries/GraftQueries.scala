@@ -855,6 +855,28 @@ object GraftQueries {
       .select(col("vec_id"), col("score"))
   }
 
+  /** IVF-SQ composed search ([[ScalarQuantization.ivfSqSearch]]): IVF cell
+    * pruning feeding the SQ8 FMA scan — the scalar sibling of q51's
+    * IVFADC, closing the quantization matrix (IVF, SQ8, PQ, IVFADC,
+    * IVF-SQ). Dim bytes per scanned row instead of PQ's m, but the
+    * near-lossless grid needs only refine=2 where PQ needs 16, so the
+    * refine stage reads 8x fewer raw vectors. Full probe + default refine
+    * provably equals exact top-k (spec-verified), so the composition
+    * hash-checks against q11's plain SQL like q51/q59. */
+  def q87IvfSqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(e, "vec_id",
+      "embedding", nCells = 8)
+    val model = ScalarQuantization.sqTrain(e, "embedding")
+    val encoded = ScalarQuantization.sqEncode(indexed, "embedding", model)
+      .select(col("vec_id"), col("cell"), col("sq_code"))
+    ScalarQuantization.ivfSqSearch(encoded, cents, model, "vec_id", qv,
+        k = 10, nProbe = 8, refine = 2, exactSource = Some((e, "embedding")))
+      .select(col("vec_id"), col("score"))
+  }
+
   /** Bucketed interval join ([[TemporalJoin.intervalJoin]]): every error
     * paired with the same user's clicks from 2 hours before to 1
     * hour after — the range-join shape whose naive formulation (equi-
@@ -1489,5 +1511,6 @@ object GraftQueries {
     "q83_decontam_bloom" -> (q83DecontamBloom _),
     "q84_stream_sessionize" -> (q84StreamSessionize _),
     "q85_stream_interval_join" -> (q85StreamIntervalJoin _),
-    "q86_stream_dedup" -> (q86StreamDedup _))
+    "q86_stream_dedup" -> (q86StreamDedup _),
+    "q87_ivfsq_topk" -> (q87IvfSqTopk _))
 }

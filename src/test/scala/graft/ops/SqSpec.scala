@@ -114,6 +114,57 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-SQ: full probe + refine=2 equals exact; pruned probe stays " +
+      "inside the probed cells") {
+    val (indexed, cents) = SimilaritySearch.ivfBuild(emb, "vec_id",
+      "embedding", nCells = 4)
+    val model = ScalarQuantization.sqTrain(emb, "embedding")
+    val encoded = ScalarQuantization.sqEncode(indexed, "embedding", model)
+      .select(col("vec_id"), col("cell"), col("sq_code"))
+    for (qid <- Seq(0L, 7L, 101L)) {
+      val qv = queryVec(qid)
+      val exact = SimilaritySearch.topK(emb, "vec_id", "embedding", qv, 10)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+      val full = ScalarQuantization.ivfSqSearch(encoded, cents, model,
+          "vec_id", qv, k = 10, nProbe = 4,
+          exactSource = Some((emb, "embedding")))
+        .select("vec_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      full.toSeq shouldBe exact.toSeq
+    }
+    // pruned probe: every hit must come from the single probed cell
+    val qv = queryVec(0L)
+    val probeCell = cents.indices.maxBy(i =>
+      graft.functions.VectorFunctions.dot(qv, cents(i)))
+    val cellIds = encoded.filter(col("cell") === probeCell)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pruned = ScalarQuantization.ivfSqSearch(encoded, cents, model,
+        "vec_id", qv, k = 10, nProbe = 1,
+        exactSource = Some((emb, "embedding")))
+      .select("vec_id").collect().map(_.getLong(0))
+    pruned.foreach(id => cellIds should contain(id))
+  }
+
+  test("index handle: searchIvfSq needs both layouts and equals search at " +
+      "full probe, surviving save/load") {
+    val dir = java.nio.file.Files.createTempDirectory("sq-ivf-idx").toString
+    val idx = graft.index.VectorIndex
+      .build(emb, "sq-ivf-spec", "vec_id", "embedding")
+    val qv = queryVec(7L)
+    an[IllegalStateException] should be thrownBy idx.searchIvfSq(qv)
+    idx.buildIvf(nCells = 4)
+    an[IllegalStateException] should be thrownBy idx.searchIvfSq(qv)
+    idx.buildSq().save(dir)
+    val re = graft.index.VectorIndex.load(spark, dir, "sq-ivf-spec-re",
+      "vec_id", "embedding")
+    val exact = idx.search(qv, k = 5).select("vec_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = re.searchIvfSq(qv, k = 5, nProbe = 4)
+      .select("vec_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.toSeq shouldBe exact.toSeq
+  }
+
   test("dimension mismatches fail loudly, not with a truncated score") {
     val model = SqModel(Array(0f, 0f), Array(0.1f, 0.1f))
     an[IllegalArgumentException] should be thrownBy
