@@ -258,6 +258,13 @@ object Bench {
           "vec_id", qv, 10, nProbe = 4, refine = 2,
           exactSource = Some((scaled, "embedding"))))
       })
+      // batch IVF-SQ: the 32-query retrieval with executor-side factors
+      // and the shallow SQ refine (vs the PQ row's refine=16)
+      val knnIvfSq = (1 to reps).map(_ => timed {
+        force(SimilaritySearch.knnJoinIvfSq(queries, ivfsqEncoded, cents,
+          sqModel, "vec_id", "vec_id", "embedding", k = 10, nProbe = 4,
+          refine = 2, exactSource = Some((scaled, "embedding"))))
+      })
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
       ivfpqEncoded.unpersist(); sqEncodedP.unpersist(); ivfsqEncoded.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
@@ -267,7 +274,7 @@ object Bench {
         "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min,
         "x_ivfpq_search" -> ivfpqT.min, "x_knn_ivfpq_32q" -> knnIvfPq.min,
         "x_sq_build" -> sqBuild, "x_sq_search" -> sqSearchT.min,
-        "x_ivfsq_search" -> ivfsqT.min)
+        "x_ivfsq_search" -> ivfsqT.min, "x_knn_ivfsq_32q" -> knnIvfSq.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
         "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
         "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg),
@@ -275,7 +282,7 @@ object Bench {
         "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT),
         "x_ivfpq_search" -> med(ivfpqT), "x_knn_ivfpq_32q" -> med(knnIvfPq),
         "x_sq_build" -> sqBuild, "x_sq_search" -> med(sqSearchT),
-        "x_ivfsq_search" -> med(ivfsqT))
+        "x_ivfsq_search" -> med(ivfsqT), "x_knn_ivfsq_32q" -> med(knnIvfSq))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }

@@ -573,6 +573,18 @@ object SparkEntry {
                         b.vec_id) AS rnk
            FROM embeddings a JOIN embeddings b
              ON a.vec_id < 5) WHERE rnk <= 3""",
+    "q88_batch_ivfsq" -> // batch IVF-SQ at full probe + the SQ default
+      // refine=2 == exact multi-query knn (q54's SQL; spec-verified)
+      """SELECT query_id, vec_id, score, rnk FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id < 5) WHERE rnk <= 3""",
     "q55_threshold_lsh" -> // cross-relation LSH threshold join == exact
       // at the pinned deep family (miss prob ~1.5e-5, exact verify bars
       // false positives; spec-verified equality)
@@ -1016,7 +1028,7 @@ object SparkEntry {
     if (graft.queries.GoldenOracles.sfPinned(dir)) base
     else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk",
       "q51_ivfpq_topk", "q54_batch_ivfpq", "q55_threshold_lsh",
-      "q59_sq_topk", "q87_ivfsq_topk")
+      "q59_sq_topk", "q87_ivfsq_topk", "q88_batch_ivfsq")
   }
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /

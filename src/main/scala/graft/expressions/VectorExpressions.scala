@@ -706,6 +706,120 @@ object SqAdcDot {
   }
 }
 
+/** Executor-side SQ query-factor build: from a query vector, compute the
+  * per-dimension FMA factors `scaled_i = q_i * step_i` and the constant
+  * `bias = sum_i q_i * min_i` as ONE flat double array laid out
+  * `[scaled_0 .. scaled_{dim-1}, bias]`. The grid — 2·dim floats,
+  * batch-independent — rides into generated code as reference objects, so
+  * a DISTRIBUTED query relation derives its own factors where the rows
+  * live: SQ batch retrieval never collects queries to the driver (the
+  * per-query math is identical to the driver-side
+  * [[graft.ops.ScalarQuantization.SqModel.queryFactors]], bit for bit —
+  * the SQ analog of [[PqLut]]). */
+case class SqFactors(child: Expression, mins: Array[Float],
+    steps: Array[Float])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(mins.length == steps.length,
+    s"sq_factors: mins/steps length mismatch ${mins.length} != ${steps.length}")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sq_factors needs an array<float> (query vector) input")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SqFactors.factors(input.asInstanceOf[ArrayData], mins, steps))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("mins", mins, "float[]")
+      val s = ctx.addReferenceObj("steps", steps, "float[]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.SqFactors.factors($a, $m, $s));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SqFactors = copy(child = newChild)
+}
+
+object SqFactors {
+  /** Shared by eval and generated code: same arithmetic (and accumulation
+    * order) as `SqModel.queryFactors`. */
+  def factors(v: ArrayData, mins: Array[Float], steps: Array[Float])
+      : Array[Double] = {
+    val dim = mins.length
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"sq_factors: query dim ${v.numElements()} != model dim $dim")
+    val out = new Array[Double](dim + 1)
+    var bias = 0.0
+    var i = 0
+    while (i < dim) {
+      val q = v.getFloat(i).toDouble
+      out(i) = q * steps(i)
+      bias += q * mins(i)
+      i += 1
+    }
+    out(dim) = bias
+    out
+  }
+}
+
+/** SQ ADC dot product where the query factors arrive as a COLUMN (the
+  * `[scaled.., bias]` layout [[SqFactors]] emits) instead of driver-built
+  * reference objects — the scoring half of fully-distributed SQ batch
+  * retrieval; same math as [[SqAdcDot]]. */
+case class SqAdcDotLut(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sq_adc_dot_lut needs (binary sq code, array<double> factors) " +
+            s"inputs, got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(codes: Any, factors: Any): Any =
+    SqAdcDotLut.score(codes.asInstanceOf[Array[Byte]],
+      factors.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.SqAdcDotLut.score($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqAdcDotLut =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqAdcDotLut {
+  def score(codes: Array[Byte], factors: ArrayData): Double = {
+    val dim = codes.length
+    // factors from a different SqModel than the codes means silent
+    // garbage — the layout carries dim+1 entries by construction
+    if (factors.numElements() != dim + 1) throw new IllegalArgumentException(
+      s"sq_adc_dot_lut: factors length ${factors.numElements()} != " +
+        s"code dim $dim + 1")
+    var s = factors.getDouble(dim) // bias
+    var i = 0
+    while (i < dim) { s += factors.getDouble(i) * (codes(i) & 0xff); i += 1 }
+    s
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -743,4 +857,10 @@ object VectorExpressions {
 
   def sqAdcDot(codes: Column, scaled: Array[Double], bias: Double): Column =
     column(SqAdcDot(expression(codes), scaled, bias))
+
+  def sqFactors(v: Column, mins: Array[Float], steps: Array[Float]): Column =
+    column(SqFactors(expression(v), mins, steps))
+
+  def sqAdcDotLut(codes: Column, factors: Column): Column =
+    column(SqAdcDotLut(expression(codes), expression(factors)))
 }

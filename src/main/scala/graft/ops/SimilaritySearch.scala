@@ -200,6 +200,58 @@ object SimilaritySearch {
       .select($"query_id", col(cPk),
         graft.expressions.VectorExpressions
           .pqAdcDotLut(col("pq_code"), $"__lut").as("adc_score"))
+    rankRefine(scored, queries, qPk, cPk, vecCol, k, refine, exactSource)
+  }
+
+  /** Batch IVF-SQ — [[knnJoinIvfPq]]'s construction with the SQ8 FMA scan
+    * ([[graft.ops.ScalarQuantization.ivfSqSearch]]'s multi-query shape):
+    * each query derives its `[scaled.., bias]` FMA factors executor-side
+    * via [[graft.expressions.SqFactors]] (the grid — 2·dim floats,
+    * batch-independent — is the only broadcast model state), routing is
+    * the same cell equi-join, and [[graft.expressions.SqAdcDotLut]] reads
+    * each scored row's factors from the join side. Near-lossless codes
+    * keep the default `refine = 2` where PQ needs 16, so the bounded
+    * re-rank reads 8x fewer raw vectors per query. `nProbe >= nCells`
+    * with that refine provably equals exact [[knnJoin]] (spec-verified;
+    * q88 oracles it). Result: `(query_id, cPk, score, rank)`; integral
+    * pks required. */
+  def knnJoinIvfSq(queries: DataFrame, indexed: DataFrame,
+      centroids: Array[Array[Float]],
+      model: graft.ops.ScalarQuantization.SqModel, qPk: String,
+      cPk: String, vecCol: String, k: Int, nProbe: Int = 4,
+      refine: Int = 2,
+      exactSource: Option[(DataFrame, String)] = None): DataFrame = {
+    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    requireIntegralPks(queries, qPk, indexed, cPk)
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val centArr = array(centroids.indices.map(i =>
+      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
+        lit(i).as("cell"))): _*)
+    val probed = queries
+      .select(col(qPk).cast("long").as("query_id"),
+        graft.expressions.VectorExpressions
+          .sqFactors(col(vecCol), model.mins, model.steps).as("__f"),
+        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
+          .as("__probes"))
+      .select($"query_id", $"__f", explode($"__probes.cell").as("cell"))
+    val scored = indexed.select(col(cPk), col("cell"), col("sq_code"))
+      .join(broadcastIfSmall(probed), Seq("cell"))
+      .select($"query_id", col(cPk),
+        graft.expressions.VectorExpressions
+          .sqAdcDotLut(col("sq_code"), $"__f").as("adc_score"))
+    rankRefine(scored, queries, qPk, cPk, vecCol, k, refine, exactSource)
+  }
+
+  /** Shared tail of the batch compressed-retrieval paths: per-query rank
+    * of the ADC scores; with an `exactSource`, keep `k * refine`
+    * candidates and exact re-rank on re-attached vectors. `scored` must
+    * carry `(query_id, cPk, adc_score)`. */
+  private def rankRefine(scored: DataFrame, queries: DataFrame, qPk: String,
+      cPk: String, vecCol: String, k: Int, refine: Int,
+      exactSource: Option[(DataFrame, String)]): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy($"query_id")
       .orderBy(desc("adc_score"), col(cPk))
     exactSource match {

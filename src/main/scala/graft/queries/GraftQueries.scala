@@ -785,6 +785,27 @@ object GraftQueries {
         col("rank").cast("long").as("rnk"))
   }
 
+  /** Batch IVF-SQ retrieval ([[SimilaritySearch.knnJoinIvfSq]]): q54's
+    * construction with the SQ8 FMA scan — each query derives its
+    * `[scaled.., bias]` factors executor-side (`SqFactors`), routes by
+    * the cell equi-join, scores codes via `SqAdcDotLut`, and exact
+    * re-ranks at the SQ default refine=2 (vs the PQ twin's 48). Full
+    * probe + that refine provably equals the exact kNN join, so the
+    * batch machinery hash-checks against q54's plain SQL. */
+  def q88BatchIvfSq(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(e, "vec_id",
+      "embedding", nCells = 8)
+    val model = ScalarQuantization.sqTrain(e, "embedding")
+    val encoded = ScalarQuantization.sqEncode(indexed, "embedding", model)
+      .select(col("vec_id"), col("cell"), col("sq_code"))
+    SimilaritySearch.knnJoinIvfSq(e.filter(col("vec_id") < 5), encoded,
+        cents, model, "vec_id", "vec_id", "embedding", k = 3, nProbe = 8,
+        refine = 2, exactSource = Some((e, "embedding")))
+      .select(col("query_id"), col("vec_id"), col("score"),
+        col("rank").cast("long").as("rnk"))
+  }
+
   /** Cross-relation LSH threshold join
     * ([[SimilaritySearch.thresholdJoinLsh]]): the two-table scale path
     * where neither side broadcasts. At the pinned deep family
@@ -1512,5 +1533,6 @@ object GraftQueries {
     "q84_stream_sessionize" -> (q84StreamSessionize _),
     "q85_stream_interval_join" -> (q85StreamIntervalJoin _),
     "q86_stream_dedup" -> (q86StreamDedup _),
-    "q87_ivfsq_topk" -> (q87IvfSqTopk _))
+    "q87_ivfsq_topk" -> (q87IvfSqTopk _),
+    "q88_batch_ivfsq" -> (q88BatchIvfSq _))
 }

@@ -212,6 +212,63 @@ class SimilaritySearchSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("knnJoinIvfSq: full probe + refine=2 == exact knnJoin; factors " +
+      "built executor-side (eval/codegen parity); empty batch empty") {
+    val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(emb, "vec_id",
+      "embedding", nCells = 8)
+    val model = ScalarQuantization.sqTrain(emb, "embedding")
+    val encoded = ScalarQuantization.sqEncode(indexed, "embedding", model)
+      .select(col("vec_id"), col("cell"), col("sq_code"))
+    val queries = emb.filter(col("vec_id") < 16)
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("vec_id"), col("score"),
+        col("rank").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val exact = tuples(SimilaritySearch.knnJoin(queries, emb, "vec_id",
+      "vec_id", "embedding", k = 10))
+    // the near-lossless grid needs only the SQ default refine=2 where the
+    // PQ twin above needs 48 — that asymmetry IS the operator's point
+    tuples(SimilaritySearch.knnJoinIvfSq(queries, encoded, cents, model,
+      "vec_id", "vec_id", "embedding", k = 10, nProbe = 8,
+      exactSource = Some((emb, "embedding")))) shouldBe exact
+    // ADC-only shape + per-query cardinality
+    val adcOnly = SimilaritySearch.knnJoinIvfSq(queries, encoded, cents,
+      model, "vec_id", "vec_id", "embedding", k = 10, nProbe = 8)
+    adcOnly.collect().map(_.getAs[Long]("query_id"))
+      .groupBy(identity).values.foreach(_.length shouldBe 10)
+    // driver-independence: the factors are an expression IN the plan
+    val plan = adcOnly.queryExecution.optimizedPlan
+    plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: graft.expressions.SqFactors => e })
+    }.flatten should not be empty
+    // eval/codegen parity of the factor/scoring pair against the
+    // driver-side model math they must reproduce bit for bit
+    val qv = all(3L)
+    val (scaled, bias) = model.queryFactors(qv)
+    val viaExprs = ScalarQuantization.sqEncode(emb, "embedding", model)
+      .filter(col("vec_id") === 42L)
+      .select(graft.expressions.VectorExpressions.sqAdcDotLut(
+        col("sq_code"), graft.expressions.VectorExpressions.sqFactors(
+          graft.functions.VectorFunctions.vecLit(qv).cast("array<float>"),
+          model.mins, model.steps)).as("s"))
+      .head().getDouble(0)
+    val code = ScalarQuantization.sqEncode(emb, "embedding", model)
+      .filter(col("vec_id") === 42L).select("sq_code")
+      .head().getAs[Array[Byte]](0)
+    viaExprs shouldBe graft.expressions.SqAdcDot.score(code, scaled, bias)
+    // mismatched factors layout fails loudly, not silent garbage
+    an[IllegalArgumentException] should be thrownBy
+      graft.expressions.SqAdcDotLut.score(code,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Double](code.length))) // dim, not dim+1
+    SimilaritySearch.knnJoinIvfSq(emb.filter(col("vec_id") < 0), encoded,
+      cents, model, "vec_id", "vec_id", "embedding", k = 5)
+      .count() shouldBe 0L
+  }
+
   test("knnJoinIvf recall >= 0.95@10 at a SHALLOW probe on a clustered " +
       "corpus (routing finds the right cells when structure exists)") {
     // the parquet fixture's vectors are near-random — recall there just
