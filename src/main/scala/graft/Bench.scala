@@ -55,7 +55,10 @@ object Bench {
     // throughput rows — each runs a REAL readStream query to completion
     // (AvailableNow drain incl. source listing, state store, sink);
     // q85 excluded (its join result is driver-memory-heavy at sf0.1)
-    "q82_stream_hourly", "q84_stream_sessionize", "q86_stream_dedup")
+    "q82_stream_hourly", "q84_stream_sessionize", "q86_stream_dedup",
+    // post-task-list r5: continuous retrieval (stream-static cell join +
+    // bounded vec_topk state, AvailableNow drain)
+    "q89_stream_retrieval")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -585,6 +585,20 @@ object SparkEntry {
                         b.vec_id) AS rnk
            FROM embeddings a JOIN embeddings b
              ON a.vec_id < 5) WHERE rnk <= 3""",
+    "q89_stream_retrieval" -> // streamed queries, stream-static cell join,
+      // bounded vec_topk state, AvailableNow drain; FULL probe prunes
+      // nothing and scoring is exact, so equality is deterministic at any
+      // sf (no gate needed) — q54's SQL verbatim
+      """SELECT query_id, vec_id, score, rnk FROM (
+           SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b
+             ON a.vec_id < 5) WHERE rnk <= 3""",
     "q55_threshold_lsh" -> // cross-relation LSH threshold join == exact
       // at the pinned deep family (miss prob ~1.5e-5, exact verify bars
       // false positives; spec-verified equality)

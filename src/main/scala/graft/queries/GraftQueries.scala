@@ -1440,6 +1440,38 @@ object GraftQueries {
     spark.table("q86_stream_dedup")
   }
 
+  /** Continuous retrieval under the oracle gate
+    * ([[graft.streaming.StreamingRetrieval.knnStream]]): the embeddings
+    * fixture read as a query STREAM, each query routed to its IVF cells
+    * (stateless), scored by a stream-static cell join (stateless), and
+    * top-k'd by the bounded `vec_topk` aggregate (the ONLY state, O(k)
+    * per query), drained AvailableNow into a memory sink. Full probe
+    * prunes nothing, so the drained result equals the exact batch kNN
+    * join and q54's SQL applies verbatim — the streaming runtime
+    * (file source, stream-static join, stateful ObjectHashAggregate
+    * path, complete-mode sink) is what's actually under test. */
+  def q89StreamRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = t(spark, dir, "embeddings")
+    val (indexed, cents) = SimilaritySearch.ivfBuild(e, "vec_id",
+      "embedding", nCells = 4)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val qs = spark.readStream.schema(schema)
+      .parquet(streamableDir(spark, dir, "embeddings"))
+      .filter(col("vec_id") < 5)
+    val res = graft.streaming.StreamingRetrieval.knnStream(
+      qs, indexed, cents, "vec_id", "vec_id", "embedding",
+      k = 3, nProbe = 4)
+    spark.catalog.dropTempView("q89_stream_retrieval")
+    val q = res.writeStream.format("memory").queryName("q89_stream_retrieval")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q89_stream_retrieval")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1534,5 +1566,6 @@ object GraftQueries {
     "q85_stream_interval_join" -> (q85StreamIntervalJoin _),
     "q86_stream_dedup" -> (q86StreamDedup _),
     "q87_ivfsq_topk" -> (q87IvfSqTopk _),
-    "q88_batch_ivfsq" -> (q88BatchIvfSq _))
+    "q88_batch_ivfsq" -> (q88BatchIvfSq _),
+    "q89_stream_retrieval" -> (q89StreamRetrieval _))
 }

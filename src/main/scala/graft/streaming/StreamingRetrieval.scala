@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.functions.VectorFunctions.{cosineUnit, vecLit}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous retrieval: a STREAM of query vectors served against the
+  * static IVF-indexed corpus — the online half of the reference's
+  * similarity search (`Nomic MultiModal Retrieval.py:380-390`), the shape
+  * of a live retrieval/QA endpoint or an online hard-negative miner fed by
+  * a training loop.
+  *
+  * Scale design, stage by stage:
+  *   - routing is STATELESS: each streamed query ranks the broadcast
+  *     centroid matrix (the same codegen'd array_sort as the batch
+  *     [[graft.ops.SimilaritySearch.knnJoinIvf]]) and explodes to its
+  *     `nProbe` (query, cell) rows — per-row work, no state store;
+  *   - scoring is a STATELESS stream-static equi-join on `cell`: only the
+  *     probed cells' corpus rows are scored per query, ~nProbe/nCells of
+  *     the corpus, and the join carries no watermark or state because the
+  *     static side never changes within a batch (re-index = restart, the
+  *     same contract as the reference's TRIGGERED index);
+  *   - only the top-k is STATEFUL: the [[graft.expressions.VecTopK]]
+  *     bounded-heap aggregate keeps O(k) entries per query in the state
+  *     store — state is k·Q_active, never corpus-sized, and partial
+  *     aggregation bounds what the one exchange ships exactly as in the
+  *     batch path.
+  *
+  * Result (streaming, complete/update mode): `(query_id, top)` where
+  * `top` is the rank-ordered `array<struct<id, score>>` — `inline` /
+  * `posexplode` it sink-side. With `nProbe >= nCells` the drained result
+  * provably equals the exact batch kNN join (q89 oracles it against the
+  * same SQL as q54). */
+object StreamingRetrieval {
+
+  def knnStream(queries: DataFrame, indexed: DataFrame,
+      centroids: Array[Array[Float]], qPk: String, cPk: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    require(queries.isStreaming,
+      "knnStream expects a streaming query relation; use " +
+        "SimilaritySearch.knnJoinIvf for batch retrieval")
+    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    graft.GraftFunctions.register(queries.sparkSession)
+    val centArr = array(centroids.indices.map(i =>
+      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
+        lit(i).as("cell"))): _*)
+    val probed = queries
+      .select(col(qPk).as("query_id"), col(vecCol).as("__qv"),
+        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
+          .as("__probes"))
+      .select(col("query_id"), col("__qv"),
+        explode(col("__probes.cell")).as("cell"))
+    val scored = probed
+      .join(indexed.select(col(cPk).as("__cid"), col("cell"),
+        col(vecCol).as("__cv")), Seq("cell"))
+      .select(col("query_id"), col("__cid"),
+        cosineUnit(col("__cv"), col("__qv")).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"vec_topk(__cid, score, $k)").as("top"))
+  }
+}

@@ -38,6 +38,52 @@ class StreamingSpec extends SparkSpec {
     top shouldBe Set(2L, 3L, 888888L) // all three now carry vec 2's vector
   }
 
+  test("StreamingRetrieval: streamed queries == exact batch kNN at full " +
+      "probe; multi-batch arrival converges to the same state; batch " +
+      "relation rejected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val (indexed, cents) = graft.ops.SimilaritySearch
+      .ivfBuild(emb, "vec_id", "embedding", nCells = 4)
+    val queries = emb.filter(col("vec_id") < 6)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = graft.ops.SimilaritySearch
+      .knnJoin(emb.filter(col("vec_id") < 6), emb, "vec_id", "vec_id",
+        "embedding", k = 3)
+      .select("query_id", "vec_id", "score", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val stream = MemoryStream[(Long, Array[Float])]
+    // queries arrive over TWO micro-batches — the stateful top-k must
+    // carry batch-1 state, not recompute from scratch
+    val df = stream.toDF()
+      .select($"_1".as("vec_id"),
+        $"_2".cast("array<float>").as("embedding"))
+    val res = StreamingRetrieval.knnStream(df, indexed, cents,
+      "vec_id", "vec_id", "embedding", k = 3, nProbe = 4)
+    val q = res.writeStream.format("memory").queryName("sr_spec")
+      .outputMode("complete").start()
+    stream.addData(queries.take(3).toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(queries.drop(3).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sr_spec")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id"), col("col.score"),
+        (col("pos") + 1).cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    got shouldBe expected
+    an[IllegalArgumentException] should be thrownBy
+      StreamingRetrieval.knnStream(emb, indexed, cents, "vec_id",
+        "vec_id", "embedding", k = 3)
+  }
+
   test("windowed aggregate: streaming result equals batch mirror") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
