@@ -57,8 +57,9 @@ object Bench {
     // q85 excluded (its join result is driver-memory-heavy at sf0.1)
     "q82_stream_hourly", "q84_stream_sessionize", "q86_stream_dedup",
     // post-task-list r5: continuous retrieval (stream-static cell join +
-    // bounded vec_topk state, AvailableNow drain)
-    "q89_stream_retrieval")
+    // bounded vec_topk state, AvailableNow drain) + streaming heavy
+    // hitters (one MG sketch buffer as the whole state store)
+    "q89_stream_retrieval", "q90_stream_heavy_hitters")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

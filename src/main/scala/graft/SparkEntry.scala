@@ -832,6 +832,15 @@ object SparkEntry {
              FROM documents)
          SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
          GROUP BY term ORDER BY n DESC, term LIMIT 10""",
+    "q90_stream_heavy_hitters" -> // MG sketch as streaming state; exact
+      // regime (capacity 64 > 31-term vocabulary, no evictions, merge
+      // order immaterial) so q71's exact top-10 SQL applies verbatim
+      """WITH tok AS (SELECT
+             unnest(list_transform(list_filter(string_split_regex(text,
+               '\s+'), x -> len(x) > 0), x -> lower(x))) AS term
+             FROM documents)
+         SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
+         GROUP BY term ORDER BY n DESC, term LIMIT 10""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

@@ -1472,6 +1472,37 @@ object GraftQueries {
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Streaming heavy hitters under the oracle gate
+    * ([[graft.expressions.MgTopK]] as streaming state): the documents
+    * fixture read as a stream, tokenized statelessly, and aggregated by
+    * the Misra-Gries sketch — the state store holds ONE serialized sketch
+    * buffer (≤ capacity counters) instead of the full vocabulary, which
+    * is the 100 TB shape for trending-term / hot-URL monitors. Capacity
+    * 64 exceeds the fixture vocabulary, so the sketch is provably exact
+    * and merge order cannot matter (no evictions ever fire) — q71's plain
+    * exact top-10 SQL applies verbatim, ungated. MgSketchSpec separately
+    * proves the multi-batch incremental merge and the lossy-regime
+    * bounds. */
+  def q90StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamableDir(spark, dir, "documents"))
+    spark.catalog.dropTempView("q90_stream_heavy_hitters")
+    val q = stream
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .agg(graft.expressions.SketchExpressions.mgTopK(col("term"), 64)
+        .as("hh"))
+      .writeStream.format("memory").queryName("q90_stream_heavy_hitters")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("q90_stream_heavy_hitters")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.count").as("n"))
+      .orderBy(desc("n"), col("term"))
+      .limit(10)
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1567,5 +1598,6 @@ object GraftQueries {
     "q86_stream_dedup" -> (q86StreamDedup _),
     "q87_ivfsq_topk" -> (q87IvfSqTopk _),
     "q88_batch_ivfsq" -> (q88BatchIvfSq _),
-    "q89_stream_retrieval" -> (q89StreamRetrieval _))
+    "q89_stream_retrieval" -> (q89StreamRetrieval _),
+    "q90_stream_heavy_hitters" -> (q90StreamHeavyHitters _))
 }
