@@ -59,7 +59,10 @@ object Bench {
     // post-task-list r5: continuous retrieval (stream-static cell join +
     // bounded vec_topk state, AvailableNow drain) + streaming heavy
     // hitters (one MG sketch buffer as the whole state store)
-    "q89_stream_retrieval", "q90_stream_heavy_hitters")
+    "q89_stream_retrieval", "q90_stream_heavy_hitters",
+    // graph family: basket pair mining + degree-ordered triangle count
+    // (the wedge join is the O(m^1.5) candidate bound under test)
+    "q91_copurchase", "q92_triangles")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

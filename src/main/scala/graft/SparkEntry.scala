@@ -841,6 +841,35 @@ object SparkEntry {
              FROM documents)
          SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok
          GROUP BY term ORDER BY n DESC, term LIMIT 10""",
+    "q91_copurchase" -> // basket equi-join pair mining, exact counts
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem)
+         SELECT x.i AS item_a, y.i AS item_b,
+           CAST(count(*) AS BIGINT) AS support
+         FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+         GROUP BY 1, 2 HAVING count(*) >= 2""",
+    "q92_triangles" -> // literal three-way self-join triangle mirror;
+      // counts are exact integers, coeff is the identical double
+      // expression 2.0 * t / (d * (d - 1.0)) on both engines
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         e AS (SELECT DISTINCT x.i AS u, y.i AS v
+               FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+                 (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY n),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         tn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM
+                (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri) GROUP BY n)
+         SELECT deg.n AS part, deg.d AS degree,
+           COALESCE(tn.t, 0) AS n_tri,
+           CASE WHEN deg.d >= 2
+             THEN 2.0 * COALESCE(tn.t, 0) / (deg.d * (deg.d - 1.0))
+             ELSE 0.0 END AS coeff
+         FROM deg LEFT JOIN tn ON tn.n = deg.n""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

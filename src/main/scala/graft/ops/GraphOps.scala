@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational co-occurrence data: market-basket pair
+  * mining and triangle statistics. Extends the engine's graph family
+  * (connected components in [[Dedup.ccAlternatingStars]]) with the
+  * counting side — co-purchase affinities and local clustering structure,
+  * the classic recommendations / community-signal primitives.
+  *
+  * Scale shape: `coOccurrencePairs` candidate mass is Σ basket² (equi-join
+  * on the basket key, never an all-pairs product), with an explicit cap
+  * for pathological baskets. `triangleStats` orients every edge from its
+  * lower (degree, id) endpoint — Schank-Wagner / compact-forward: per-node
+  * out-degree is then O(√m), so the wedge self-join generates O(m^1.5)
+  * candidates on ANY degree distribution instead of Σ deg² (a single
+  * celebrity node would otherwise dominate the join). All joins carry ids
+  * and degree longs only.
+  */
+object GraphOps {
+
+  /** Item pairs sharing a basket, with co-occurrence support counts.
+    * Output: (item_a, item_b, support), item_a < item_b, support >=
+    * `minSupport`. `maxBasketSize` (0 = off) drops baskets above the cap
+    * BEFORE the pair join — a basket of size s contributes s·(s-1)/2
+    * pairs, so one pathological mega-basket (a crawler session, a bot
+    * cart) can dwarf the rest of the corpus combined. */
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
+    val bi0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val bi =
+      if (maxBasketSize <= 0) bi0
+      else {
+        val sizes = bi0.groupBy("b").agg(count(lit(1)).as("__sz"))
+          .filter(col("__sz") <= maxBasketSize).select("b")
+        bi0.join(sizes, "b")
+      }
+    val x = bi.select(col("b"), col("i").as("item_a"))
+    val y = bi.select(col("b"), col("i").as("item_b"))
+    x.join(y, x("b") === y("b") && col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * over an undirected graph given as an edge list (direction and
+    * duplicates ignored). Output: (n, degree, n_tri, coeff) for every
+    * node with at least one edge; coeff = 2·T / (d·(d−1)), 0 when d < 2.
+    *
+    * Each triangle is enumerated exactly once: edges are oriented from
+    * the lower (degree, id) endpoint, wedges pair the out-neighbors of a
+    * common source in that same total order, and a wedge survives iff its
+    * closing oriented edge exists (one equi-join on the id pair). */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val arm1 = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
+    val arm2 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val wedges = arm1.join(arm2, Seq("s"))
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select("s", "a", "b")
+    val tri = wedges.join(oriented.select(col("s").as("a"), col("t").as("b")),
+      Seq("a", "b"))
+    val perNode = tri
+      .select(explode(array(col("s"), col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - lit(1.0))))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+}

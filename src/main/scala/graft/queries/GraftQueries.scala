@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Boilerplate, Decontaminate, Dedup, HybridSearch, Layout, Packing, Quality, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TemporalJoin}
+import graft.ops.{Boilerplate, Decontaminate, Dedup, GraphOps, HybridSearch, Layout, Packing, Quality, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1503,6 +1503,30 @@ object GraftQueries {
       .limit(10)
   }
 
+  /** Market-basket co-occurrence ([[GraphOps.coOccurrencePairs]]): part
+    * pairs bought together in at least two orders — the affinity-mining
+    * primitive behind "frequently bought together". Candidate mass is
+    * Σ basket² via the basket equi-join (orders are bounded baskets),
+    * never an all-pairs product; the maxBasketSize cap (spec-covered) is
+    * the guard for pathological baskets at crawl scale. */
+  def q91CoPurchase(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+
+  /** Triangle statistics over the co-purchase graph
+    * ([[GraphOps.triangleStats]]): per-part degree, triangle count, and
+    * local clustering coefficient — the community-structure signal on the
+    * affinity graph. Degree-ordered orientation (Schank-Wagner) bounds
+    * the wedge join at O(m^1.5) regardless of skew; every count is an
+    * exact integer so the oracle is a literal three-way self-join, and
+    * the coefficient is the same double expression on both engines. */
+  def q92Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey")
+    GraphOps.triangleStats(edges, "item_a", "item_b")
+      .withColumnRenamed("n", "part")
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1599,5 +1623,7 @@ object GraftQueries {
     "q87_ivfsq_topk" -> (q87IvfSqTopk _),
     "q88_batch_ivfsq" -> (q88BatchIvfSq _),
     "q89_stream_retrieval" -> (q89StreamRetrieval _),
-    "q90_stream_heavy_hitters" -> (q90StreamHeavyHitters _))
+    "q90_stream_heavy_hitters" -> (q90StreamHeavyHitters _),
+    "q91_copurchase" -> (q91CoPurchase _),
+    "q92_triangles" -> (q92Triangles _))
 }

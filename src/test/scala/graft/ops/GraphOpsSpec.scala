@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+
+  // seeded Erdős–Rényi-ish graph: 60 nodes, ~15% of id-ordered pairs
+  private lazy val randomEdges: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    (for {
+      u <- 0L until 60L
+      v <- (u + 1) until 60L
+      if rnd.nextDouble() < 0.15
+    } yield (u, v)).toSeq
+  }
+
+  private def bruteTriangles(edges: Seq[(Long, Long)])
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val triPerNode = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for {
+      u <- nodes; v <- adj(u) if v > u; w <- adj(v) if w > v
+      if adj(u).contains(w)
+    } {
+      triPerNode(u) += 1; triPerNode(v) += 1; triPerNode(w) += 1
+    }
+    (adj.map { case (n, s) => n -> s.size.toLong },
+      triPerNode.toMap.withDefaultValue(0L))
+  }
+
+  test("triangleStats matches brute force on a random graph") {
+    import spark.implicits._
+    val (deg, tri) = bruteTriangles(randomEdges)
+    val got = GraphOps.triangleStats(
+      randomEdges.toDF("src", "dst").repartition(7), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    got.map(_._1).toSet shouldBe deg.keySet
+    got.foreach { case (n, d, t, c) =>
+      d shouldBe deg(n)
+      t shouldBe tri(n)
+      val expC = if (d >= 2) 2.0 * t / (d * (d - 1.0)) else 0.0
+      c shouldBe expC
+    }
+    // sanity: the fixture actually has triangles
+    got.map(_._3).sum / 3 should be > 0L
+  }
+
+  test("edge direction and duplicate edges do not change the result") {
+    import spark.implicits._
+    val canonical = GraphOps.triangleStats(
+      randomEdges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val messy = randomEdges.flatMap { case (u, v) =>
+      Seq((v, u), (u, v), (v, u)) } // reversed + duplicated
+    val got = GraphOps.triangleStats(messy.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got shouldBe canonical
+  }
+
+  test("coOccurrencePairs: support counts, threshold, basket dedup") {
+    import spark.implicits._
+    val baskets = Seq( // (basket, item); b1 has a dup row to dedup
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "d"))
+    val all = GraphOps.coOccurrencePairs(baskets.toDF("b", "i"), "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    all(("a", "b")) shouldBe 3L
+    all(("a", "c")) shouldBe 1L
+    all(("b", "d")) shouldBe 1L
+    val freq = GraphOps.coOccurrencePairs(baskets.toDF("b", "i"), "b", "i",
+      minSupport = 2L).collect()
+    freq.map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("a", "b"))
+  }
+
+  test("maxBasketSize drops oversized baskets before the pair join") {
+    import spark.implicits._
+    val baskets = Seq((1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d")) // basket 2 size 4
+    val capped = GraphOps.coOccurrencePairs(baskets.toDF("b", "i"),
+      "b", "i", maxBasketSize = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    capped shouldBe Map(("a", "b") -> 1L) // only basket 1 survives
+  }
+
+  test("triangle joins carry ids and degrees only (no payload columns)") {
+    import spark.implicits._
+    // payload column must be pruned before any exchange
+    val df = randomEdges.toDF("src", "dst")
+      .withColumn("payload", lit("x" * 100))
+    val plan = GraphOps.triangleStats(df, "src", "dst")
+      .queryExecution.executedPlan.toString
+    plan should not include "payload"
+  }
+}
