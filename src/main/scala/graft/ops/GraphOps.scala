@@ -56,10 +56,17 @@ object GraphOps {
     * closing oriented edge exists (one equi-join on the id pair). */
   def triangleStats(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // localCheckpoint (the Dedup multi-reuse rule): the canonical edge
+    // list feeds degrees, orientation, both wedge arms, and the closing
+    // join — six references that would otherwise each re-derive the
+    // (possibly expensive) upstream edge computation and leave
+    // single-computation to exchange-reuse heuristics; two longs per edge
+    // is cheap to hold
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") < col("v")).distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -73,6 +80,7 @@ object GraphOps {
           struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .localCheckpoint(true) // reused by both wedge arms + the closing join
     val arm1 = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
     val arm2 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
     val wedges = arm1.join(arm2, Seq("s"))
