@@ -61,8 +61,10 @@ object Bench {
     // hitters (one MG sketch buffer as the whole state store)
     "q89_stream_retrieval", "q90_stream_heavy_hitters",
     // graph family: basket pair mining + degree-ordered triangle count
-    // (the wedge join is the O(m^1.5) candidate bound under test)
-    "q91_copurchase", "q92_triangles")
+    // (the wedge join is the O(m^1.5) candidate bound under test) +
+    // 5-iteration PageRank (per-iteration O(m) contribution shuffle) +
+    // the one-pass multi-granularity rollup
+    "q91_copurchase", "q92_triangles", "q93_rollup", "q94_pagerank")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

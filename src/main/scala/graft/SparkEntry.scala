@@ -870,6 +870,58 @@ object SparkEntry {
              THEN 2.0 * COALESCE(tn.t, 0) / (deg.d * (deg.d - 1.0))
              ELSE 0.0 END AS coeff
          FROM deg LEFT JOIN tn ON tn.n = deg.n""",
+    "q93_rollup" -> // one-pass ROLLUP; sentinel-coalesced markers, float
+      // cast absorbs the grand-total double fold order (q29 rule)
+      """WITH e AS (SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+             FROM events)
+         SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(day, '(all)') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS FLOAT) AS sum_value
+         FROM e GROUP BY ROLLUP (event_type, day)""",
+    "q94_pagerank" -> // 5 unrolled iterations of the identical per-node
+      // arithmetic; float cast absorbs double fold order (q29 rule)
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         und AS (SELECT DISTINCT x.i AS u, y.i AS v
+                 FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+         dir AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM dir
+                 GROUP BY u),
+         cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+         r0 AS (SELECT n, 1.0 / (SELECT nn FROM cnt) AS r FROM deg),
+         s1 AS (SELECT dir.v AS n, sum(r0.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r0 ON r0.n = dir.u
+                GROUP BY dir.v),
+         r1 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+                  + 0.85 * COALESCE(s1.s, 0) AS r
+                FROM deg LEFT JOIN s1 ON s1.n = deg.n),
+         s2 AS (SELECT dir.v AS n, sum(r1.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r1 ON r1.n = dir.u
+                GROUP BY dir.v),
+         r2 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+                  + 0.85 * COALESCE(s2.s, 0) AS r
+                FROM deg LEFT JOIN s2 ON s2.n = deg.n),
+         s3 AS (SELECT dir.v AS n, sum(r2.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r2 ON r2.n = dir.u
+                GROUP BY dir.v),
+         r3 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+                  + 0.85 * COALESCE(s3.s, 0) AS r
+                FROM deg LEFT JOIN s3 ON s3.n = deg.n),
+         s4 AS (SELECT dir.v AS n, sum(r3.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r3 ON r3.n = dir.u
+                GROUP BY dir.v),
+         r4 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+                  + 0.85 * COALESCE(s4.s, 0) AS r
+                FROM deg LEFT JOIN s4 ON s4.n = deg.n),
+         s5 AS (SELECT dir.v AS n, sum(r4.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r4 ON r4.n = dir.u
+                GROUP BY dir.v),
+         r5 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+                  + 0.85 * COALESCE(s5.s, 0) AS r
+                FROM deg LEFT JOIN s5 ON s5.n = deg.n)
+         SELECT n AS part, CAST(r AS FLOAT) AS rank FROM r5""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

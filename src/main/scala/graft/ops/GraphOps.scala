@@ -45,6 +45,47 @@ object GraphOps {
       .filter(col("support") >= minSupport)
   }
 
+  /** PageRank over an undirected edge list (duplicates and direction
+    * ignored; both directions materialized), fixed iteration count —
+    * the iterative-propagation sibling of the counting ops above and of
+    * [[Dedup.ccAlternatingStars]]'s label propagation. Output: (n, r) for
+    * every node with at least one edge; with no dangling nodes (every
+    * node of an undirected edge has out-degree ≥ 1) the ranks sum to 1.
+    *
+    * Scale shape: the Pregel pattern as plain relational ops — each
+    * iteration is one O(m) contribution shuffle (rank/outdeg per directed
+    * edge) plus an O(n) rank rebuild; adjacency carries (u, v, d) longs
+    * only and is checkpointed once (multi-reuse rule). The rank frame is
+    * referenced exactly once per iteration — the rebuild joins against
+    * the STATIC checkpointed node list, not the previous rank — so the
+    * whole run is one lazy chain with no recompute fan-out and no
+    * per-iteration materialization barrier. The node count is the one
+    * driver scalar (bounded: a single long). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank needs at least one iteration")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val dir = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("d"))
+    val adj = dir.join(deg, "u").localCheckpoint(true)
+    val nodes = adj.select(col("u").as("n")).distinct().localCheckpoint(true)
+    val nNodes = nodes.count().toDouble
+    var rank = nodes.select(col("n"), lit(1.0 / nNodes).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = adj.join(rank, adj("u") === rank("n"))
+        .select(col("v"), (col("r") / col("d")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+      rank = nodes
+        .join(contribs, col("n") === col("v"), "left")
+        .select(col("n"), (lit((1.0 - damping) / nNodes) +
+          lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    rank
+  }
+
   /** Per-node triangle participation and local clustering coefficient
     * over an undirected graph given as an edge list (direction and
     * duplicates ignored). Output: (n, degree, n_tri, coeff) for every

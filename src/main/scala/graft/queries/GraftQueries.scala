@@ -1527,6 +1527,35 @@ object GraftQueries {
       .withColumnRenamed("n", "part")
   }
 
+  /** Multi-granularity rollup: event counts and value totals at
+    * (type, day), (type), and grand-total levels in ONE pass — Spark's
+    * `rollup` compiles to a single Expand + aggregate, not three scans.
+    * Collapsed-dimension markers are coalesced to a sentinel on both
+    * engines (the data's columns are non-null) so the oracle never
+    * compares NULL representations; the grand-total double sum crosses
+    * the whole table, so the q29 float-cast rule absorbs fold order. */
+  def q93Rollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .rollup(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("float").as("sum_value"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day"), lit("(all)")).as("day"),
+        col("n"), col("sum_value"))
+
+  /** PageRank over the co-purchase graph ([[GraphOps.pageRank]], 5
+    * iterations, damping 0.85): the iterative-propagation member of the
+    * graph family. Both engines evaluate the identical arithmetic per
+    * node — 1/n init, per-edge rank/outdeg contributions, (1-0.85)/n +
+    * 0.85·Σ update — so only double fold order differs across engines,
+    * and the final float cast absorbs it (q29 rule; sums are over ≤
+    * degree ≈ 150 terms). */
+  def q94PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey")
+    GraphOps.pageRank(edges, "item_a", "item_b", iterations = 5)
+      .select(col("n").as("part"), col("r").cast("float").as("rank"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1625,5 +1654,7 @@ object GraftQueries {
     "q89_stream_retrieval" -> (q89StreamRetrieval _),
     "q90_stream_heavy_hitters" -> (q90StreamHeavyHitters _),
     "q91_copurchase" -> (q91CoPurchase _),
-    "q92_triangles" -> (q92Triangles _))
+    "q92_triangles" -> (q92Triangles _),
+    "q93_rollup" -> (q93Rollup _),
+    "q94_pagerank" -> (q94PageRank _))
 }

@@ -91,6 +91,38 @@ class GraphOpsSpec extends SparkSpec {
     capped shouldBe Map(("a", "b") -> 1L) // only basket 1 survives
   }
 
+  test("pageRank matches the driver mirror; ranks sum to 1") {
+    import spark.implicits._
+    val adj = randomEdges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq
+    val nn = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / nn).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (u <- nodes; v <- adj(u)) contrib(v) += r(u) / adj(u).size
+      r = nodes.map(n => n -> ((1.0 - 0.85) / nn + 0.85 * contrib(n))).toMap
+    }
+    val got = GraphOps.pageRank(
+      randomEdges.toDF("src", "dst").repartition(5), "src", "dst",
+      iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    got.keySet shouldBe r.keySet
+    got.foreach { case (n, v) => v shouldBe r(n) +- 1e-12 }
+    got.values.sum shouldBe 1.0 +- 1e-9 // no dangling nodes
+  }
+
+  test("pageRank: a star center outranks its leaves") {
+    import spark.implicits._
+    val star = (1L to 20L).map(i => (0L, i))
+    val got = GraphOps.pageRank(star.toDF("src", "dst"), "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val leaves = (1L to 20L).map(got)
+    got(0L) should be > leaves.max * 2
+    leaves.toSet.size shouldBe 1 // symmetric leaves tie exactly
+  }
+
   test("triangle joins carry ids and degrees only (no payload columns)") {
     import spark.implicits._
     // payload column must be pruned before any exchange
