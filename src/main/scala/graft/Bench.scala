@@ -64,7 +64,10 @@ object Bench {
     // (the wedge join is the O(m^1.5) candidate bound under test) +
     // 5-iteration PageRank (per-iteration O(m) contribution shuffle) +
     // the one-pass multi-granularity rollup
-    "q91_copurchase", "q92_triangles", "q93_rollup", "q94_pagerank")
+    "q91_copurchase", "q92_triangles", "q93_rollup", "q94_pagerank",
+    // constraint suite (one-pass checks + keys-only FK anti joins) and
+    // SCD2 change-point compaction (one key shuffle, stacked windows)
+    "q95_constraints", "q96_scd2")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

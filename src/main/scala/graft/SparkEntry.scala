@@ -922,6 +922,51 @@ object SparkEntry {
                   + 0.85 * COALESCE(s5.s, 0) AS r
                 FROM deg LEFT JOIN s5 ON s5.n = deg.n)
          SELECT n AS part, CAST(r AS FLOAT) AS rank FROM r5""",
+    "q95_constraints" -> // exact violation counts; FK checks as NOT
+      // EXISTS on non-null keys, pk check counts dup + null key tuples
+      """SELECT 'pk_orders_unique' AS chk,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS violations FROM orders
+         UNION ALL
+         SELECT 'pk_customer_unique',
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+           FROM customer
+         UNION ALL
+         SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT)
+           FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey)
+         UNION ALL
+         SELECT 'fk_orders_customer', CAST(count(*) AS BIGINT)
+           FROM orders o WHERE o.o_custkey IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey)
+         UNION ALL
+         SELECT 'notnull_o_orderdate',
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+           FROM orders
+         UNION ALL
+         SELECT 'pos_o_totalprice',
+           CAST(count(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0,
+             FALSE)) AS BIGINT) FROM orders
+         UNION ALL
+         SELECT 'range_l_quantity',
+           CAST(count(*) FILTER (WHERE NOT COALESCE(l_quantity >= 1
+             AND l_quantity <= 50, FALSE)) AS BIGINT) FROM lineitem""",
+    "q96_scd2" -> // identical two-stage window: lag change flag over
+      // (us, value)-ordered history, lead over surviving change points;
+      // epoch micros, integer-exact
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             FROM events),
+         c AS (SELECT user_id, event_type, us FROM (
+             SELECT user_id, event_type, us,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY us, event_type) AS prev FROM e)
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, us AS valid_from,
+           COALESCE(lead(us) OVER (PARTITION BY user_id
+             ORDER BY us, event_type), -1) AS valid_to
+         FROM c""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

@@ -158,4 +158,26 @@ object TemporalJoin {
       .select(left.columns.toIndexedSeq.map(col) ++
         payloadCols.map(c => col(s"__ref.$c").as(s"matched_$c")): _*)
   }
+
+  /** Change-point compaction into validity intervals — the SCD2 dimension
+    * build: per key, keep one row per run of equal `valueCol` values in
+    * `tsCol` order (ties broken by value — total within the projected
+    * columns) and stamp it [valid_from, valid_to) from the run's first
+    * time to the next run's first time; the open current run gets
+    * valid_to = -1. Times are epoch micros (longs), so results are
+    * integer-exact. One key shuffle; both windows (the lag change flag
+    * and the lead over surviving change points) reuse the same
+    * partitioning — a repeated-state history compacts to its change
+    * count, the CDC-to-dimension step of warehouse pipelines. */
+  def validityIntervals(df: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__us"), col(valueCol))
+    df.select(col(keyCol), col(valueCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(valueCol))
+      .withColumn("valid_to", coalesce(lead(col("__us"), 1).over(w),
+        lit(-1L)))
+      .select(col(keyCol), col(valueCol), col("__us").as("valid_from"),
+        col("valid_to"))
+  }
 }

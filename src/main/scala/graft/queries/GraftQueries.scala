@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Boilerplate, Decontaminate, Dedup, GraphOps, HybridSearch, Layout, Packing, Quality, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TemporalJoin}
+import graft.ops.{Boilerplate, Decontaminate, Dedup, GraphOps, HybridSearch, Layout, Packing, Quality, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TableChecks, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1556,6 +1556,42 @@ object GraftQueries {
       .select(col("n").as("part"), col("r").cast("float").as("rank"))
   }
 
+  /** Data-quality constraint suite ([[TableChecks]]): pk uniqueness,
+    * referential containment, null and predicate checks over the TPC-H
+    * core tables, one `(chk, violations)` row each — the expectations
+    * gate a pipeline runs before promoting a snapshot. Aggregate checks
+    * are one-pass scans of the checked columns; the FK checks are
+    * keys-only anti joins. */
+  def q95Constraints(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    val customer = t(spark, dir, "customer")
+    TableChecks.pkUnique(orders, Seq("o_orderkey"), "pk_orders_unique")
+      .unionAll(TableChecks.pkUnique(customer, Seq("c_custkey"),
+        "pk_customer_unique"))
+      .unionAll(TableChecks.fkContainment(lineitem, "l_orderkey",
+        orders, "o_orderkey", "fk_lineitem_orders"))
+      .unionAll(TableChecks.fkContainment(orders, "o_custkey",
+        customer, "c_custkey", "fk_orders_customer"))
+      .unionAll(TableChecks.notNull(orders, "o_orderdate",
+        "notnull_o_orderdate"))
+      .unionAll(TableChecks.satisfies(orders, col("o_totalprice") > 0,
+        "pos_o_totalprice"))
+      .unionAll(TableChecks.satisfies(lineitem,
+        col("l_quantity") >= 1 && col("l_quantity") <= 50,
+        "range_l_quantity"))
+  }
+
+  /** SCD2 validity intervals from the event history
+    * ([[TemporalJoin.validityIntervals]]): per user, each run of equal
+    * event_type values compacts to one row stamped
+    * [valid_from, valid_to) in epoch micros (open run → -1) — the
+    * CDC-to-dimension step of warehouse pipelines. Integer-exact; one
+    * key shuffle, both windows on the same partitioning. */
+  def q96Scd2(spark: SparkSession, dir: String): DataFrame =
+    TemporalJoin.validityIntervals(events(spark, dir),
+      "user_id", "event_type", "ts")
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1656,5 +1692,7 @@ object GraftQueries {
     "q91_copurchase" -> (q91CoPurchase _),
     "q92_triangles" -> (q92Triangles _),
     "q93_rollup" -> (q93Rollup _),
-    "q94_pagerank" -> (q94PageRank _))
+    "q94_pagerank" -> (q94PageRank _),
+    "q95_constraints" -> (q95Constraints _),
+    "q96_scd2" -> (q96Scd2 _))
 }

@@ -169,6 +169,26 @@ class TemporalJoinSpec extends SparkSpec {
       .collect().map(_.getAs[String]("matched_payload")) shouldBe Array("in")
   }
 
+  test("validityIntervals: runs compact to change points with half-open " +
+      "interval stamps; open run gets -1") {
+    import spark.implicits._
+    // user 1: a,a,b,a — three runs; user 2: one run
+    val df2 = Seq((1L, "a", 10L), (1L, "a", 20L), (1L, "b", 30L),
+      (1L, "a", 40L), (2L, "x", 5L)).toDF("k", "v", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = TemporalJoin.validityIntervals(df2, "k", "v", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    got shouldBe Set((1L, "a", 10L, 30L), (1L, "b", 30L, 40L),
+      (1L, "a", 40L, -1L), (2L, "x", 5L, -1L))
+    // partition invariance
+    val got7 = TemporalJoin.validityIntervals(
+      df2.repartition(7), "k", "v", "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    got7 shouldBe got
+  }
+
   test("intervalJoin plans an equi-join on (key, cell), never a cartesian") {
     import spark.implicits._
     val (l, r) = seeded(41)
