@@ -37,6 +37,11 @@ object GraphOps {
           .filter(col("__sz") <= maxBasketSize).select("b")
         bi0.join(sizes, "b")
       }
+    // both self-join arms canonicalize to the SAME (b, i) exchange before
+    // their aliases, so runtime exchange reuse computes the distinct pass
+    // once (observed as ReusedExchange in the executed plan) — no
+    // localCheckpoint needed here, and staying lazy keeps the single-use
+    // path (q91) free of an eager materialization barrier
     val x = bi.select(col("b"), col("i").as("item_a"))
     val y = bi.select(col("b"), col("i").as("item_b"))
     x.join(y, x("b") === y("b") && col("item_a") < col("item_b"))
@@ -46,7 +51,9 @@ object GraphOps {
   }
 
   /** PageRank over an undirected edge list (duplicates and direction
-    * ignored; both directions materialized), fixed iteration count —
+    * ignored; self-loops DISCARDED — simple-graph semantics, shared with
+    * [[triangleStats]]: a node whose only edge is a self-loop is absent
+    * from the output and the node count), fixed iteration count —
     * the iterative-propagation sibling of the counting ops above and of
     * [[Dedup.ccAlternatingStars]]'s label propagation. Output: (n, r) for
     * every node with at least one edge; with no dangling nodes (every
@@ -88,8 +95,9 @@ object GraphOps {
 
   /** Per-node triangle participation and local clustering coefficient
     * over an undirected graph given as an edge list (direction and
-    * duplicates ignored). Output: (n, degree, n_tri, coeff) for every
-    * node with at least one edge; coeff = 2·T / (d·(d−1)), 0 when d < 2.
+    * duplicates ignored; self-loops discarded — simple-graph semantics).
+    * Output: (n, degree, n_tri, coeff) for every node with at least one
+    * non-loop edge; coeff = 2·T / (d·(d−1)), 0 when d < 2.
     *
     * Each triangle is enumerated exactly once: edges are oriented from
     * the lower (degree, id) endpoint, wedges pair the out-neighbors of a

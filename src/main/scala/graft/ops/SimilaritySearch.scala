@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,29 @@ object SimilaritySearch {
     * `viaAggregator` swaps the rank-over-window for
     * [[TopKAggregator.knnAggregate]] (map-side partial top-k; integral
     * pks required) — compose both cuts when corpus >> k·partitions. */
+  /** Per-query IVF routing, the one copy shared by every cell-routed
+    * retrieval path (batch kNN joins and
+    * [[graft.streaming.StreamingRetrieval.knnStream]]): rank the
+    * broadcast centroid matrix — nCells (negScore, cell) structs, one
+    * sorted pass, keep nProbe, all inside whole-stage codegen — and
+    * explode to (query_id, payload..., cell) probe rows. Stateless,
+    * per-row work only. `payload` carries the per-query columns that must
+    * ride to the cell join (raw query vector, executor-derived PQ LUT or
+    * SQ factors), named here so callers and this helper can't drift. */
+  private[graft] def ivfRoute(queries: DataFrame,
+      centroids: Array[Array[Float]], vecCol: String, nProbe: Int,
+      qId: Column, payload: (Column, String)*): DataFrame = {
+    val centArr = array(centroids.indices.map(i =>
+      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
+        lit(i).as("cell"))): _*)
+    queries
+      .select((qId.as("query_id") +: payload.map { case (c, n) => c.as(n) })
+        :+ slice(array_sort(centArr), 1,
+          math.min(nProbe, centroids.length)).as("__probes"): _*)
+      .select((col("query_id") +: payload.map(p => col(p._2)))
+        :+ explode(col("__probes.cell")).as("cell"): _*)
+  }
+
   def knnJoinIvf(queries: DataFrame, indexed: DataFrame,
       centroids: Array[Array[Float]], qPk: String, cPk: String,
       vecCol: String, k: Int, nProbe: Int = 4,
@@ -93,17 +116,8 @@ object SimilaritySearch {
     require(nProbe >= 1, s"nProbe $nProbe < 1")
     val spark = indexed.sparkSession
     import spark.implicits._
-    // per-query cell ranking: nCells (negScore, cell) structs, one sorted
-    // pass, keep nProbe — all inside whole-stage codegen
-    val centArr = array(centroids.indices.map(i =>
-      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
-        lit(i).as("cell"))): _*)
-    val probed = queries
-      .select(col(qPk).as("query_id"), col(vecCol).as("__qv"),
-        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
-          .as("__probes"))
-      .select($"query_id", $"__qv",
-        explode($"__probes.cell").as("cell"))
+    val probed = ivfRoute(queries, centroids, vecCol, nProbe,
+      col(qPk), col(vecCol) -> "__qv")
     val scored = indexed.select(col(cPk), col("cell"), col(vecCol))
       .join(broadcastIfSmall(probed), Seq("cell"))
       .select($"query_id", col(cPk),
@@ -183,18 +197,12 @@ object SimilaritySearch {
     requireIntegralPks(queries, qPk, indexed, cPk)
     val spark = indexed.sparkSession
     import spark.implicits._
-    // executor-side query prep: LUT from the broadcast codebook, probe
-    // cells by ranking the centroid matrix — one codegen'd projection
-    val centArr = array(centroids.indices.map(i =>
-      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
-        lit(i).as("cell"))): _*)
-    val probed = queries
-      .select(col(qPk).cast("long").as("query_id"),
-        graft.expressions.VectorExpressions
-          .pqLut(col(vecCol), model.codebooks).as("__lut"),
-        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
-          .as("__probes"))
-      .select($"query_id", $"__lut", explode($"__probes.cell").as("cell"))
+    // executor-side query prep: LUT from the broadcast codebook rides the
+    // shared routing projection
+    val probed = ivfRoute(queries, centroids, vecCol, nProbe,
+      col(qPk).cast("long"),
+      graft.expressions.VectorExpressions
+        .pqLut(col(vecCol), model.codebooks) -> "__lut")
     val scored = indexed.select(col(cPk), col("cell"), col("pq_code"))
       .join(broadcastIfSmall(probed), Seq("cell"))
       .select($"query_id", col(cPk),
@@ -225,16 +233,10 @@ object SimilaritySearch {
     requireIntegralPks(queries, qPk, indexed, cPk)
     val spark = indexed.sparkSession
     import spark.implicits._
-    val centArr = array(centroids.indices.map(i =>
-      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
-        lit(i).as("cell"))): _*)
-    val probed = queries
-      .select(col(qPk).cast("long").as("query_id"),
-        graft.expressions.VectorExpressions
-          .sqFactors(col(vecCol), model.mins, model.steps).as("__f"),
-        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
-          .as("__probes"))
-      .select($"query_id", $"__f", explode($"__probes.cell").as("cell"))
+    val probed = ivfRoute(queries, centroids, vecCol, nProbe,
+      col(qPk).cast("long"),
+      graft.expressions.VectorExpressions
+        .sqFactors(col(vecCol), model.mins, model.steps) -> "__f")
     val scored = indexed.select(col(cPk), col("cell"), col("sq_code"))
       .join(broadcastIfSmall(probed), Seq("cell"))
       .select($"query_id", col(cPk),

@@ -31,13 +31,15 @@ object TableChecks {
 
   /** Child rows whose non-null key has no parent — referential
     * containment as a keys-only anti join (null keys are `notNull`'s
-    * business, not containment's). */
+    * business, not containment's). Both keys are renamed to reserved
+    * names before the join so the common case of identical FK/PK column
+    * names can't hit an ambiguous-reference error. */
   def fkContainment(child: DataFrame, childKey: String, parent: DataFrame,
       parentKey: String, label: String): DataFrame =
     row(label, count(lit(1)),
-      child.select(col(childKey)).filter(col(childKey).isNotNull)
-        .join(parent.select(col(parentKey)).distinct(),
-          col(childKey) === col(parentKey), "left_anti"))
+      child.select(col(childKey).as("__ck")).filter(col("__ck").isNotNull)
+        .join(parent.select(col(parentKey).as("__pk")).distinct(),
+          col("__ck") === col("__pk"), "left_anti"))
 
   /** Null values in a required column. */
   def notNull(df: DataFrame, c: String, label: String): DataFrame =

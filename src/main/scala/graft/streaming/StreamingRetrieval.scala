@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.VectorFunctions.{cosineUnit, vecLit}
+import graft.functions.VectorFunctions.cosineUnit
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   *     same contract as the reference's TRIGGERED index);
   *   - only the top-k is STATEFUL: the [[graft.expressions.VecTopK]]
   *     bounded-heap aggregate keeps O(k) entries per query in the state
-  *     store — state is k·Q_active, never corpus-sized, and partial
-  *     aggregation bounds what the one exchange ships exactly as in the
-  *     batch path.
+  *     store — state is k·(queries seen this run), never corpus-sized,
+  *     and partial aggregation bounds what the one exchange ships exactly
+  *     as in the batch path. There is no watermark eviction (a global
+  *     aggregate can't know a query is done), so a long-lived deployment
+  *     bounds the run — window the endpoint by restart/checkpoint
+  *     rotation, the same lifecycle as the re-index contract below — or
+  *     drains finite batches (AvailableNow), as the gate and bench do.
   *
   * Result (streaming, complete/update mode): `(query_id, top)` where
   * `top` is the rank-ordered `array<struct<id, score>>` — `inline` /
@@ -39,23 +43,21 @@ object StreamingRetrieval {
     require(queries.isStreaming,
       "knnStream expects a streaming query relation; use " +
         "SimilaritySearch.knnJoinIvf for batch retrieval")
+    require(!indexed.isStreaming,
+      "knnStream expects a BATCH indexed corpus: a streaming side would " +
+        "turn the stateless stream-static cell join into an unbounded " +
+        "stream-stream join; sync the index with IndexSync and restart " +
+        "(the TRIGGERED re-index contract)")
     require(nProbe >= 1, s"nProbe $nProbe < 1")
-    graft.GraftFunctions.register(queries.sparkSession)
-    val centArr = array(centroids.indices.map(i =>
-      struct((-cosineUnit(col(vecCol), vecLit(centroids(i)))).as("negScore"),
-        lit(i).as("cell"))): _*)
-    val probed = queries
-      .select(col(qPk).as("query_id"), col(vecCol).as("__qv"),
-        slice(array_sort(centArr), 1, math.min(nProbe, centroids.length))
-          .as("__probes"))
-      .select(col("query_id"), col("__qv"),
-        explode(col("__probes.cell")).as("cell"))
+    val probed = graft.ops.SimilaritySearch.ivfRoute(queries, centroids,
+      vecCol, nProbe, col(qPk), col(vecCol) -> "__qv")
     val scored = probed
       .join(indexed.select(col(cPk).as("__cid"), col("cell"),
         col(vecCol).as("__cv")), Seq("cell"))
       .select(col("query_id"), col("__cid"),
         cosineUnit(col("__cv"), col("__qv")).as("score"))
     scored.groupBy(col("query_id"))
-      .agg(expr(s"vec_topk(__cid, score, $k)").as("top"))
+      .agg(graft.expressions.SketchExpressions
+        .vecTopK(col("__cid"), col("score"), k).as("top"))
   }
 }

@@ -32,6 +32,14 @@ class TableChecksSpec extends SparkSpec {
       Map("fk" -> 1L) // only the 9L orphan; null is notNull's business
   }
 
+  test("fkContainment works when FK and PK share a column name") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("custkey")
+    val child = Seq(1L, 9L).toDF("custkey")
+    viol(TableChecks.fkContainment(child, "custkey", parent, "custkey",
+      "fk")) shouldBe Map("fk" -> 1L)
+  }
+
   test("notNull and satisfies; null predicate result is a violation") {
     import spark.implicits._
     val t = Seq(Some(5.0), Some(-1.0), None).toDF("v")

@@ -82,6 +82,11 @@ class StreamingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       StreamingRetrieval.knnStream(emb, indexed, cents, "vec_id",
         "vec_id", "embedding", k = 3)
+    // a streaming corpus side would silently become an unbounded
+    // stream-stream join — rejected up front
+    an[IllegalArgumentException] should be thrownBy
+      StreamingRetrieval.knnStream(df, df, cents, "vec_id",
+        "vec_id", "embedding", k = 3)
   }
 
   test("windowed aggregate: streaming result equals batch mirror") {
