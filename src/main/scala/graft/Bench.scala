@@ -67,7 +67,9 @@ object Bench {
     "q91_copurchase", "q92_triangles", "q93_rollup", "q94_pagerank",
     // constraint suite (one-pass checks + keys-only FK anti joins) and
     // SCD2 change-point compaction (one key shuffle, stacked windows)
-    "q95_constraints", "q96_scd2")
+    "q95_constraints", "q96_scd2",
+    // link prediction: per-edge neighborhood jaccard via the wedge join
+    "q97_edge_jaccard")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -967,6 +967,31 @@ object SparkEntry {
            COALESCE(lead(us) OVER (PARTITION BY user_id
              ORDER BY us, event_type), -1) AS valid_to
          FROM c""",
+    "q97_edge_jaccard" -> // common neighbors per edge = triangles through
+      // the edge (three-way self-join mirror); jaccard is the identical
+      // integer-valued-double expression on both engines
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         e AS (SELECT DISTINCT x.i AS u, y.i AS v
+               FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+                 (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+                 GROUP BY n),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         te AS (SELECT eu, ev, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT a AS eu, b AS ev FROM tri
+                UNION ALL SELECT a, c FROM tri
+                UNION ALL SELECT b, c FROM tri) GROUP BY eu, ev)
+         SELECT e.u AS part_a, e.v AS part_b,
+           COALESCE(te.c, 0) AS common,
+           CASE WHEN du.d + dv.d - 2 - COALESCE(te.c, 0) > 0
+             THEN COALESCE(te.c, 0)
+               / (du.d + dv.d - 2.0 - COALESCE(te.c, 0))
+             ELSE 0.0 END AS jaccard
+         FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+         LEFT JOIN te ON te.eu = e.u AND te.ev = e.v""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

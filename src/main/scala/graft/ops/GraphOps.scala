@@ -105,12 +105,62 @@ object GraphOps {
     * closing oriented edge exists (one equi-join on the id pair). */
   def triangleStats(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    // localCheckpoint (the Dedup multi-reuse rule): the canonical edge
-    // list feeds degrees, orientation, both wedge arms, and the closing
-    // join — six references that would otherwise each re-derive the
-    // (possibly expensive) upstream edge computation and leave
-    // single-computation to exchange-reuse heuristics; two longs per edge
-    // is cheap to hold
+    val (_, deg, tri) = triangleFrames(edges, srcCol, dstCol)
+    val perNode = tri
+      .select(explode(array(col("s"), col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - lit(1.0))))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
+  /** Neighborhood Jaccard per edge — link prediction / related-items
+    * ranking: for every edge (u, v), |N(u)∩N(v)| / |N(u)∪N(v) \ {u,v}|.
+    * The common-neighbor count is exactly the number of triangles
+    * through the edge, so this reuses the degree-ordered wedge join;
+    * the union size is du + dv − 2 − common (0-denominator → 0.0, the
+    * isolated-edge case). Output: (u, v, common, jaccard); counts are
+    * exact longs and jaccard is integer-valued-double arithmetic —
+    * bit-stable across engines, no float cast needed. */
+  def edgeJaccard(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (e, deg, tri) = triangleFrames(edges, srcCol, dstCol)
+    val triEdges = tri
+      .select(explode(array(
+        struct(least(col("s"), col("a")).as("u"),
+          greatest(col("s"), col("a")).as("v")),
+        struct(least(col("s"), col("b")).as("u"),
+          greatest(col("s"), col("b")).as("v")),
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")))).as("te"))
+      .select(col("te.u").as("u"), col("te.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val common = coalesce(col("c"), lit(0L))
+    e.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .join(triEdges, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), common.as("common"),
+        when(col("du") + col("dv") - lit(2) - common > 0,
+          common / (col("du") + col("dv") - lit(2.0) - common))
+          .otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  /** Canonical simple-graph frames shared by the triangle-based ops:
+    * the deduped id-ordered edge list, per-node degrees, and the
+    * once-each triangle set (s, a, b).
+    *
+    * localCheckpoints (the Dedup multi-reuse rule): the edge list feeds
+    * degrees, orientation, and the final joins — references that would
+    * otherwise each re-derive the (possibly expensive) upstream edge
+    * computation and leave single-computation to exchange-reuse
+    * heuristics; the oriented list feeds both wedge arms + the closing
+    * join. Two-three longs per edge is cheap to hold. */
+  private def triangleFrames(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame) = {
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -129,7 +179,7 @@ object GraphOps {
           struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .localCheckpoint(true) // reused by both wedge arms + the closing join
+      .localCheckpoint(true)
     val arm1 = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
     val arm2 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
     val wedges = arm1.join(arm2, Seq("s"))
@@ -138,15 +188,6 @@ object GraphOps {
       .select("s", "a", "b")
     val tri = wedges.join(oriented.select(col("s").as("a"), col("t").as("b")),
       Seq("a", "b"))
-    val perNode = tri
-      .select(explode(array(col("s"), col("a"), col("b"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("t"))
-    deg.join(perNode, Seq("n"), "left")
-      .select(col("n"), col("d").as("degree"),
-        coalesce(col("t"), lit(0L)).as("n_tri"),
-        when(col("d") >= 2,
-          lit(2.0) * coalesce(col("t"), lit(0L)) /
-            (col("d") * (col("d") - lit(1.0))))
-          .otherwise(lit(0.0)).as("coeff"))
+    (e, deg, tri)
   }
 }

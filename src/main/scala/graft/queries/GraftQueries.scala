@@ -1592,6 +1592,20 @@ object GraftQueries {
     TemporalJoin.validityIntervals(events(spark, dir),
       "user_id", "event_type", "ts")
 
+  /** Link prediction over the co-purchase graph
+    * ([[GraphOps.edgeJaccard]]): every edge scored by neighborhood
+    * Jaccard — the classic "related products" signal. Common-neighbor
+    * counts come from the same O(m^1.5) degree-ordered wedge join as
+    * q92; the score is integer-valued-double arithmetic, bit-stable
+    * across engines. */
+  def q97EdgeJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey")
+    GraphOps.edgeJaccard(edges, "item_a", "item_b")
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("common"), col("jaccard"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1694,5 +1708,6 @@ object GraftQueries {
     "q93_rollup" -> (q93Rollup _),
     "q94_pagerank" -> (q94PageRank _),
     "q95_constraints" -> (q95Constraints _),
-    "q96_scd2" -> (q96Scd2 _))
+    "q96_scd2" -> (q96Scd2 _),
+    "q97_edge_jaccard" -> (q97EdgeJaccard _))
 }

@@ -91,6 +91,26 @@ class GraphOpsSpec extends SparkSpec {
     capped shouldBe Map(("a", "b") -> 1L) // only basket 1 survives
   }
 
+  test("edgeJaccard matches brute force; isolated edge scores 0") {
+    import spark.implicits._
+    val adj = randomEdges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // append an isolated edge far from the random graph's id range
+    val withIso = randomEdges :+ (1000L, 1001L)
+    val got = GraphOps.edgeJaccard(
+      withIso.toDF("src", "dst").repartition(6), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    got.keySet shouldBe withIso.toSet
+    got((1000L, 1001L)) shouldBe ((0L, 0.0))
+    randomEdges.foreach { case (u, v) =>
+      val c = (adj(u) & adj(v)).size.toLong
+      val union = adj(u).size + adj(v).size - 2 - c
+      val expJ = if (union > 0) c.toDouble / union else 0.0
+      got((u, v)) shouldBe ((c, expJ))
+    }
+  }
+
   test("pageRank matches the driver mirror; ranks sum to 1") {
     import spark.implicits._
     val adj = randomEdges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
