@@ -69,7 +69,9 @@ object Bench {
     // SCD2 change-point compaction (one key shuffle, stacked windows)
     "q95_constraints", "q96_scd2",
     // link prediction: per-edge neighborhood jaccard via the wedge join
-    "q97_edge_jaccard")
+    "q97_edge_jaccard",
+    // association rules (basket metrics) + Markov transition matrix
+    "q98_association_rules", "q99_transitions")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

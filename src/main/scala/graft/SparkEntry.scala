@@ -992,6 +992,38 @@ object SparkEntry {
              ELSE 0.0 END AS jaccard
          FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
          LEFT JOIN te ON te.eu = e.u AND te.ev = e.v""",
+    "q98_association_rules" -> // exact basket counts; ratios divide
+      // integer-valued doubles (N and ca cast to double BEFORE the
+      // products, mirroring the overflow-safe Spark shape)
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi
+                GROUP BY i),
+         p AS (SELECT x.i AS item_a, y.i AS item_b,
+                 CAST(count(*) AS BIGINT) AS support
+               FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p.item_a, p.item_b, p.support,
+           p.support / CAST(ca.ci AS DOUBLE) AS conf_ab,
+           p.support / CAST(cb.ci AS DOUBLE) AS conf_ba,
+           CAST((SELECT n FROM nb) AS DOUBLE) * p.support
+             / (CAST(ca.ci AS DOUBLE) * cb.ci) AS lift
+         FROM p JOIN ic ca ON ca.i = p.item_a
+         JOIN ic cb ON cb.i = p.item_b""",
+    "q99_transitions" -> // identical lag + count + normalizing window;
+      // (us, type) ordering makes ties total; exact-count ratios
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             FROM events),
+         l AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY us, event_type) AS prev FROM e),
+         c AS (SELECT prev AS prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n FROM l
+             WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+           n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+         FROM c""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

@@ -54,6 +54,27 @@ object EventAnalytics {
     perKey.agg(counts.head, counts.tail: _*)
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each ordered adjacent (prev, next) event-type pair,
+    * the transition count and the row-normalized probability
+    * n(prev→next) / n(prev→*). One user-key shuffle for the lag, one
+    * small exchange over the |types|² count matrix for the normalizing
+    * window — the funnel/churn "where do users go next" primitive.
+    * Ordering is (epoch micros, type) so ties are total; probabilities
+    * are integer-count ratios (exact doubles). */
+  def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("__us"), col(typeCol))
+    val counts = df
+      .select(col(userCol), col(typeCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p", col("n") /
+      sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"))
+  }
+
   /** Per-day active users and how many were also active the previous
     * calendar day. Output: (day: date, active, retained) — one lag window
     * over the distinct (day, user) activity set. */

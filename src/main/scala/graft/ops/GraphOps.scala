@@ -50,6 +50,39 @@ object GraphOps {
       .filter(col("support") >= minSupport)
   }
 
+  /** Association-rule metrics over the co-occurrence pairs — the classic
+    * market-basket analysis: per item pair (a, b) with support >=
+    * `minSupport`, the pair support, directional confidences
+    * c(ab)/c(a) and c(ab)/c(b), and lift N·c(ab)/(c(a)·c(b)). All
+    * inputs are exact basket counts, so the ratios are integer-valued
+    * double arithmetic — bit-stable across engines. The total basket
+    * count is the one driver scalar (bounded: a single long).
+    *
+    * Scale shape: [[coOccurrencePairs]]' basket equi-join plus two
+    * keys-only joins against the per-item basket counts — AQE free to
+    * broadcast the item-count side (bounded by catalog size, not
+    * transaction volume). */
+  def associationMetrics(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().localCheckpoint(true) // feeds N, item counts, pair join
+    val nBaskets = bi.select(col("b")).distinct().count()
+    val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    val pairs = coOccurrencePairs(bi, "b", "i", minSupport, maxBasketSize)
+    pairs
+      .join(itemCounts.select(col("i").as("item_a"), col("ci").as("ca")),
+        "item_a")
+      .join(itemCounts.select(col("i").as("item_b"), col("ci").as("cb")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("support"),
+        (col("support") / col("ca").cast("double")).as("conf_ab"),
+        (col("support") / col("cb").cast("double")).as("conf_ba"),
+        // doubles BEFORE multiplying: N·support and ca·cb overflow a
+        // long at ~1e10-basket scale
+        (lit(nBaskets).cast("double") * col("support") /
+          (col("ca").cast("double") * col("cb"))).as("lift"))
+  }
+
   /** PageRank over an undirected edge list (duplicates and direction
     * ignored; self-loops DISCARDED — simple-graph semantics, shared with
     * [[triangleStats]]: a node whose only edge is a self-loop is absent

@@ -1606,6 +1606,23 @@ object GraftQueries {
         col("common"), col("jaccard"))
   }
 
+  /** Market-basket association rules ([[GraphOps.associationMetrics]]):
+    * support, directional confidence, and lift for part pairs bought
+    * together in at least two orders — the classic a-priori output. All
+    * ratios divide exact basket counts, so both engines produce
+    * bit-identical doubles. */
+  def q98AssociationRules(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.associationMetrics(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+
+  /** First-order Markov transitions over user event sequences
+    * ([[EventAnalytics.transitionMatrix]]): where users go next, as
+    * counts and row-normalized probabilities — one user shuffle plus a
+    * |types|²-bounded normalizing window. */
+  def q99Transitions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.transitionMatrix(events(spark, dir),
+      "user_id", "event_type", "ts")
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1709,5 +1726,7 @@ object GraftQueries {
     "q94_pagerank" -> (q94PageRank _),
     "q95_constraints" -> (q95Constraints _),
     "q96_scd2" -> (q96Scd2 _),
-    "q97_edge_jaccard" -> (q97EdgeJaccard _))
+    "q97_edge_jaccard" -> (q97EdgeJaccard _),
+    "q98_association_rules" -> (q98AssociationRules _),
+    "q99_transitions" -> (q99Transitions _))
 }

@@ -89,6 +89,28 @@ class EventAnalyticsSpec extends SparkSpec {
       .findAllIn(plan).length shouldBe 0
   }
 
+  test("transitionMatrix: counts adjacent pairs per user, rows sum to 1") {
+    import spark.implicits._
+    // user 1: a->b->a ; user 2: a->b ; transitions: a->b x2, b->a x1
+    val ev = Seq((1L, "a", 10L), (1L, "b", 20L), (1L, "a", 30L),
+      (2L, "a", 5L), (2L, "b", 15L))
+      .toDF("user_id", "t", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "t", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    got shouldBe Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0)))
+    // a branching row: user 3 a->c makes p(a->b)=2/3, p(a->c)=1/3
+    val ev3 = ev.unionByName(Seq((3L, "a", 1L), (3L, "c", 2L))
+      .toDF("user_id", "t", "us")
+      .withColumn("ts", timestamp_micros(col("us"))))
+    val got3 = EventAnalytics.transitionMatrix(ev3, "user_id", "t", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    got3(("a", "b")) shouldBe 2.0 / 3
+    got3(("a", "c")) shouldBe 1.0 / 3
+  }
+
   test("funnel plans one exchange: stage windows share the partitioning") {
     import spark.implicits._
     val ev = Seq((1L, "signup", 10L), (1L, "view", 20L))

@@ -111,6 +111,21 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("associationMetrics: support, confidence, lift on a hand fixture") {
+    import spark.implicits._
+    // 4 baskets: {a,b} x2, {a,c}, {b}; N=4, ca=3, cb=3, cc=1
+    val baskets = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"))
+    val got = GraphOps.associationMetrics(baskets.toDF("b", "i"), "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    got(("a", "b")) shouldBe ((2L, 2.0 / 3, 2.0 / 3, 4.0 * 2 / (3.0 * 3)))
+    got(("a", "c")) shouldBe ((1L, 1.0 / 3, 1.0, 4.0 * 1 / (3.0 * 1)))
+    // lift > 1 iff the pair co-occurs more than independence predicts
+    got(("a", "c"))._4 should be > 1.0
+  }
+
   test("pageRank matches the driver mirror; ranks sum to 1") {
     import spark.implicits._
     val adj = randomEdges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
