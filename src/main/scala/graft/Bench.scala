@@ -70,8 +70,9 @@ object Bench {
     "q95_constraints", "q96_scd2",
     // link prediction: per-edge neighborhood jaccard via the wedge join
     "q97_edge_jaccard",
-    // association rules (basket metrics) + Markov transition matrix
-    "q98_association_rules", "q99_transitions")
+    // association rules (basket metrics) + Markov transition matrix +
+    // the top-3-per-item recommendation serving table
+    "q98_association_rules", "q99_transitions", "q100_recommend")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1024,6 +1024,33 @@ object SparkEntry {
          SELECT prev_type, next_type, n,
            n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
          FROM c""",
+    "q100_recommend" -> // q98's metrics symmetrized + total-order top-3
+      // per item; identical doubles rank identically on both engines
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM bi
+                GROUP BY i),
+         p AS (SELECT x.i AS item_a, y.i AS item_b,
+                 CAST(count(*) AS BIGINT) AS support
+               FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         m AS (SELECT p.item_a, p.item_b,
+                 CAST((SELECT n FROM nb) AS DOUBLE) * p.support
+                   / (CAST(ca.ci AS DOUBLE) * cb.ci) AS lift,
+                 p.support / CAST(ca.ci AS DOUBLE) AS conf_ab,
+                 p.support / CAST(cb.ci AS DOUBLE) AS conf_ba
+               FROM p JOIN ic ca ON ca.i = p.item_a
+               JOIN ic cb ON cb.i = p.item_b),
+         s AS (SELECT item_a AS item, item_b AS rec, lift,
+                 conf_ab AS conf FROM m
+               UNION ALL
+               SELECT item_b, item_a, lift, conf_ba FROM m),
+         r AS (SELECT item, rec, lift, conf,
+                 CAST(row_number() OVER (PARTITION BY item
+                   ORDER BY lift DESC, conf DESC, rec) AS BIGINT) AS rnk
+               FROM s)
+         SELECT item, rec, lift, conf, rnk FROM r WHERE rnk <= 3""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

@@ -1623,6 +1623,25 @@ object GraftQueries {
     graft.ops.EventAnalytics.transitionMatrix(events(spark, dir),
       "user_id", "event_type", "ts")
 
+  /** Per-item recommendations: the q98 association metrics symmetrized
+    * (recommend b for a AND a for b with the matching directional
+    * confidence) and ranked top-3 per item by (lift, confidence, id) —
+    * a total order, so both engines pick identical rows. The serving
+    * table a "customers also bought" feature reads. */
+  def q100Recommend(spark: SparkSession, dir: String): DataFrame = {
+    val m = GraphOps.associationMetrics(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey", minSupport = 2L)
+    val sym = m.select(col("item_a").as("item"), col("item_b").as("rec"),
+        col("lift"), col("conf_ab").as("conf"))
+      .unionAll(m.select(col("item_b").as("item"), col("item_a").as("rec"),
+        col("lift"), col("conf_ba").as("conf")))
+    sym.withColumn("rnk", row_number().over(Window.partitionBy("item")
+        .orderBy(desc("lift"), desc("conf"), col("rec"))))
+      .filter(col("rnk") <= 3)
+      .select(col("item"), col("rec"), col("lift"), col("conf"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1728,5 +1747,6 @@ object GraftQueries {
     "q96_scd2" -> (q96Scd2 _),
     "q97_edge_jaccard" -> (q97EdgeJaccard _),
     "q98_association_rules" -> (q98AssociationRules _),
-    "q99_transitions" -> (q99Transitions _))
+    "q99_transitions" -> (q99Transitions _),
+    "q100_recommend" -> (q100Recommend _))
 }
