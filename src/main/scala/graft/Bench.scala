@@ -72,7 +72,9 @@ object Bench {
     "q97_edge_jaccard",
     // association rules (basket metrics) + Markov transition matrix +
     // the top-3-per-item recommendation serving table
-    "q98_association_rules", "q99_transitions", "q100_recommend")
+    "q98_association_rules", "q99_transitions", "q100_recommend",
+    // cohort retention triangle (distinct user-week collapse)
+    "q101_cohorts")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1051,6 +1051,17 @@ object SparkEntry {
                    ORDER BY lift DESC, conf DESC, rec) AS BIGINT) AS rnk
                FROM s)
          SELECT item, rec, lift, conf, rnk FROM r WHERE rnk <= 3""",
+    "q101_cohorts" -> // identical distinct-week collapse + min-week
+      // cohort + exact day arithmetic (Monday-to-Monday, /7 divides
+      // evenly; both engines truncate to ISO weeks)
+      """WITH wk AS (SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         f AS (SELECT u, min(wk) AS cohort_week FROM wk GROUP BY u)
+         SELECT f.cohort_week,
+           CAST((wk.wk - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM wk JOIN f ON f.u = wk.u
+         GROUP BY 1, 2""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

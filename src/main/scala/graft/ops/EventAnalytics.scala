@@ -75,6 +75,25 @@ object EventAnalytics {
       sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"))
   }
 
+  /** Cohort retention matrix: users grouped by their first active ISO
+    * week, counted in each later week they return — the
+    * (cohort_week, week_offset, n_users) triangle behind every retention
+    * chart. Activity first collapses to the distinct (user, week) set
+    * (bounded by users × weeks, not event volume), the per-user min week
+    * is one aggregation on the same key, and offsets are exact day
+    * arithmetic (both weeks are Mondays, so the /7 divides evenly). */
+  def cohortRetention(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val wk = df.select(col(userCol).as("u"),
+      to_date(date_trunc("week", col(tsCol))).as("wk")).distinct()
+    val first = wk.groupBy("u").agg(min(col("wk")).as("cohort_week"))
+    wk.join(first, "u")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-day active users and how many were also active the previous
     * calendar day. Output: (day: date, active, retained) — one lag window
     * over the distinct (day, user) activity set. */

@@ -1642,6 +1642,14 @@ object GraftQueries {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Cohort retention ([[EventAnalytics.cohortRetention]]): users by
+    * first-active ISO week × week offset of each return — the retention
+    * triangle. Distinct (user, week) collapse bounds everything by
+    * users × weeks; exact integer counts. */
+  def q101Cohorts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.cohortRetention(events(spark, dir),
+      "user_id", "ts")
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1748,5 +1756,6 @@ object GraftQueries {
     "q97_edge_jaccard" -> (q97EdgeJaccard _),
     "q98_association_rules" -> (q98AssociationRules _),
     "q99_transitions" -> (q99Transitions _),
-    "q100_recommend" -> (q100Recommend _))
+    "q100_recommend" -> (q100Recommend _),
+    "q101_cohorts" -> (q101Cohorts _))
 }

@@ -111,6 +111,27 @@ class EventAnalyticsSpec extends SparkSpec {
     got3(("a", "c")) shouldBe 1.0 / 3
   }
 
+  test("cohortRetention: min-week cohorts, exact week offsets, distinct " +
+      "users per cell") {
+    import spark.implicits._
+    // 2026-01-05 and 2026-01-12 are Mondays. user 1: weeks 0 and 2 from
+    // w0; user 2: weeks 0 and 1 from w0; user 3: week 1 only (own cohort)
+    val ev = Seq(
+      (1L, "2026-01-05 10:00:00"), (1L, "2026-01-07 09:00:00"), // dup week
+      (1L, "2026-01-19 10:00:00"),
+      (2L, "2026-01-06 10:00:00"), (2L, "2026-01-12 10:00:00"),
+      (3L, "2026-01-13 10:00:00"))
+      .toDF("user_id", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = EventAnalytics.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        r.getLong(2)).toMap
+    got shouldBe Map(
+      ("2026-01-05", 0L) -> 2L, // users 1, 2 in their first week
+      ("2026-01-05", 1L) -> 1L, // user 2 returns week 1
+      ("2026-01-05", 2L) -> 1L, // user 1 returns week 2
+      ("2026-01-12", 0L) -> 1L) // user 3's own cohort
+  }
+
   test("funnel plans one exchange: stage windows share the partitioning") {
     import spark.implicits._
     val ev = Seq((1L, "signup", 10L), (1L, "view", 20L))
