@@ -109,6 +109,15 @@ class EventAnalyticsSpec extends SparkSpec {
       .toMap
     got3(("a", "b")) shouldBe 2.0 / 3
     got3(("a", "c")) shouldBe 1.0 / 3
+    // partition invariance: the (us, type) total order pins the lag
+    val gotR = EventAnalytics.transitionMatrix(
+      ev3.repartition(7), "user_id", "t", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val gotBase = EventAnalytics.transitionMatrix(ev3, "user_id", "t", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    gotR shouldBe gotBase
   }
 
   test("cohortRetention: min-week cohorts, exact week offsets, distinct " +

@@ -126,6 +126,35 @@ class GraphOpsSpec extends SparkSpec {
     got(("a", "c"))._4 should be > 1.0
   }
 
+  test("associationMetrics matches a driver mirror on random baskets " +
+      "and is partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val baskets = (1L to 40L).flatMap { b =>
+      rnd.shuffle((0 until 12).toList).take(2 + rnd.nextInt(4))
+        .map(i => (b, s"i$i"))
+    }
+    val bySet = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val n = bySet.size.toDouble
+    val ci = baskets.map(_._2).distinct
+      .map(i => i -> bySet.values.count(_.contains(i)).toLong).toMap
+    def run(parts: Int) = GraphOps.associationMetrics(
+      baskets.toDF("b", "i").repartition(parts), "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val got = run(4)
+    got shouldBe run(9) // bit-identical across partitionings
+    got.foreach { case ((a, b), (sup, cab, cba, lift)) =>
+      val expSup = bySet.values.count(s => s(a) && s(b)).toLong
+      sup shouldBe expSup
+      cab shouldBe expSup / ci(a).toDouble
+      cba shouldBe expSup / ci(b).toDouble
+      lift shouldBe n * expSup / (ci(a).toDouble * ci(b))
+    }
+  }
+
   test("pageRank matches the driver mirror; ranks sum to 1") {
     import spark.implicits._
     val adj = randomEdges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
