@@ -187,6 +187,19 @@ class GraphOpsSpec extends SparkSpec {
     leaves.toSet.size shouldBe 1 // symmetric leaves tie exactly
   }
 
+  test("triangleStats survives a 20k-leaf celebrity node") {
+    import spark.implicits._
+    // degree orientation points every edge leaf->hub, so the wedge join
+    // generates ZERO candidates here; the unoriented formulation would
+    // enumerate C(20k, 2) ~ 2e8 wedges at the hub
+    val star = (1L to 20000L).map(i => (0L, i))
+    val got = GraphOps.triangleStats(star.toDF("src", "dst"), "src", "dst")
+    got.filter(col("n_tri") =!= 0L).count() shouldBe 0L
+    got.filter(col("n") === 0L).select("degree")
+      .head().getLong(0) shouldBe 20000L
+    got.count() shouldBe 20001L
+  }
+
   test("triangle joins carry ids and degrees only (no payload columns)") {
     import spark.implicits._
     // payload column must be pruned before any exchange
