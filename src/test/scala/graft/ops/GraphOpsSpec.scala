@@ -187,6 +187,26 @@ class GraphOpsSpec extends SparkSpec {
     leaves.toSet.size shouldBe 1 // symmetric leaves tie exactly
   }
 
+  test("triangleStats property sweep: three densities match brute force") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val p = 0.05 * seed // sparse, medium, dense
+      val es = (for {
+        u <- 0L until 40L; v <- (u + 1) until 40L
+        if rnd.nextDouble() < p
+      } yield (u, v)).toSeq
+      val (deg, tri) = bruteTriangles(es)
+      val got = GraphOps.triangleStats(es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      got.keySet shouldBe deg.keySet
+      got.foreach { case (n, (d, t)) =>
+        d shouldBe deg(n); t shouldBe tri(n)
+      }
+    }
+  }
+
   test("triangleStats survives a 20k-leaf celebrity node") {
     import spark.implicits._
     // degree orientation points every edge leaf->hub, so the wedge join
