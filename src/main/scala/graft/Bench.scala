@@ -73,8 +73,9 @@ object Bench {
     // association rules (basket metrics) + Markov transition matrix +
     // the top-3-per-item recommendation serving table
     "q98_association_rules", "q99_transitions", "q100_recommend",
-    // cohort retention triangle (distinct user-week collapse)
-    "q101_cohorts")
+    // cohort retention triangle (distinct user-week collapse) and the
+    // 2h/1h sliding-window aggregation (overlap generator)
+    "q101_cohorts", "q102_sliding_windows")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

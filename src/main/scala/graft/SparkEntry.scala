@@ -1062,6 +1062,16 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_users
          FROM wk JOIN f ON f.u = wk.u
          GROUP BY 1, 2""",
+    "q102_sliding_windows" -> // the 2h/1h sliding generator written out:
+      // every event joins its own hour's window and the previous one
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
+         x AS (SELECT h AS ws, value FROM e
+               UNION ALL
+               SELECT h - INTERVAL 1 HOUR, value FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:00') AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(value) AS FLOAT) AS sum_value
+         FROM x GROUP BY 1""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

@@ -1650,6 +1650,21 @@ object GraftQueries {
     graft.ops.EventAnalytics.cohortRetention(events(spark, dir),
       "user_id", "ts")
 
+  /** Sliding-window aggregation: 2-hour windows sliding by 1 hour via
+    * Spark's `window()` — each event lands in exactly two overlapping
+    * windows (the generator form of windowed aggregation; q10 is the
+    * tumbling special case). The oracle mirrors the generator literally:
+    * each event contributes to the window starting at its hour and the
+    * one before. Counts exact; the value sum crosses 2x the table so the
+    * q29 float-cast rule applies. */
+  def q102SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("float").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00")
+        .as("window_start"), col("n"), col("sum_value"))
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1757,5 +1772,6 @@ object GraftQueries {
     "q98_association_rules" -> (q98AssociationRules _),
     "q99_transitions" -> (q99Transitions _),
     "q100_recommend" -> (q100Recommend _),
-    "q101_cohorts" -> (q101Cohorts _))
+    "q101_cohorts" -> (q101Cohorts _),
+    "q102_sliding_windows" -> (q102SlidingWindows _))
 }
