@@ -75,7 +75,9 @@ object Bench {
     "q98_association_rules", "q99_transitions", "q100_recommend",
     // cohort retention triangle (distinct user-week collapse) and the
     // 2h/1h sliding-window aggregation (overlap generator)
-    "q101_cohorts", "q102_sliding_windows")
+    "q101_cohorts", "q102_sliding_windows",
+    // CDC merge apply (keys-only anti join + map-side union)
+    "q103_cdc_merge")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1072,6 +1072,19 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(value) AS FLOAT) AS sum_value
          FROM x GROUP BY 1""",
+    "q103_cdc_merge" -> // the merge semantics written out directly:
+      // deletes win, updates apply off the delete set, inserts shift keys
+      """SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS FLOAT) AS o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey % 17 <> 0 AND o_orderkey % 10 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice * 1.1 AS FLOAT), o_orderstatus
+         FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, o_custkey,
+           CAST(o_totalprice AS FLOAT), o_orderstatus
+         FROM orders WHERE o_orderkey % 23 = 0""",
     "q72_mixture" -> // same rollup-then-window construction; float casts
       // absorb the tiny window-sum fold order (q29 rule)
       """WITH d AS (SELECT source,

@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.ingest.BinaryIngest
 import graft.multimodal.Multimodal
-import graft.ops.{Boilerplate, Decontaminate, Dedup, GraphOps, HybridSearch, Layout, Packing, Quality, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TableChecks, TemporalJoin}
+import graft.ops.{Boilerplate, Decontaminate, Dedup, GraphOps, HybridSearch, Layout, Packing, Quality, Sampling, ScalarQuantization, SimilaritySearch, SpanDedup, TableChecks, TableMerge, TemporalJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1665,6 +1665,33 @@ object GraftQueries {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00")
         .as("window_start"), col("n"), col("sum_value"))
 
+  /** CDC merge ([[TableMerge.applyChanges]]): a deterministic synthetic
+    * change set — price updates for orderkey % 10 = 0, deletes for
+    * % 17 = 0, inserts with shifted keys for % 23 = 0 — applied to the
+    * orders snapshot. One keys-only anti join plus a map-side union; the
+    * oracle applies the identical change logic in SQL. */
+  def q103CdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("op", lit("U"))
+    val deletes = orders.filter(col("o_orderkey") % 17 === 0)
+      .withColumn("op", lit("D"))
+    val inserts = orders.filter(col("o_orderkey") % 23 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("op", lit("I"))
+    // precedence for keys in several sets: D wins over U (a key can be
+    // %10 and %17); inserts use shifted keys so they never collide
+    val changes = deletes.unionByName(
+      updates.join(deletes.select(col("o_orderkey").as("__dk")),
+        col("o_orderkey") === col("__dk"), "left_anti"))
+      .unionByName(inserts)
+    TableMerge.applyChanges(orders, changes, "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("float").as("o_totalprice"),
+        col("o_orderstatus"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1773,5 +1800,6 @@ object GraftQueries {
     "q99_transitions" -> (q99Transitions _),
     "q100_recommend" -> (q100Recommend _),
     "q101_cohorts" -> (q101Cohorts _),
-    "q102_sliding_windows" -> (q102SlidingWindows _))
+    "q102_sliding_windows" -> (q102SlidingWindows _),
+    "q103_cdc_merge" -> (q103CdcMerge _))
 }
