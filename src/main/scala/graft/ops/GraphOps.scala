@@ -28,15 +28,7 @@ object GraphOps {
     * cart) can dwarf the rest of the corpus combined. */
   def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
-    val bi0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
-    val bi =
-      if (maxBasketSize <= 0) bi0
-      else {
-        val sizes = bi0.groupBy("b").agg(count(lit(1)).as("__sz"))
-          .filter(col("__sz") <= maxBasketSize).select("b")
-        bi0.join(sizes, "b")
-      }
+    val bi = basketItems(df, basketCol, itemCol, maxBasketSize)
     // both self-join arms canonicalize to the SAME (b, i) exchange before
     // their aliases, so runtime exchange reuse computes the distinct pass
     // once (observed as ReusedExchange in the executed plan) — no
@@ -48,6 +40,21 @@ object GraphOps {
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
+  }
+
+  /** The deduped (basket, item) incidence frame, with baskets above
+    * `maxBasketSize` (0 = off) dropped whole — the single population every
+    * basket-derived statistic in this family is computed over. */
+  private def basketItems(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int): DataFrame = {
+    val bi0 = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    if (maxBasketSize <= 0) bi0
+    else {
+      val sizes = bi0.groupBy("b").agg(count(lit(1)).as("__sz"))
+        .filter(col("__sz") <= maxBasketSize).select("b")
+      bi0.join(sizes, "b")
+    }
   }
 
   /** Association-rule metrics over the co-occurrence pairs — the classic
@@ -64,11 +71,15 @@ object GraphOps {
     * transaction volume). */
   def associationMetrics(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 1L, maxBasketSize: Int = 0): DataFrame = {
-    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct().localCheckpoint(true) // feeds N, item counts, pair join
+    // the basket cap is applied ONCE, here, so nBaskets / itemCounts /
+    // pair supports all describe the same (capped) population — mixing a
+    // capped pair count with uncapped item counts would deflate
+    // confidence and lift
+    val bi = basketItems(df, basketCol, itemCol, maxBasketSize)
+      .localCheckpoint(true) // feeds N, item counts, pair join
     val nBaskets = bi.select(col("b")).distinct().count()
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
-    val pairs = coOccurrencePairs(bi, "b", "i", minSupport, maxBasketSize)
+    val pairs = coOccurrencePairs(bi, "b", "i", minSupport, 0)
     pairs
       .join(itemCounts.select(col("i").as("item_a"), col("ci").as("ca")),
         "item_a")

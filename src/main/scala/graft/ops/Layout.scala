@@ -76,7 +76,10 @@ object Layout {
       bits: Int = 12): Column =
     graft.expressions.LayoutExpressions.zMortonQuantile(cols, breaks, bits)
 
-  /** Scala mirror of [[bucketPiecewise]] for specs. */
+  /** Spec-pinned reference semantics for one column's piecewise-linear
+    * quantile bucket — the per-column step mirrored (and codegen'd) by
+    * [[graft.expressions.ZMortonQuantile]]'s bucket routine; specs assert
+    * the expression against this. */
   def bucketPiecewiseScala(v: Double, breaks: Seq[Double],
       bits: Int): Long = {
     val top = (1L << bits) - 1

@@ -141,7 +141,11 @@ object SimilaritySearch {
     * materializes the whole relation on the driver first, which is
     * exactly the bottleneck the executor-side LUT path removed. Plan
     * statistics cost no job; a misestimate degrades to AQE's runtime
-    * join choice, never to a driver OOM. */
+    * join choice, never to a driver OOM. Best-effort by design: a lazy
+    * frame with pessimistic default estimates (e.g. behind a window or
+    * an un-materialized aggregate) declines the hint even when the true
+    * size is tiny — materialize bounded frames first (as [[rankRefine]]
+    * does) where the broadcast matters. */
   private def broadcastIfSmall(df: DataFrame): DataFrame =
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
       broadcast(df)
@@ -262,11 +266,19 @@ object SimilaritySearch {
           .filter($"rank" <= k)
           .withColumnRenamed("adc_score", "score")
       case Some((source, srcVec)) =>
+        // bounded: Q * k * refine rows of two longs — materialized so the
+        // frame's plan statistics are REAL (a lazy post-window frame
+        // carries pessimistic defaults and [[broadcastIfSmall]] would
+        // silently decline) and because it feeds both the vector fetch
+        // and the re-rank join (the multi-reuse rule)
         val cand = scored.withColumn("rank", row_number().over(w))
           .filter($"rank" <= k * refine)
           .select($"query_id", col(cPk))
-        // bounded: Q * k * refine candidate rows; their vectors arrive via
-        // a broadcast semi-join on pk, never a corpus shuffle
+          .localCheckpoint(true)
+        // candidate vectors arrive via a semi-join on pk — broadcast when
+        // the materialized stats confirm it's small, AQE's runtime join
+        // choice otherwise; the corpus is never shuffled in the broadcast
+        // case
         val vecs = source.select(col(cPk), col(srcVec).as("__cv"))
           .join(broadcastIfSmall(cand.select(col(cPk)).distinct()), Seq(cPk))
         // query vectors re-attach by query_id — the query relation is the

@@ -23,13 +23,22 @@ object TableMerge {
     * so an "I" on an existing key behaves as an update rather than
     * duplicating it, and a "D" on a missing key is a no-op. The change
     * set must carry one row per key (enforce upstream; last-writer-wins
-    * needs an ordering this batch operator doesn't impose). */
+    * needs an ordering this batch operator doesn't impose). A NULL or
+    * unrecognized op fails the job — a malformed change set must not be
+    * silently absorbed (NULL would be filtered away, any other string
+    * treated as an upsert). */
   def applyChanges(base: DataFrame, changes: DataFrame, pkCol: String,
       opCol: String = "op"): DataFrame = {
+    // every change row flows through this filter, so the when-chain
+    // validates the whole set row-by-row with no extra pass
+    val op = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"TableMerge.applyChanges: $opCol must be one of I/U/D, got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
     val untouched = base.join(
       changes.select(col(pkCol).as("__mk")).distinct(),
       base(pkCol) === col("__mk"), "left_anti")
     untouched.unionByName(
-      changes.filter(col(opCol) =!= "D").drop(opCol))
+      changes.filter(op =!= "D").drop(opCol))
   }
 }

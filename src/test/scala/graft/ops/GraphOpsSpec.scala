@@ -126,6 +126,23 @@ class GraphOpsSpec extends SparkSpec {
     got(("a", "c"))._4 should be > 1.0
   }
 
+  test("associationMetrics with maxBasketSize computes N, item counts and " +
+      "supports over the SAME capped population") {
+    import spark.implicits._
+    // basket 2 (size 4) is dropped by the cap; the survivors are
+    // {a,b}, {a,c}, {b}: N=3, ca=2, cb=2, cc=1
+    val baskets = Seq((1L, "a"), (1L, "b"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"),
+      (3L, "a"), (3L, "c"), (4L, "b"))
+    val got = GraphOps.associationMetrics(baskets.toDF("b", "i"), "b", "i",
+      maxBasketSize = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    got(("a", "b")) shouldBe ((1L, 0.5, 0.5, 3.0 * 1 / (2.0 * 2)))
+    got(("a", "c")) shouldBe ((1L, 0.5, 1.0, 3.0 * 1 / (2.0 * 1)))
+  }
+
   test("associationMetrics matches a driver mirror on random baskets " +
       "and is partition-invariant") {
     import spark.implicits._

@@ -32,6 +32,23 @@ class TableMergeSpec extends SparkSpec {
     rows(TableMerge.applyChanges(base, empty, "pk")) shouldBe Map(1L -> "a")
   }
 
+  test("applyChanges: NULL or unrecognized op fails loudly instead of " +
+      "being silently absorbed") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("pk", "v")
+    val badOp = Seq((2L, "b", "X")).toDF("pk", "v", "op")
+    val exBad = intercept[Exception] {
+      TableMerge.applyChanges(base, badOp, "pk").collect()
+    }
+    exBad.getMessage should include("must be one of I/U/D")
+    val nullOp = Seq((2L, "b", null.asInstanceOf[String]))
+      .toDF("pk", "v", "op")
+    val exNull = intercept[Exception] {
+      TableMerge.applyChanges(base, nullOp, "pk").collect()
+    }
+    exNull.getMessage should include("must be one of I/U/D")
+  }
+
   test("the anti join ships keys only (payload never joins)") {
     import spark.implicits._
     val base = Seq((1L, "a" * 200)).toDF("pk", "v")
