@@ -17,7 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     Their values depend only on the machine; compare against the
   *     `sentinel` block recorded in BASELINE.md §(c) — if the sentinels are
   *     k x baseline, the machine is k x slower and query times must be read
-  *     through that lens.
+  *     through that lens;
+  *   - every headline rep block (and every single-timing dedup row) is
+  *     additionally BRACKETED by a ~0.2s cpu+par probe pair, emitted
+  *     per-query under `probes` — run-edge sentinels cannot see a mid-run
+  *     contention burst, and a uniformly slow block poisons min AND median
+  *     (round-5 finding). A block whose probe was out of band is re-run
+  *     once after the full first pass (`block_retried` in the JSON).
   *
   * Each query is forced end-to-end with a `noop`-format write (full
   * computation, no disk) — `count()` would let Catalyst prune the very
@@ -117,6 +123,34 @@ object Bench {
     }
   }
 
+  /** One rep of the raw 32-thread JVM burn: effective PARALLEL capacity,
+    * no Spark in the way. Round-4 finding: this box class can run ~1.6x
+    * slower on sustained 32-way work while the 1-second Spark sentinels
+    * read near the good band (vCPU overcommit) — long single-timing rows
+    * (the 50k dedup family) track THIS number, not cpu_min. */
+  private def parSentinelOnce(): Double = timed {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (0 until 32).map { t =>
+      new Thread(() => {
+        var s = 0L; var i = 0L
+        while (i < 150000000L) { s += i ^ t; i += 1 }
+        sink.addAndGet(s)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    require(sink.get() != 0L)
+  }
+
+  /** Per-block machine probe: one cpu + one par sentinel rep (~0.2s in the
+    * good band). Round-5 finding (VERDICT "What's wrong" #1): the
+    * run-start/run-end sentinels cannot adjudicate a MID-RUN contention
+    * burst — a uniformly slow query block records poisoned medians AND
+    * mins between clean end-of-run sentinels, and the rep-retry only
+    * fires on a single rep >3x the running min. These probes bracket every
+    * headline rep block so each row carries its own machine context. */
+  private def probeOnce(spark: SparkSession): (Double, Double) =
+    (cpuSentinelOnce(spark), parSentinelOnce())
+
   /** Machine sentinels — fixed workloads whose cost depends only on the
     * machine, never on engine code: (a) a pure-CPU xxhash64 fold over
     * `spark.range`, (b) a fixed-fanout shuffle. Baseline values live in
@@ -130,23 +164,7 @@ object Bench {
         .agg(count(lit(1)).as("n"))
         .select(sum(col("n"))).head()
     })
-    // Raw 32-thread JVM burn: effective PARALLEL capacity, no Spark in the
-    // way. Round-4 finding: this box class can run ~1.6x slower on
-    // sustained 32-way work while the 1-second Spark sentinels read near
-    // the good band (vCPU overcommit) — long single-timing rows (the 50k
-    // dedup family) track THIS number, not cpu_min.
-    val par = (1 to reps).map(_ => timed {
-      val sink = new java.util.concurrent.atomic.AtomicLong()
-      val threads = (0 until 32).map { t =>
-        new Thread(() => {
-          var s = 0L; var i = 0L
-          while (i < 150000000L) { s += i ^ t; i += 1 }
-          sink.addAndGet(s)
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      require(sink.get() != 0L)
-    })
+    val par = (1 to reps).map(_ => parSentinelOnce())
     Map("cpu" -> cpu, "shuffle" -> shuffle, "par" -> par)
   }
 
@@ -323,7 +341,8 @@ object Bench {
     *     for EXACT pair enumeration (~10^8 candidates, measured) — the
     *     right tool there is minhash, which is what the row above times.
     * One timing each — these are the bench's heaviest rows. */
-  private def scaledDedupBench(spark: SparkSession, sfDir: String)
+  private def scaledDedupBench(spark: SparkSession, sfDir: String,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : Seq[(String, Double)] = {
     import graft.ops.Dedup
     // the fixture's tiny vocabulary makes ~1/3 of all pairs minhash
@@ -363,7 +382,13 @@ object Bench {
             f"gc=${(gcMillis() - g0) / 1000.0}%.1fs heapStart=${h0}%dMB")
           t
         }
-        math.min(one(1), one(2))
+        // single-timing heavyweights are the rows the §c5 bursts hit
+        // hardest — bracket each with its own machine probe so the
+        // artifact shows whether the box was contended DURING the row
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        t
       }
       val mh = minOf2("x_dedup_minhash") { force(Dedup.minhashPairs(scaled,
         "doc_id", "text", n = 1, numHashes = 48, bands = 6, threshold = 0.9)) }
@@ -481,11 +506,20 @@ object Bench {
     // under "retried" in the JSON. An in-band probe means the slowness is
     // real and the timing stands.
     val cpuBandRef = math.min(sentBefore("cpu").min, 0.13)
+    // known good par band is 0.08-0.10 (BASELINE §c4/§c5); like cpuBandRef,
+    // take the better of the run-start reading and the band ceiling so a
+    // contended start doesn't inflate the reference
+    val parBandRef = math.min(sentBefore("par").min, 0.10)
+    def probeInBand(p: (Double, Double)): Boolean =
+      p._1 <= 1.5 * cpuBandRef && p._2 <= 1.5 * parBandRef
     val retried = scala.collection.mutable.LinkedHashSet[String]()
-    val runs: Seq[(String, Seq[Double])] = queries.map { name =>
+    val probes = scala.collection.mutable.LinkedHashMap[
+      String, ((Double, Double), (Double, Double))]()
+    def repBlock(name: String): Seq[Double] = {
       def rep(): Double =
         try timed(force(SparkEntry.queries(name)(spark, sfDir)))
         catch { case _: Throwable => -1.0 }
+      val pb = probeOnce(spark)
       var minSoFar = Double.MaxValue
       val times = (1 to reps).map { _ =>
         var t = rep()
@@ -497,19 +531,56 @@ object Bench {
         if (t >= 0) minSoFar = math.min(minSoFar, t)
         t
       }
-      name -> times
+      probes(name) = (pb, probeOnce(spark))
+      times
+    }
+    val firstPass: Seq[(String, Seq[Double])] =
+      queries.map(name => name -> repBlock(name))
+    // Block retry (round-6): a rep block bracketed by an out-of-band probe
+    // ran under contention — its min is as suspect as its median (the
+    // uniformly-slow-block case the rep-retry cannot see). Re-run such
+    // blocks once, AFTER the whole first pass (bursts are multi-minute;
+    // by suite end they have usually passed), and keep the re-run when its
+    // own probes are in band, else the better min. Capped so a fully
+    // contended box degrades to the old behavior instead of looping.
+    val blockRetried = scala.collection.mutable.LinkedHashSet[String]()
+    val runs: Seq[(String, Seq[Double])] = firstPass.map { case (name, times) =>
+      val (pb, pa) = probes(name)
+      val suspect = times.forall(_ >= 0) &&
+        (!probeInBand(pb) || !probeInBand(pa))
+      if (suspect && blockRetried.size < 8) {
+        blockRetried += name
+        val times2 = repBlock(name) // overwrites probes(name) with its own
+        val clean2 = probeInBand(probes(name)._1) && probeInBand(probes(name)._2)
+        if (clean2 || times2.min < times.min) name -> times2
+        else { probes(name) = (pb, pa); name -> times }
+      } else name -> times
     }
     // extras run on a full bench, or when named in `only` ("x_vec",
     // "x_ingest", "x_dedup") — so a contended-run row can be re-anchored
     // alone without paying for the whole suite
     def wantExtra(tag: String) = only.forall(_.contains(tag))
-    val (vecMin, vecMed) =
-      if (wantExtra("x_vec")) scaledVectorBench(spark, sfDir, reps)
-      else (Seq.empty, Seq.empty)
-    val ingestBench =
-      if (wantExtra("x_ingest")) ingestEmbedIndexBench(spark) else Seq.empty
+    // the vector/ingest blocks get one bracketing probe pair per block
+    // (their rows are multi-rep mins over a shared prepared corpus); the
+    // dedup block records one pair per row (single-timing heavyweights)
+    def probedBlock[A](tag: String, want: Boolean, empty: A)(f: => A): A =
+      if (!want) empty
+      else {
+        val pb = probeOnce(spark)
+        val r = f
+        probes(tag) = (pb, probeOnce(spark))
+        r
+      }
+    val (vecMin, vecMed) = probedBlock("x_vec", wantExtra("x_vec"),
+      (Seq.empty[(String, Double)], Seq.empty[(String, Double)])) {
+      scaledVectorBench(spark, sfDir, reps)
+    }
+    val ingestBench = probedBlock("x_ingest", wantExtra("x_ingest"),
+      Seq.empty[(String, Double)]) { ingestEmbedIndexBench(spark) }
     val dedupScaled =
-      if (wantExtra("x_dedup")) scaledDedupBench(spark, sfDir) else Seq.empty
+      if (wantExtra("x_dedup"))
+        scaledDedupBench(spark, sfDir, (tag, p) => probes(tag) = p)
+      else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
@@ -540,7 +611,16 @@ object Bench {
       "codecache_used_mb" -> codeCacheUsedMb)
     val total = mins.map(_._2).filter(_ >= 0).sum
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"reps":$reps%d,"retried":$retriedJson%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}""")
+    val blockRetriedJson =
+      blockRetried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-row machine context: cpu/par probe pairs bracketing each rep
+    // block — read a row's time THROUGH its own probes (in band: the
+    // number is the engine; out of band: the number is the box)
+    val probesJson = probes.map { case (n, ((cb, rb), (ca, ra))) =>
+      "\"" + n + "\":" + jsonMap(Seq("cpu_b" -> cb, "par_b" -> rb,
+        "cpu_a" -> ca, "par_a" -> ra))
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"reps":$reps%d,"retried":$retriedJson%s,"block_retried":$blockRetriedJson%s,"probes":$probesJson%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }
