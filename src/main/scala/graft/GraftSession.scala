@@ -7,6 +7,12 @@ import org.apache.spark.sql.SparkSession
   * These mirror what a 1000-executor deployment would set cluster-side;
   * locally they keep partition counts matched to cores instead of the
   * 200-partition default.
+  *
+  * Cluster deployments should additionally set `spark.graft.materialize`
+  * (see [[Graft.materialize]]): the engine's multi-reuse intermediates
+  * default to `localCheckpoint` — correct and fastest single-JVM, but not
+  * executor-loss tolerant; set `reliable` (+ a durable
+  * `SparkContext.setCheckpointDir`) or `replicated` on a real cluster.
   */
 object GraftSession {
 

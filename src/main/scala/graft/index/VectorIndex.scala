@@ -383,7 +383,7 @@ final class VectorIndex private (
 
   private def swapState(next: DataFrame): Unit = {
     val old = state
-    state = next.localCheckpoint(eager = true) // cut lineage: repeated
+    state = graft.Graft.materialize(next) // cut lineage: repeated
     // upserts otherwise stack anti-join plans unboundedly
     old.unpersist()
   }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Graft.MaterializeOps
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -113,9 +114,9 @@ object Dedup {
     * input layout (a small parquet reads as one partition and would
     * tokenize single-threaded); 4x the core count because candidate
     * fan-out per doc is uneven — finer tasks even out stragglers that
-    * otherwise serialize the verify stage. localCheckpoint (not persist):
-    * reused by stats/prefix passes + both re-attach joins within one
-    * query; blocks are dropped with the DataFrame. */
+    * otherwise serialize the verify stage. Materialized via
+    * [[graft.Graft.materialize]] (locally a localCheckpoint): reused by
+    * stats/prefix passes + both re-attach joins within one query. */
   private[graft] def shingleSets(df: DataFrame, pk: String, textCol: String,
       n: Int): DataFrame = {
     val spark = df.sparkSession
@@ -125,7 +126,7 @@ object Dedup {
       .select(col(pk).as("id"),
         sort_array(array_distinct(wordShingles(col(textCol), n))).as("sh"))
       .withColumn("sz", size($"sh")).filter($"sz" > 0)
-      .localCheckpoint(true)
+      .materialized
   }
 
   /** Prefix-filtering candidates (ids only, `id_a < id_b`, deduped).
@@ -280,7 +281,7 @@ object Dedup {
     val sigs = df
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col(pk).as("id"), simhash(tokens(col(textCol))).as("sig"))
-      .localCheckpoint(true) // (id, long) rows: probe + build reuse without re-tokenizing
+      .materialized // (id, long) rows: probe + build reuse without re-tokenizing
     def chunked(d: DataFrame) =
       d.select($"id", $"sig", posexplode(array((0 until nChunks).map { c =>
           shiftright($"sig", c * width).bitwiseAND((1L << width) - 1)
@@ -332,10 +333,11 @@ object Dedup {
     import spark.implicits._
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val rng = new scala.util.Random(seed)
-    // localCheckpoint: reused by every table's bucket pass + both re-attach
-    // joins; blocks are dropped with the DataFrame (a persist would leak)
+    // materialized: reused by every table's bucket pass + both re-attach
+    // joins (strategy per spark.graft.materialize; locally the blocks are
+    // dropped with the DataFrame)
     val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(true)
+      .materialized
     val bucketed = (0 until tables).map { t =>
       val planeCols = (0 until planes).map { _ =>
         val plane = Array.fill(dim)(rng.nextGaussian().toFloat)
@@ -379,10 +381,10 @@ object Dedup {
       threshold: Double, nClusters: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // localCheckpoint: feeds the KMeans fit, the cell assignment, and both
+    // materialized: feeds the KMeans fit, the cell assignment, and both
     // re-attach joins
     val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(true)
+      .materialized
     val (assigned, _) =
       SimilaritySearch.ivfBuildKMeans(v, "id", "v", nClusters, seed = seed)
     val cells = assigned.select($"id", $"cell")
@@ -452,7 +454,7 @@ object Dedup {
     var cur = pairs
       .select(greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
       .filter($"u" =!= $"v").distinct()
-      .localCheckpoint(true)
+      .materialized
     var i = 0
     var converged = cur.isEmpty
     while (i < maxIter && !converged) {
@@ -476,7 +478,7 @@ object Dedup {
         .select($"v".as("u"), $"m".as("v"))
         .union(sMins.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v").distinct()
-        .localCheckpoint(true) // cut lineage: each round otherwise nests
+        .materialized // cut lineage: each round otherwise nests
         // the previous round's joins and blows the driver long before the
         // data does
       // fixpoint test on the canonical edge set (two ids-only anti-joins)
@@ -501,13 +503,13 @@ object Dedup {
     val edges = pairs.select($"id_a", $"id_b")
       .union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       .distinct().persist()
-    // each round MUST cut lineage (localCheckpoint): iterating on the
+    // each round MUST cut lineage (materialize): iterating on the
     // previous round's plan otherwise nests joins exponentially and blows
     // the driver heap long before the data does
     var labels = edges.select($"id_a".as("id"))
       .union(edges.select($"id_b".as("id"))).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .materialized
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -516,7 +518,7 @@ object Dedup {
         .agg(min(col("label")).as("nlabel"))
       val merged = labels.join(next, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .materialized
       val changed = merged.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = merged

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Graft.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,7 +33,7 @@ object GraphOps {
     // both self-join arms canonicalize to the SAME (b, i) exchange before
     // their aliases, so runtime exchange reuse computes the distinct pass
     // once (observed as ReusedExchange in the executed plan) — no
-    // localCheckpoint needed here, and staying lazy keeps the single-use
+    // materialization needed here, and staying lazy keeps the single-use
     // path (q91) free of an eager materialization barrier
     val x = bi.select(col("b"), col("i").as("item_a"))
     val y = bi.select(col("b"), col("i").as("item_b"))
@@ -76,7 +77,7 @@ object GraphOps {
     // capped pair count with uncapped item counts would deflate
     // confidence and lift
     val bi = basketItems(df, basketCol, itemCol, maxBasketSize)
-      .localCheckpoint(true) // feeds N, item counts, pair join
+      .materialized // feeds N, item counts, pair join
     val nBaskets = bi.select(col("b")).distinct().count()
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("ci"))
     val pairs = coOccurrencePairs(bi, "b", "i", minSupport, 0)
@@ -121,8 +122,8 @@ object GraphOps {
       .filter(col("u") < col("v")).distinct()
     val dir = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val deg = dir.groupBy("u").agg(count(lit(1)).as("d"))
-    val adj = dir.join(deg, "u").localCheckpoint(true)
-    val nodes = adj.select(col("u").as("n")).distinct().localCheckpoint(true)
+    val adj = dir.join(deg, "u").materialized
+    val nodes = adj.select(col("u").as("n")).distinct().materialized
     val nNodes = nodes.count().toDouble
     var rank = nodes.select(col("n"), lit(1.0 / nNodes).as("r"))
     for (_ <- 1 to iterations) {
@@ -197,7 +198,7 @@ object GraphOps {
     * the deduped id-ordered edge list, per-node degrees, and the
     * once-each triangle set (s, a, b).
     *
-    * localCheckpoints (the Dedup multi-reuse rule): the edge list feeds
+    * Materializations (the Dedup multi-reuse rule; [[graft.Graft.materialize]]): the edge list feeds
     * degrees, orientation, and the final joins — references that would
     * otherwise each re-derive the (possibly expensive) upstream edge
     * computation and leave single-computation to exchange-reuse
@@ -209,7 +210,7 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") < col("v")).distinct()
-      .localCheckpoint(true)
+      .materialized
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -223,7 +224,7 @@ object GraphOps {
           struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
         .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
-      .localCheckpoint(true)
+      .materialized
     val arm1 = oriented.select(col("s"), col("t").as("a"), col("dt").as("da"))
     val arm2 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
     val wedges = arm1.join(arm2, Seq("s"))

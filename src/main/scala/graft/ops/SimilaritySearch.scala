@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Graft.MaterializeOps
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -274,7 +275,7 @@ object SimilaritySearch {
         val cand = scored.withColumn("rank", row_number().over(w))
           .filter($"rank" <= k * refine)
           .select($"query_id", col(cPk))
-          .localCheckpoint(true)
+          .materialized
         // candidate vectors arrive via a semi-join on pk — broadcast when
         // the materialized stats confirm it's small, AQE's runtime join
         // choice otherwise; the corpus is never shuffled in the broadcast
@@ -333,7 +334,7 @@ object SimilaritySearch {
       Array.fill(dim)(rng.nextGaussian().toFloat))
     def bucketize(df: DataFrame, pk: String) = {
       val v = df.select(col(pk).as("id"), col(vecCol).as("v"))
-        .localCheckpoint(true)
+        .materialized
       val b = (0 until tables).map { t =>
         val planeCols = family(t).map(p =>
           when(cosineUnit($"v", vecLit(p)) >= 0, "1").otherwise("0"))
