@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MgTopK, SortedCountCommon, VecDot, VecTopK}
+import graft.expressions.{BloomMightContainLong, MgTopK, MinHashSignature, SimHash64, SortedCountCommon, VecDot, VecTopK}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -14,9 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   * or into a live session with [[GraftFunctions.register]]. Registered
   * functions: `vec_dot(a, b)`, `vec_cosine(a, b)` (alias of dot for
-  * unit-norm vectors), `sorted_count_common(a, b)`, and the aggregates
-  * `mg_topk(term, capacity)` and `vec_topk(id, score, k)` (capacity/k
-  * literals).
+  * unit-norm vectors), `sorted_count_common(a, b)`,
+  * `minhash_sig(shingles, num_hashes)`, `simhash64(tokens)`,
+  * `bloom_might_contain_long(x, bloom)` (bloom a binary literal), and the
+  * aggregates `mg_topk(term, capacity)` and `vec_topk(id, score, k)`
+  * (capacity/k literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -49,6 +51,27 @@ object GraftFunctions {
         require(es.length == 3 && intLiteral(es(2)),
           "vec_topk(id, score, k) needs a non-null integral literal k")
         VecTopK(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue())
+      }),
+    ("minhash_sig", // the dedup family's signature kernel
+      new ExpressionInfo(classOf[MinHashSignature].getName, null, "minhash_sig"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 && intLiteral(es(1)),
+          "minhash_sig(shingles, num_hashes) needs a non-null integral " +
+            "literal num_hashes")
+        MinHashSignature(es(0),
+          es(1).eval().asInstanceOf[Number].intValue())
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    ("bloom_might_contain_long", // decontamination's map-side prefilter
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, null,
+        "bloom_might_contain_long"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2 && binLiteral(es(1)),
+          "bloom_might_contain_long(x, bloom) needs a non-null binary " +
+            "literal bloom (serialized via graft.ops.Decontaminate)")
+        BloomMightContainLong(es(0), es(1).eval().asInstanceOf[Array[Byte]])
       }))
 
   /** Non-null integral literal guard: misuse fails with the builder's
@@ -61,6 +84,11 @@ object GraftFunctions {
     }
     integral && e.foldable && e.eval() != null
   }
+
+  /** Non-null binary literal guard, same rationale as [[intLiteral]]. */
+  private def binLiteral(e: Expression): Boolean =
+    e.dataType == org.apache.spark.sql.types.BinaryType &&
+      e.foldable && e.eval() != null
 
   /** Register into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

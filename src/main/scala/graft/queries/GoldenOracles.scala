@@ -57,6 +57,10 @@ object GoldenOracles {
     if (sfPinned(dir))
       always ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
+        // q104 is q20's pipeline re-authored through spark.sql with the
+        // registered minhash_sig/sorted_count_common — identical rows by
+        // construction, so it shares the self-deriving oracle verbatim
+        "q104_sql_minhash" -> q20For(dir),
         "q21_simhash_pairs" -> q21,
         "q23_semantic_topk" -> q23,
         "q25_hybrid" -> q25,

@@ -1272,6 +1272,59 @@ object GraftQueries {
              FROM g_embeddings a JOIN g_embeddings b ON a.vec_id = 0))""")
   }
 
+  /** The whole banded-minhash dedup pipeline through `spark.sql` ONLY —
+    * shingle, sign with the registered `minhash_sig`, band via
+    * xxhash64-of-slice, candidate self-join, exact verify with
+    * `sorted_count_common` — reproducing [[q20MinhashPairs]] row for row
+    * (same 48-hash family, 6 bands, 0.9 threshold; shares q20's
+    * self-deriving golden oracle). The SQL surface matters at scale
+    * because dedup jobs are routinely authored by non-Scala pipelines;
+    * every arithmetic step mirrors the DataFrame path literally so the
+    * hash comparison is bit-stable. */
+  def q104SqlMinhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    t(spark, dir, "documents").createOrReplaceTempView("g_documents")
+    spark.sql(
+      """WITH sized AS (
+           SELECT doc_id AS id,
+                  sort_array(array_distinct(
+                    filter(split(text, '\\s+'), x -> length(x) > 0))) AS sh
+           FROM g_documents
+         ),
+         sh AS (
+           SELECT id, sh, size(sh) AS sz FROM sized WHERE size(sh) > 0
+         ),
+         sig AS (
+           SELECT id, minhash_sig(sh, 48) AS sig FROM sh
+         ),
+         banded AS (
+           SELECT id, band, xxhash64(slice(sig, band * 8 + 1, 8), band)
+                    AS bucket
+           FROM sig
+           LATERAL VIEW explode(sequence(0, 5)) t AS band
+         ),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         ),
+         hsh AS (
+           SELECT id, sort_array(transform(sh, s -> xxhash64(s))) AS shh, sz
+           FROM sh
+         ),
+         verified AS (
+           SELECT c.id_a, c.id_b,
+                  CAST(sorted_count_common(a.shh, b.shh) AS DOUBLE) AS common,
+                  a.sz AS sz_a, b.sz AS sz_b
+           FROM cand c
+           JOIN hsh a ON c.id_a = a.id
+           JOIN hsh b ON c.id_b = b.id
+         )
+         SELECT id_a, id_b, common / (sz_a + sz_b - common) AS jaccard
+         FROM verified
+         WHERE common / (sz_a + sz_b - common) >= 0.9""")
+  }
+
   /** The q10 hourly rollup as a REAL Structured-Streaming query: the events
     * fixture read through `readStream` (file source), windowed-aggregated by
     * [[graft.streaming.EventStreams.windowedAggregate]], drained with
@@ -1801,5 +1854,6 @@ object GraftQueries {
     "q100_recommend" -> (q100Recommend _),
     "q101_cohorts" -> (q101Cohorts _),
     "q102_sliding_windows" -> (q102SlidingWindows _),
-    "q103_cdc_merge" -> (q103CdcMerge _))
+    "q103_cdc_merge" -> (q103CdcMerge _),
+    "q104_sql_minhash" -> (q104SqlMinhash _))
 }

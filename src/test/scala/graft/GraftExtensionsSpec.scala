@@ -20,6 +20,48 @@ class GraftExtensionsSpec extends SparkSpec {
     // exposes the same builders the registry path uses
     GraftFunctions.all.map(_._1).toSet shouldBe
       Set("vec_dot", "vec_cosine", "sorted_count_common", "mg_topk",
-        "vec_topk")
+        "vec_topk", "minhash_sig", "simhash64", "bloom_might_contain_long")
   }
+
+  test("minhash_sig / simhash64 SQL functions match their Column twins") {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("the quick brown fox", "pack my box with five dozen jugs")
+      .toDF("text").createOrReplaceTempView("g_sig_test")
+    val viaSql = spark.sql(
+      """SELECT minhash_sig(sort_array(array_distinct(
+               filter(split(text, '\\s+'), x -> length(x) > 0))), 16) AS mh,
+              simhash64(filter(split(text, '\\s+'),
+                x -> length(x) > 0)) AS sh
+         FROM g_sig_test""").collect()
+    val viaCol = spark.table("g_sig_test")
+      .select(
+        graft.expressions.SketchExpressions.minhashSignature(
+          sort_array(array_distinct(tokens(col("text")))), 16).as("mh"),
+        graft.expressions.SketchExpressions.simhash64(tokens(col("text")))
+          .as("sh"))
+      .collect()
+    viaSql.map(_.getSeq[Long](0)) shouldBe viaCol.map(_.getSeq[Long](0))
+    viaSql.map(_.getLong(1)) shouldBe viaCol.map(_.getLong(1))
+  }
+
+  test("bloom_might_contain_long SQL function probes a serialized filter") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val bloom = spark.range(100).stat.bloomFilter("id", 100L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    Seq(5L, 7L).toDF("x").createOrReplaceTempView("g_bloom_test")
+    // no false negatives, ever: both members must survive the probe
+    spark.sql("SELECT x FROM g_bloom_test WHERE bloom_might_contain_long(" +
+        s"x, ${literalFor(bytes)})")
+      .collect().map(_.getLong(0)).toSet shouldBe Set(5L, 7L)
+  }
+
+  private def literalFor(bytes: Array[Byte]): String =
+    "X'" + bytes.map(b => f"$b%02X").mkString + "'"
 }
