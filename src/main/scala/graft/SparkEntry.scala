@@ -103,6 +103,13 @@ object SparkEntry {
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
          ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q105_index_saveload" -> // the PERSISTED index must equal the live one,
+      // which must equal plain SQL — q11's oracle verbatim
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
     "q12_knn_join" ->
       """SELECT query_id, vec_id, score, rnk FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -1325,6 +1325,28 @@ object GraftQueries {
          WHERE common / (sz_a + sz_b - common) >= 0.9""")
   }
 
+  /** Index durability round-trip under the oracle gate (`get_index`-by-name
+    * parity surviving restart, `NB:384`): build an index over the
+    * embeddings table, [[graft.index.VectorIndex.save]] it, reload the
+    * DUMP in a fresh session (separate session state — everything after
+    * the save reads only what hit disk), search the loaded index with
+    * q11's query vector. Hash-equal to q11's plain SQL: the persisted
+    * index must return exactly what the live one does. */
+  def q105IndexSaveLoad(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val idx = graft.index.VectorIndex.build(e, "q105_src", "vec_id",
+      "embedding")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q105_${spark.sparkContext.applicationId}").getAbsolutePath
+    idx.save(path)
+    val fresh = spark.newSession()
+    val loaded = graft.index.VectorIndex.load(fresh, path, "q105_loaded",
+      "vec_id", "embedding")
+    loaded.search(qv, 10).select(col("vec_id"), col("score"))
+  }
+
   /** The q10 hourly rollup as a REAL Structured-Streaming query: the events
     * fixture read through `readStream` (file source), windowed-aggregated by
     * [[graft.streaming.EventStreams.windowedAggregate]], drained with
@@ -1855,5 +1877,6 @@ object GraftQueries {
     "q101_cohorts" -> (q101Cohorts _),
     "q102_sliding_windows" -> (q102SlidingWindows _),
     "q103_cdc_merge" -> (q103CdcMerge _),
-    "q104_sql_minhash" -> (q104SqlMinhash _))
+    "q104_sql_minhash" -> (q104SqlMinhash _),
+    "q105_index_saveload" -> (q105IndexSaveLoad _))
 }
