@@ -528,13 +528,18 @@ object GraftQueries {
   /** Keyword extraction: top-3 terms per document by smoothed tf-idf.
     * Two short-key shuffles (term-frequency agg, document-frequency agg on
     * the term), corpus size broadcast, per-document rank window bounded by
-    * the document's own vocabulary. */
+    * the document's own vocabulary. The tf frame is materialized (the
+    * multi-reuse rule): it feeds BOTH the df aggregate and the join's
+    * probe side, and the broadcast boundary between them blocks AQE
+    * exchange reuse — un-materialized, the tokenize/explode/agg chain ran
+    * twice (round-6 finding; executed plan showed two identical
+    * hashpartitioning(doc_id, term) subtrees with no ReusedExchange). */
   def q41TfidfTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val terms = d.select(col("doc_id"),
       explode(transform(tokens(col("text")), lower _)).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = graft.Graft.materialize(terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = d.agg(count(lit(1)).cast("double").as("n_docs"))
     // compute in double, RANK AND EMIT in float: Java's and DuckDB's libm
