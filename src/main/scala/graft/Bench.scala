@@ -305,6 +305,35 @@ object Bench {
           sqModel, "vec_id", "vec_id", "embedding", k = 10, nProbe = 4,
           refine = 2, exactSource = Some((scaled, "embedding"))))
       })
+      // continuous retrieval at the operating point (nProbe 4 of 32) over
+      // the same 200k corpus: a MemoryStream of query vectors drained
+      // AvailableNow through the stream-static cell join + vec_topk state
+      // — two rates, the small-batch latency floor (32q) and a
+      // throughput batch (512q; per-query cost should FALL as the static
+      // side's scan amortizes across queries)
+      def streamRate(nq: Int): Seq[Double] = {
+        import org.apache.spark.sql.streaming.Trigger
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val qrows = base.filter(col("vec_id") < nq)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
+        (1 to reps).map { _ => timed {
+          val ms = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Array[Float])]
+          ms.addData(qrows)
+          val qdf = ms.toDF().select(col("_1").as("vec_id"),
+            col("_2").cast("array<float>").as("embedding"))
+          val res = graft.streaming.StreamingRetrieval.knnStream(qdf,
+            indexedP, cents, "vec_id", "vec_id", "embedding", k = 10,
+            nProbe = 4)
+          val q = res.writeStream.format("noop").outputMode("complete")
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }}
+      }
+      val sr32 = streamRate(32)
+      val sr512 = streamRate(512)
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
       ivfpqEncoded.unpersist(); sqEncodedP.unpersist(); ivfsqEncoded.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
@@ -314,7 +343,9 @@ object Bench {
         "x_pq_build" -> pqBuild, "x_pq_search" -> pqSearchT.min,
         "x_ivfpq_search" -> ivfpqT.min, "x_knn_ivfpq_32q" -> knnIvfPq.min,
         "x_sq_build" -> sqBuild, "x_sq_search" -> sqSearchT.min,
-        "x_ivfsq_search" -> ivfsqT.min, "x_knn_ivfsq_32q" -> knnIvfSq.min)
+        "x_ivfsq_search" -> ivfsqT.min, "x_knn_ivfsq_32q" -> knnIvfSq.min,
+        "x_stream_retrieval_32q" -> sr32.min,
+        "x_stream_retrieval_512q" -> sr512.min)
       val meds = Seq(s"x_vec_topk_${n / 1000}k" -> med(exact),
         "x_ivf_build" -> build, "x_ivf_probe" -> med(probe),
         "x_knn_window_32q" -> med(knnWin), "x_knn_agg_32q" -> med(knnAgg),
@@ -322,7 +353,9 @@ object Bench {
         "x_pq_build" -> pqBuild, "x_pq_search" -> med(pqSearchT),
         "x_ivfpq_search" -> med(ivfpqT), "x_knn_ivfpq_32q" -> med(knnIvfPq),
         "x_sq_build" -> sqBuild, "x_sq_search" -> med(sqSearchT),
-        "x_ivfsq_search" -> med(ivfsqT), "x_knn_ivfsq_32q" -> med(knnIvfSq))
+        "x_ivfsq_search" -> med(ivfsqT), "x_knn_ivfsq_32q" -> med(knnIvfSq),
+        "x_stream_retrieval_32q" -> med(sr32),
+        "x_stream_retrieval_512q" -> med(sr512))
       (mins, meds)
     } catch { case _: Throwable =>
       (Seq("x_vec_scaled" -> -1.0), Seq("x_vec_scaled" -> -1.0)) }
@@ -425,6 +458,77 @@ object Bench {
         s"x_dedup_jaccard_${sn}k" -> jac,
         s"x_dedup_collapse_${sn}k" -> collapse)
     } catch { case _: Throwable => Seq("x_dedup_scaled" -> -1.0)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    }
+  }
+
+  /** Candidate-growth stress at 200k docs (4x the anchored 50k rows) —
+    * OPT-IN (`only=x_dedup200`): ~5 min of wall clock that exists to
+    * re-verify the near-linear-candidate claim one doubling step further,
+    * not to run every round. Measures candidates/doc at 50k AND 200k in
+    * the same run (same box regime) for both blocking schemes, logs the
+    * growth ratio (the claim: flat within ~1.5x), then times the full
+    * pair pipeline at 200k with the 50k rows' min-of-2 discipline. */
+  private def scaledDedup200Bench(spark: SparkSession, sfDir: String,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.Dedup
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    // 4x the data of the 50k block -> 4x its 256-partition sizing
+    spark.conf.set("spark.sql.shuffle.partitions", "1024")
+    System.gc()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def candsPerDoc(reps: Int): Double = {
+        val scaled = DedupStress.replicateDocs(docs, reps)
+          .repartition(32).persist()
+        val n = scaled.count()
+        val c = Dedup.minhashCandidates(
+          Dedup.shingleSets(scaled, "doc_id", "text", 1), 48, 6).count()
+        scaled.unpersist()
+        c.toDouble / n
+      }
+      val cpd50 = candsPerDoc(10)
+      val cpd200 = candsPerDoc(40)
+      System.err.println(f"[bench] x_dedup200 minhash candidates/doc " +
+        f"50k=$cpd50%.1f 200k=$cpd200%.1f growth=${cpd200 / cpd50}%.2fx")
+      def minOf2(tag: String)(f: => Unit): Double = {
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          val t = timed(f)
+          System.err.println(f"[bench] $tag%s rep$i%d wall=$t%.1fs " +
+            f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          t
+        }
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        t
+      }
+      val scaled = DedupStress.replicateDocs(docs, 40)
+        .repartition(32).persist()
+      val n = scaled.count() / 1000
+      val mh = minOf2("x_dedup_minhash_200k") { force(Dedup.minhashPairs(
+        scaled, "doc_id", "text", n = 1, numHashes = 48, bands = 6,
+        threshold = 0.9)) }
+      scaled.unpersist()
+      val synth = DedupStress.syntheticDocs(spark, 200000)
+        .repartition(32).persist()
+      val sn = synth.count() / 1000
+      val pc50 = Dedup.prefixCandidates(
+        Dedup.shingleSets(DedupStress.syntheticDocs(spark, 50000),
+          "doc_id", "text", 1), 0.9).count()
+      val pc200 = Dedup.prefixCandidates(
+        Dedup.shingleSets(synth, "doc_id", "text", 1), 0.9).count()
+      System.err.println(f"[bench] x_dedup200 prefix candidates/doc " +
+        f"50k=${pc50 / 50000.0}%.3f 200k=${pc200 / 200000.0}%.3f " +
+        f"growth=${(pc200 / 200000.0) / (pc50 / 50000.0)}%.2fx")
+      val jac = minOf2("x_dedup_jaccard_200k") { force(Dedup.ngramJaccardPairs(
+        synth, "doc_id", "text", n = 1, threshold = 0.9)) }
+      synth.unpersist()
+      Seq(s"x_dedup_minhash_${n}k" -> mh, s"x_dedup_jaccard_${sn}k" -> jac)
+    } catch { case _: Throwable => Seq("x_dedup200_scaled" -> -1.0)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
     }
@@ -581,14 +685,19 @@ object Bench {
       if (wantExtra("x_dedup"))
         scaledDedupBench(spark, sfDir, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only (never on a bare full run): ~5 min stress block
+    val dedup200 =
+      if (only.exists(_.contains("x_dedup200")))
+        scaledDedup200Bench(spark, sfDir, (tag, p) => probes(tag) = p)
+      else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
-      vecMin ++ ingestBench ++ dedupScaled
+      vecMin ++ ingestBench ++ dedupScaled ++ dedup200
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
-      vecMed ++ ingestBench ++ dedupScaled
+      vecMed ++ ingestBench ++ dedupScaled ++ dedup200
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated

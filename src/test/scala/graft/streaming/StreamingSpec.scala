@@ -89,6 +89,54 @@ class StreamingSpec extends SparkSpec {
         "vec_id", "embedding", k = 3)
   }
 
+  test("StreamingRetrieval at the ANN operating point (nProbe 4 of 32): " +
+      "recall@10 >= 0.9 vs the exact drained result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the resolvable perturbed corpus (Recall's floor geometry): each
+    // query's true top-10 is its replica neighborhood, which the probed
+    // cells must cover at nProbe << nCells
+    val corpus = graft.Recall
+      .perturbedCorpus(spark, TestSpark.sf0001, reps = 40, sigma = 0.1)
+      .repartition(8).persist()
+    val n = corpus.count()
+    val (ix, cents) = graft.ops.SimilaritySearch.ivfBuildKMeans(
+      corpus, "vec_id", "embedding", nCells = 32, totalHint = Some(n))
+    val indexed = ix.persist()
+    indexed.count()
+    val base = spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = base.filter(col("vec_id") < 16)
+    val exact = graft.ops.SimilaritySearch
+      .knnJoin(queries, corpus, "vec_id", "vec_id", "embedding", k = 10)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qrows = queries.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toIndexedSeq
+    val stream = MemoryStream[(Long, Array[Float])]
+    stream.addData(qrows)
+    val df = stream.toDF()
+      .select($"_1".as("vec_id"), $"_2".cast("array<float>").as("embedding"))
+    val res = StreamingRetrieval.knnStream(df, indexed, cents,
+      "vec_id", "vec_id", "embedding", k = 10, nProbe = 4)
+    val q = res.writeStream.format("memory").queryName("sr_op_spec")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sr_op_spec")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { qid =>
+      (exact(qid) & got.getOrElse(qid, Set.empty)).size / 10.0
+    }
+    val recall10 = recalls.sum / recalls.size
+    withClue(s"recall@10 $recall10: ") { recall10 should be >= 0.9 }
+    corpus.unpersist(); indexed.unpersist()
+  }
+
   test("windowed aggregate: streaming result equals batch mirror") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
