@@ -646,13 +646,21 @@ object Bench {
     // blocks once, AFTER the whole first pass (bursts are multi-minute;
     // by suite end they have usually passed), and keep the re-run when its
     // own probes are in band, else the better min. Capped so a fully
-    // contended box degrades to the old behavior instead of looping.
+    // contended box degrades to the old behavior instead of looping — and
+    // the budget goes to the MOST EXPENSIVE suspect blocks first: a
+    // contended start otherwise spends all retries on sub-second relational
+    // rows while the graph-block rows the retry exists for go unretried
+    // (the first live full run did exactly that).
     val blockRetried = scala.collection.mutable.LinkedHashSet[String]()
+    val toRetry: Set[String] = firstPass.collect {
+      case (name, times) if times.forall(_ >= 0) && {
+        val (pb, pa) = probes(name)
+        !probeInBand(pb) || !probeInBand(pa)
+      } => name -> times.min
+    }.sortBy(-_._2).take(8).map(_._1).toSet
     val runs: Seq[(String, Seq[Double])] = firstPass.map { case (name, times) =>
       val (pb, pa) = probes(name)
-      val suspect = times.forall(_ >= 0) &&
-        (!probeInBand(pb) || !probeInBand(pa))
-      if (suspect && blockRetried.size < 8) {
+      if (toRetry(name)) {
         blockRetried += name
         val times2 = repBlock(name) // overwrites probes(name) with its own
         val clean2 = probeInBand(probes(name)._1) && probeInBand(probes(name)._2)
