@@ -26,15 +26,27 @@ object GraftQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long (`ts_ns`) and expose a micros timestamp. */
+  /** Normalize the events fixture's `ts` across driver generations: some
+    * store TIMESTAMP(NANOS) — which Spark's parquet reader rejects, so it is
+    * read as epoch-nanos long via `nanosAsLong` and converted — and some
+    * store TIMESTAMP(MICROS), which reads as a timestamp directly (NTZ under
+    * parquet NTZ inference; cast to the session type the long path produces,
+    * value-preserving in this UTC environment). Either way downstream sees
+    * one micros `TimestampType` column. */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: SQL fractional division goes through
+        // double, which has only ~9e15 integral precision — epoch-nanos
+        // (~1.7e18) round by hundreds of ns and the derived micros come out
+        // off by one
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      // integer `div`, NOT `/`: SQL fractional division goes through double,
-      // which has only ~9e15 integral precision — epoch-nanos (~1.7e18)
-      // round by hundreds of ns and the derived micros come out off by one
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    normalizeEventTs(t(spark, dir, "events"))
   }
 
   /** Literal cast to a column's own (timestamp) type so comparisons stay
@@ -1382,9 +1394,8 @@ object GraftQueries {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamableDir(spark, dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    val stream = normalizeEventTs(spark.readStream.schema(schema)
+      .parquet(streamableDir(spark, dir, "events")))
     spark.catalog.dropTempView("q82_stream_hourly")
     val q = graft.streaming.EventStreams.windowedAggregate(stream)
       .writeStream.format("memory").queryName("q82_stream_hourly")
@@ -1431,11 +1442,20 @@ object GraftQueries {
     if (!staged.exists()) {
       // sentinel ts = max + (2h watermark + 30min gap + 1h margin): far
       // enough that every real session's gap has elapsed, and the
-      // sentinel session's own timeout outlives the final watermark
-      val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
-      val farNs = maxNs + 12600L * 1000000000L
+      // sentinel session's own timeout outlives the final watermark. The
+      // sentinel column must carry the fixture's OWN ts type (nanos-long or
+      // micros-timestamp) so the staged directory reads under one schema.
+      val farTs: Column = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+          lit(maxNs + 12600L * 1000000000L)
+        case dt =>
+          val maxUs = raw.agg(max(unix_micros(col("ts").cast("timestamp"))))
+            .head().getLong(0)
+          timestamp_micros(lit(maxUs + 12600L * 1000000L)).cast(dt)
+      }
       raw.select(col("user_id")).distinct()
-        .withColumn("ts", lit(farNs))
+        .withColumn("ts", farTs)
         .withColumn("value", lit(0.0))
         .write.mode("overwrite").parquet(staged.toString)
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
@@ -1443,9 +1463,8 @@ object GraftQueries {
       try java.nio.file.Files.createSymbolicLink(dst, src)
       catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
     }
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    val stream = normalizeEventTs(spark.readStream.schema(raw.schema)
+      .parquet(staged.toString))
       .select(col("user_id"), col("ts"), col("value"))
       .as[graft.streaming.EventStreams.Event]
     spark.catalog.dropTempView("q84_stream_sessionize")
@@ -1472,8 +1491,8 @@ object GraftQueries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val staged = streamableDir(spark, dir, "events")
-    def src() = spark.readStream.schema(schema).parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    def src() = normalizeEventTs(
+      spark.readStream.schema(schema).parquet(staged))
     val errors = src().filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts"))
     val clicks = src().filter(col("event_type") === "click")

@@ -280,10 +280,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${graft.TestSpark.sf0001}/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000L")))
+    val ev = graft.queries.GraftQueries.normalizeEventTs(
+        spark.read.parquet(s"${graft.TestSpark.sf0001}/events.parquet"))
       .select($"user_id", $"ts", $"value")
     val rows = ev.as[EventStreams.Event].collect().toSeq
 
