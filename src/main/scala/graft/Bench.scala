@@ -83,7 +83,10 @@ object Bench {
     // 2h/1h sliding-window aggregation (overlap generator)
     "q101_cohorts", "q102_sliding_windows",
     // CDC merge apply (keys-only anti join + map-side union)
-    "q103_cdc_merge")
+    "q103_cdc_merge",
+    // round-6 addition (new anchor): entity-key fuzzy match — deletion-
+    // neighborhood signature join + levenshtein verify over 150k names
+    "q106_fuzzy_names")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -110,6 +110,24 @@ object SparkEntry {
                           CAST(b.embedding AS DOUBLE[])) AS score
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
          ORDER BY score DESC, b.vec_id LIMIT 10""",
+    "q106_fuzzy_names" -> // naive quadratic predicate join; the engine's
+      // deletion-neighborhood blocking must reproduce it exactly
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+           AND levenshtein(a.c_name, b.c_name) <= 1""",
+    "q107_containment" -> // q15's tokenization, |a∩b| / |a| directed
+      """WITH tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(a.w)
+             AS containment
+         FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+         WHERE len(a.w) > 0
+           AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(a.w)
+             >= 0.9""",
     "q12_knn_join" ->
       """SELECT query_id, vec_id, score, rnk FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -91,6 +91,60 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Directed set-CONTAINMENT pairs: `(id_a, id_b, containment)` with
+    * `|G(a) ∩ G(b)| / |G(a)| >= threshold`, `id_a != id_b` — the
+    * asymmetric complement of [[ngramJaccardPairs]]. Jaccard misses
+    * quote/subset duplication by construction: a 50-token doc fully
+    * contained in a 5000-token doc has jaccard ~0.01 but containment 1.0.
+    * For a training corpus this is the "document A is mostly a quote of
+    * document B" detector, and `a -> b` direction tells you which doc is
+    * the redundant one.
+    *
+    * Blocking is the DIRECTED prefix filter: `common >= ceil(t*|a|)`
+    * depends only on a's size, so a's `|a| - ceil(t*|a|) + 1` globally
+    * rarest shingles form a lossless probe prefix (if none of them hit b,
+    * at most `ceil(t*|a|) - 1` common shingles remain — below threshold),
+    * joined against b's FULL posting list — b's size gives no prefix
+    * bound in a containment join (b may be arbitrarily large), only the
+    * lower bound `|b| >= ceil(t*|a|)`. Skew story: probe keys are each
+    * doc's rarest shingles, so on a real (Zipfian, large-vocab) corpus
+    * posting lists met by the join stay short; a degenerate shared
+    * vocabulary degrades toward the verify-everything plan the same way
+    * the jaccard prefix path does — and the exact verify
+    * (`sortedCountCommon` over hashed sorted sets) keeps the result
+    * exact regardless. */
+  def containmentPairs(df: DataFrame, pk: String, textCol: String,
+      n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.expressions.VectorExpressions.sortedCountCommon
+    val sh = shingleSets(df, pk, textCol, n)
+    val dfreq = sh.select(explode($"sh").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("dcount"))
+    val w = Window.partitionBy($"id").orderBy($"dcount", $"tok")
+    val pref = sh.select($"id", $"sz", explode($"sh").as("tok"))
+      .join(dfreq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= $"sz" - ceil($"sz" * lit(threshold)) + lit(1))
+      .select($"id", $"sz", $"tok")
+    val postings = sh.select($"id", $"sz", explode($"sh").as("tok"))
+    val cand = pref.as("a").join(postings.as("b"),
+        $"a.tok" === $"b.tok" && $"a.id" =!= $"b.id" &&
+          $"b.sz" >= ceil($"a.sz" * lit(threshold)))
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shh = hashedShingles(sh)
+    cand
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b")), "id_b")
+      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
+      .withColumn("containment", $"common" / $"sz_a")
+      .filter($"containment" >= threshold)
+      .select($"id_a", $"id_b", $"containment")
+  }
+
   /** Sorted 64-bit xxhash shingle sets for the verify re-attach: the
     * re-attach joins ship one 8-byte long per shingle instead of the
     * shingle text (3-10x fewer shuffle bytes at word n-grams), and the

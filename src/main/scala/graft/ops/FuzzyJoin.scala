@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance self-join for entity resolution over short key strings
+  * (names, titles, SKUs): all pairs within Levenshtein distance
+  * `maxDist`, without an all-pairs stage.
+  *
+  * Reference tie-in: the engine's dedup families
+  * ([[Dedup.ngramJaccardPairs]], minhash, simhash) block on CONTENT
+  * similarity of long texts; entity keys need CHARACTER-level tolerance
+  * (one typo, one digit off), which token shingles can't see — `ed("
+  * Customer#901", "Customer#801") = 1` but their 1-token sets are
+  * disjoint. This operator completes the dedup matrix at the key level.
+  *
+  * Blocking is by DELETION NEIGHBORHOOD (the FastSS family — Bocek et
+  * al. 2007, "Fast Similarity Search in Large Dictionaries"; same idea
+  * as SymSpell): each string emits every variant obtainable by deleting
+  * at most `maxDist` characters. If `ed(a, b) <= k` then some common
+  * variant exists — walk an optimal alignment and delete from `a` every
+  * position it substitutes or deletes (<= k chars) and from `b` every
+  * position it substitutes or inserts (<= k chars); both sides land on
+  * the same string. So a variant-bucket equi-join is a NECESSARY
+  * (lossless) candidate filter, and the exact `levenshtein` verify on
+  * the candidates makes the result EXACT — sharing a variant is not
+  * sufficient (two deletions from different strings can collide), so the
+  * verify is load-bearing, not belt-and-braces.
+  *
+  * Scale shape (100 TB): signature volume is `O(len^k)` short rows per
+  * string (len+1 for k=1), shuffled by `xxhash64(variant)` — hash
+  * collisions are harmless because the verify re-checks true distance.
+  * Bucket sizes are governed by real near-duplicate density, not corpus
+  * size: on distinct keys a variant matches only strings one edit away.
+  * The one adversarial shape is a mass-duplicated key (its bucket holds
+  * every copy); exact-duplicate collapse ([[Dedup]] q14) is the right
+  * FIRST pass there, mirroring the minhash pipeline's order. Candidate
+  * pairs are deduped on ids BEFORE the verify so each pair pays one
+  * levenshtein, and the codegen `levenshtein` runs inside whole-stage
+  * codegen (no UDF).
+  */
+object FuzzyJoin {
+
+  /** Directed-canonical pairs `(id_a < id_b, dist)` with
+    * `levenshtein(str_a, str_b) <= maxDist` (`maxDist` in 1..2 — the
+    * deletion-neighborhood volume is `O(len^maxDist)`, right for key
+    * strings; for long-text similarity use the shingle families). */
+  def editDistancePairs(df: DataFrame, pk: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (deletion-neighborhood blocking is " +
+        s"O(len^maxDist) signatures per string), got $maxDist")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // (id, str) normalized once; empty keys carry no signal and would all
+    // collide on the empty variant — drop them (they also cannot reach
+    // dist <= maxDist against anything longer than maxDist chars anyway,
+    // and pairs of empties are exact dups, q14's business).
+    val base = df.select(col(pk).as("id"), col(strCol).as("s"))
+      .filter(length($"s") > 0)
+
+    // Deletion variants, depth 1: the string itself plus each single-char
+    // deletion — pure Column arithmetic (sequence + transform + substring
+    // concat), no UDF. Depth 2 composes the same step once more on the
+    // distinct depth-1 set.
+    def delOnce(sCol: org.apache.spark.sql.Column) =
+      array_union(
+        array(sCol),
+        transform(sequence(lit(1), length(sCol)),
+          i => concat(sCol.substr(lit(1), i - 1),
+                      sCol.substr(i + 1, length(sCol)))))
+    val d1 = base.select($"id", $"s",
+      array_distinct(delOnce($"s")).as("vars"))
+    val sigs = (if (maxDist == 1) d1
+      else d1.select($"id", $"s",
+        array_distinct(flatten(transform($"vars", v => delOnce(v))))
+          .as("vars")))
+      .select($"id", $"s", explode($"vars").as("v"))
+      .select($"id", $"s", xxhash64($"v").as("sig"))
+      .dropDuplicates("id", "sig")
+
+    // variant-bucket candidates (ids + strings ride along: keys are short,
+    // and carrying them kills the re-attach joins), deduped per pair so
+    // the verify runs once per candidate pair
+    sigs.as("a").join(sigs.as("b"),
+        $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        $"a.s".as("s_a"), $"b.s".as("s_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein($"s_a", $"s_b"))
+      .filter($"dist" <= maxDist)
+      .select($"id_a", $"id_b", $"dist".cast("long").as("dist"))
+  }
+}

@@ -1364,6 +1364,24 @@ object GraftQueries {
     loaded.search(qv, 10).select(col("vec_id"), col("score"))
   }
 
+  /** Entity-key fuzzy matching ([[graft.ops.FuzzyJoin.editDistancePairs]]):
+    * customer-name pairs within Levenshtein distance 1, found by
+    * deletion-neighborhood blocking + exact verify — never all-pairs. The
+    * oracle runs the naive quadratic predicate join; the blocked plan must
+    * reproduce it exactly (the blocking is lossless, the verify kills the
+    * false candidates). */
+  def q106FuzzyNames(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.FuzzyJoin.editDistancePairs(
+      t(spark, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+
+  /** Directed containment pairs ([[Dedup.containmentPairs]]): docs whose
+    * word set is >= 90% contained in another doc — the quote/subset
+    * detector Jaccard structurally misses. Oracle: naive quadratic
+    * intersect-over-|a| in DuckDB. */
+  def q107Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
+      n = 1, threshold = 0.9)
+
   /** The q10 hourly rollup as a REAL Structured-Streaming query: the events
     * fixture read through `readStream` (file source), windowed-aggregated by
     * [[graft.streaming.EventStreams.windowedAggregate]], drained with
@@ -1902,5 +1920,7 @@ object GraftQueries {
     "q102_sliding_windows" -> (q102SlidingWindows _),
     "q103_cdc_merge" -> (q103CdcMerge _),
     "q104_sql_minhash" -> (q104SqlMinhash _),
-    "q105_index_saveload" -> (q105IndexSaveLoad _))
+    "q105_index_saveload" -> (q105IndexSaveLoad _),
+    "q106_fuzzy_names" -> (q106FuzzyNames _),
+    "q107_containment" -> (q107Containment _))
 }

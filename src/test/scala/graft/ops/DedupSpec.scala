@@ -8,6 +8,39 @@ class DedupSpec extends SparkSpec {
   private lazy val docs = spark.read
     .parquet(s"${TestSpark.sf0001}/documents.parquet")
 
+  test("containmentPairs finds the quote Jaccard misses, in the right direction") {
+    import spark.implicits._
+    val big = (1 to 200).map(i => s"w$i").mkString(" ") // 200 distinct words
+    val quote = (1 to 20).map(i => s"w$i").mkString(" ") // fully contained
+    val other = (300 to 340).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, big), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", n = 1,
+      threshold = 0.9).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    cont.toSeq shouldBe Seq((2L, 1L, 1.0)) // quote -> big only; never big -> quote
+    // and Jaccard at the same threshold sees nothing: 20/200 = 0.1
+    Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 1, threshold = 0.9)
+      .count() shouldBe 0L
+  }
+
+  test("containmentPairs equals brute force on the fixture sample") {
+    import spark.implicits._
+    val sample = docs.filter($"doc_id" < 60)
+    val got = Dedup.containmentPairs(sample, "doc_id", "text", n = 1,
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Seq, NOT Map: a for-comprehension over a Map would yield back into a
+    // Map and silently collapse to one pair per id_a
+    val toks = sample.select($"doc_id", array_distinct(split($"text", "\\s+")).as("w"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).filter(_.nonEmpty).toSet).toSeq
+    val want = (for {
+      (ia, wa) <- toks; (ib, wb) <- toks
+      if ia != ib && wa.nonEmpty
+      c = wa.intersect(wb).size.toDouble / wa.size if c >= 0.8
+    } yield (ia, ib)).toSet
+    got shouldBe want
+  }
+
   test("exact dedup keeps min-pk row per key") {
     import spark.implicits._
     val df = Seq((3L, "x"), (1L, "x"), (2L, "y"), (7L, "y"), (5L, "z"))
