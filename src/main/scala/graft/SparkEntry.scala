@@ -128,6 +128,30 @@ object SparkEntry {
          WHERE len(a.w) > 0
            AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) / len(a.w)
              >= 0.9""",
+    "q108_leak_split" -> // q15's pair set -> recursive-CTE reachability
+      // components -> md5-of-rep split buckets (the q37 hash pattern);
+      // near-dup clusters must land in ONE split atomically
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents),
+         pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+           FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+           WHERE len(list_distinct(list_concat(a.w, b.w))) > 0
+             AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.w, b.w))) >= 0.9),
+         edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id),
+         rep AS (SELECT id AS doc_id, min(lbl) AS rep FROM reach GROUP BY id)
+         SELECT doc_id, rep,
+           CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccd'
+                  THEN 'train'
+                WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e667'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM rep""",
     "q12_knn_join" ->
       """SELECT query_id, vec_id, score, rnk FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

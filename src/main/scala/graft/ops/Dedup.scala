@@ -502,6 +502,29 @@ object Dedup {
     * rounds with survivors identical to min-label propagation. */
   private[graft] def ccAlternatingStars(pairs: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
+    val (edges, rounds) = ccFixpoint(pairs, maxIter)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    (edges.select($"u".as("id")), rounds)
+  }
+
+  /** Connected-component MAP from the alternating-stars fixpoint: one row
+    * `(id, rep)` per NON-representative member, `rep` = the component's
+    * minimum id ([[ccFixpoint]]'s edge set is exactly this map).
+    * Representatives and singletons are absent (their rep = self) — cover
+    * them with a left join + `coalesce(rep, id)`. Exposed for pipelines
+    * that need the CLUSTER id, not just survivor filtering: e.g. the
+    * leakage-safe corpus split (q108), where a near-dup cluster must land
+    * in one train/val/test bucket atomically or eval leaks into train. */
+  def componentMap(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val (edges, _) = ccFixpoint(pairs, maxIter)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    edges.select($"u".as("id"), $"v".as("rep"))
+  }
+
+  private def ccFixpoint(pairs: DataFrame,
+      maxIter: Int): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // canonical (u, v): u = larger endpoint, v = smaller; self-pairs out
@@ -544,9 +567,9 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dropDuplicates: alternating stars hit maxIter=$maxIter before " +
           "convergence; some duplicate clusters may keep extra representatives")
-    // at the fixpoint every edge is (member, component-min): the u side IS
-    // the victim set (distinct already)
-    (cur.select($"u".as("id")), i)
+    // at the fixpoint every edge is (member, component-min): the u side is
+    // the victim set, the pair is the component map (distinct already)
+    (cur, i)
   }
 
   /** One-hop min-label propagation — the O(diameter) small-N path of

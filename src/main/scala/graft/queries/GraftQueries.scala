@@ -1382,6 +1382,31 @@ object GraftQueries {
     Dedup.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
       n = 1, threshold = 0.9)
 
+  /** Leakage-safe train/val/test split (80/10/10): near-dup CLUSTERS (q15
+    * pairs -> [[Dedup.componentMap]] alternating-stars components) are
+    * assigned to a split atomically by md5 of the cluster representative —
+    * the split a naive per-doc hash gets wrong, because near-duplicates
+    * straddling train/test leak eval content into training. Scale shape:
+    * blocked pair generation + log-round CC + one key-equi left join +
+    * map-only hash bucketing; nothing quadratic, nothing driver-side.
+    * Oracle: recursive-CTE reachability components over the naive pair
+    * set + the same md5 thresholds (the q37 hash-bucket pattern). */
+  def q108LeakSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.9)
+    val reps = Dedup.componentMap(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "doc_id")
+    val h = substring(md5(col("rep").cast("string")), 1, 4)
+    docs.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+      // 0.8*2^16 = 0xCCCC.8 -> "cccd"; 0.9*2^16 = 0xE666.4 -> "e667"
+      .withColumn("split",
+        when(h < "cccd", "train").when(h < "e667", "val").otherwise("test"))
+      .select(col("doc_id"), col("rep"), col("split"))
+  }
+
   /** The q10 hourly rollup as a REAL Structured-Streaming query: the events
     * fixture read through `readStream` (file source), windowed-aggregated by
     * [[graft.streaming.EventStreams.windowedAggregate]], drained with
@@ -1922,5 +1947,6 @@ object GraftQueries {
     "q104_sql_minhash" -> (q104SqlMinhash _),
     "q105_index_saveload" -> (q105IndexSaveLoad _),
     "q106_fuzzy_names" -> (q106FuzzyNames _),
-    "q107_containment" -> (q107Containment _))
+    "q107_containment" -> (q107Containment _),
+    "q108_leak_split" -> (q108LeakSplit _))
 }

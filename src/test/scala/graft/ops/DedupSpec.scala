@@ -22,6 +22,26 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("componentMap: reps are component minima; survivors = dropDuplicates; " +
+      "clusters split atomically") {
+    import spark.implicits._
+    // two chains (components {1,2,3}, {10,11}) and singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cm = Dedup.componentMap(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cm shouldBe Map(2L -> 1L, 3L -> 1L, 11L -> 10L) // members only, rep=min
+    // consistency: ids absent from the map are exactly dropDuplicates' survivors
+    val all = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val survivors = Dedup.dropDuplicates(all, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    survivors shouldBe Set(1L, 10L, 20L, 21L)
+    // atomicity on the fixture: every q108-style cluster lands in ONE split
+    val split = graft.queries.GraftQueries
+      .q108LeakSplit(spark, graft.TestSpark.sf0001)
+    split.groupBy("rep").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count() shouldBe 0L
+  }
+
   test("containmentPairs equals brute force on the fixture sample") {
     import spark.implicits._
     val sample = docs.filter($"doc_id" < 60)
