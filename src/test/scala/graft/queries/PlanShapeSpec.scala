@@ -31,7 +31,7 @@ class PlanShapeSpec extends SparkSpec {
   private def assertBlockingJoinsIdsOnly(df: DataFrame): Unit = {
     val blockingKeys =
       Set("tok", "bucket", "band", "chunk", "piece", "probe", "salt", "sz",
-        "table", "cell")
+        "table", "cell", "sig")
     val joins = df.queryExecution.sparkPlan.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
@@ -95,6 +95,25 @@ class PlanShapeSpec extends SparkSpec {
         assertBlockingJoinsIdsOnly(
           GraftQueries.all(name)(spark, TestSpark.sf0001))
       }
+  }
+
+  test("q106: fuzzy join candidates meet on a sig EQUI join — no cartesian, " +
+      "no nested loop — and the scan prunes to key + name") {
+    val p = plan("q106_fuzzy_names")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    p should include("ReadSchema: struct<c_custkey:bigint,c_name:string>")
+    // the variant-bucket join carries no array column (variants are
+    // exploded then hashed to one long before the join)
+    assertBlockingJoinsIdsOnly(
+      GraftQueries.all("q106_fuzzy_names")(spark, TestSpark.sf0001))
+  }
+
+  test("q107: containment candidate join is tok-keyed with no arrays; " +
+      "shingle sets only meet the id-keyed verify re-attach") {
+    spark.sqlContext.clearCache()
+    assertBlockingJoinsIdsOnly(
+      GraftQueries.all("q107_containment")(spark, TestSpark.sf0001))
   }
 
   test("IVFADC via the index handle: the ADC candidate stage reads codes, " +
