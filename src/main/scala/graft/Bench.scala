@@ -473,6 +473,48 @@ object Bench {
     * the same run (same box regime) for both blocking schemes, logs the
     * growth ratio (the claim: flat within ~1.5x), then times the full
     * pair pipeline at 200k with the 50k rows' min-of-2 discipline. */
+  /** Fuzzy-join candidate growth, one 4x step past the q106 headline row.
+    * OPT-IN (`only=x_fuzzy600`): generates zero-padded keys in the
+    * customer-name format at 150k (the sf0.1 row count) and 600k, counts
+    * deletion-neighborhood CANDIDATE pairs per key at both scales — the
+    * scale claim under test: candidates/key stays flat as the corpus
+    * quadruples, because a numeric key space's variant-bucket density is
+    * set by the digit alphabet, not the corpus size — then times the full
+    * verify pipeline at both scales with the dedup blocks' min-of-2
+    * discipline and per-row probes. */
+  private def scaledFuzzy600Bench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.FuzzyJoin
+    import org.apache.spark.sql.functions.{col, format_string}
+    try {
+      def names(n: Int) = spark.range(1, n + 1)
+        .select(col("id"), format_string("Customer#%09d", col("id")).as("s"))
+        .repartition(32)
+      def candsPerKey(n: Int): Double =
+        FuzzyJoin.candidatePairs(names(n), "id", "s", 1).count().toDouble / n
+      val c150 = candsPerKey(150000)
+      val c600 = candsPerKey(600000)
+      System.err.println(f"[bench] x_fuzzy600 candidates/key " +
+        f"150k=$c150%.2f 600k=$c600%.2f growth=${c600 / c150}%.2fx")
+      def minOf2(tag: String, n: Int): Double = {
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          val t = timed(force(FuzzyJoin.editDistancePairs(names(n), "id", "s", 1)))
+          System.err.println(f"[bench] $tag%s rep$i%d wall=$t%.1fs " +
+            f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          t
+        }
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        t
+      }
+      Seq("x_fuzzy_150k" -> minOf2("x_fuzzy_150k", 150000),
+        "x_fuzzy_600k" -> minOf2("x_fuzzy_600k", 600000))
+    } catch { case _: Throwable => Seq("x_fuzzy600_scaled" -> -1.0) }
+  }
+
   private def scaledDedup200Bench(spark: SparkSession, sfDir: String,
       recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : Seq[(String, Double)] = {
@@ -701,14 +743,19 @@ object Bench {
       if (only.exists(_.contains("x_dedup200")))
         scaledDedup200Bench(spark, sfDir, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only: fuzzy-join candidate growth (150k -> 600k keys)
+    val fuzzy600 =
+      if (only.exists(_.contains("x_fuzzy600")))
+        scaledFuzzy600Bench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
-      vecMin ++ ingestBench ++ dedupScaled ++ dedup200
+      vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
-      vecMed ++ ingestBench ++ dedupScaled ++ dedup200
+      vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated

@@ -46,7 +46,18 @@ object FuzzyJoin {
     * deletion-neighborhood volume is `O(len^maxDist)`, right for key
     * strings; for long-text similarity use the shingle families). */
   def editDistancePairs(df: DataFrame, pk: String, strCol: String,
-      maxDist: Int = 1): DataFrame = {
+      maxDist: Int = 1): DataFrame =
+    candidatePairs(df, pk, strCol, maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+
+  /** The blocked candidate stage of [[editDistancePairs]] — unique pairs
+    * sharing a deletion variant, BEFORE the levenshtein verify. Exposed so
+    * the growth-stress bench can count candidate mass per key at two
+    * corpus scales (the scale claim: flat). */
+  private[graft] def candidatePairs(df: DataFrame, pk: String,
+      strCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (deletion-neighborhood blocking is " +
         s"O(len^maxDist) signatures per string), got $maxDist")
@@ -88,8 +99,5 @@ object FuzzyJoin {
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         $"a.s".as("s_a"), $"b.s".as("s_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("dist", levenshtein($"s_a", $"s_b"))
-      .filter($"dist" <= maxDist)
-      .select($"id_a", $"id_b", $"dist".cast("long").as("dist"))
   }
 }
