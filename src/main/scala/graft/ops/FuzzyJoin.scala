@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * Reference tie-in: the engine's dedup families
   * ([[Dedup.ngramJaccardPairs]], minhash, simhash) block on CONTENT
   * similarity of long texts; entity keys need CHARACTER-level tolerance
-  * (one typo, one digit off), which token shingles can't see — `ed("
-  * Customer#901", "Customer#801") = 1` but their 1-token sets are
+  * (one typo, one digit off), which token shingles can't see —
+  * `ed(Customer#901, Customer#801) = 1` but their 1-token sets are
   * disjoint. This operator completes the dedup matrix at the key level.
   *
   * Blocking is by DELETION NEIGHBORHOOD (the FastSS family — Bocek et
