@@ -55,6 +55,17 @@ class FuzzyJoinSpec extends SparkSpec {
     run(rows, 1) shouldBe Set((1L, 2L, 0L))
   }
 
+  test("multibyte strings: variant generation and verify agree on codepoints") {
+    // 'é'/'ü' are 2 bytes in UTF-8; a byte-based deletion neighborhood
+    // would disagree with Spark's codepoint-based levenshtein and lose
+    // pairs. substr/length/levenshtein must all count the same units.
+    val rows = Seq(
+      1L -> "café", 2L -> "cafe",      // substitution é->e
+      3L -> "müller", 4L -> "muller",  // substitution ü->u
+      5L -> "münchen", 6L -> "munchen")
+    run(rows, 1) shouldBe Set((1L, 2L, 1L), (3L, 4L, 1L), (5L, 6L, 1L))
+  }
+
   test("maxDist outside 1..2 is rejected loudly") {
     import spark.implicits._
     val df = Seq(1L -> "a").toDF("id", "s")
