@@ -1382,6 +1382,29 @@ object GraftQueries {
     Dedup.containmentPairs(t(spark, dir, "documents"), "doc_id", "text",
       n = 1, threshold = 0.9)
 
+  /** Late-interaction / multi-vector retrieval (MaxSim at chunk level): a
+    * document is represented by MANY vectors (its chunks' embeddings —
+    * q66's chunking + O11's embedder at corpus scale); its score against
+    * a query is the MAX over its chunk scores, and retrieval returns the
+    * top-k DOCS. The embeddings fixture's `label` plays the doc id and
+    * its vectors the chunks. Plan shape: one codegen dot per vector
+    * (map-only against the broadcast 1-row query), partial max per label
+    * map-side, one short-key shuffle, TakeOrdered — q11's no-crossjoin
+    * topology with a group-max in place of the row sort. At 100 TB the
+    * same cell-pruned IVF routing applies per chunk vector before the
+    * group-max; nothing here depends on doc chunk counts being bounded. */
+  def q109MaxSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("score", cosineUnit(col("embedding"), col("__qv")))
+      .groupBy(col("label"))
+      .agg(max(col("score")).as("score"))
+      .orderBy(desc("score"), col("label"))
+      .limit(5)
+      .select(col("label").cast("long").as("label"), col("score"))
+  }
+
   /** Leakage-safe train/val/test split (80/10/10): near-dup CLUSTERS (q15
     * pairs -> [[Dedup.componentMap]] alternating-stars components) are
     * assigned to a split atomically by md5 of the cluster representative —
@@ -1948,5 +1971,6 @@ object GraftQueries {
     "q105_index_saveload" -> (q105IndexSaveLoad _),
     "q106_fuzzy_names" -> (q106FuzzyNames _),
     "q107_containment" -> (q107Containment _),
-    "q108_leak_split" -> (q108LeakSplit _))
+    "q108_leak_split" -> (q108LeakSplit _),
+    "q109_maxsim" -> (q109MaxSim _))
 }
