@@ -152,6 +152,16 @@ object SparkEntry {
                   THEN 'val'
                 ELSE 'test' END AS split
          FROM rep""",
+    "q110_index_delete" -> // post-delete serving state: q11's top-10 with
+      // the deleted rank-1 row (vec_id 0, the self match) excluded — the
+      // engine reaches this through ONE incremental tombstone refresh,
+      // the oracle by filtering the source; rank-11 must be promoted
+      """SELECT b.vec_id AS vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+         FROM embeddings a JOIN embeddings b
+           ON a.vec_id = 0 AND b.vec_id <> 0
+         ORDER BY score DESC, b.vec_id LIMIT 10""",
     "q109_maxsim" -> // late-interaction group-max: top-5 docs (labels) by
       // the best chunk-vector score; q11's dot arithmetic, max-reduced
       """SELECT CAST(label AS BIGINT) AS label, score FROM (

@@ -55,6 +55,9 @@ final class VectorIndex private (
 
   private val internalCols = Set("cell", "pq_code", "sq_code")
 
+  /** Tombstone column on change batches ([[VectorIndex.DeletedCol]]). */
+  private def DeletedCol = VectorIndex.DeletedCol
+
   private def defaultCols: Seq[String] =
     state.columns.filterNot(c => c == vectorCol || internalCols(c)).toSeq
 
@@ -276,7 +279,11 @@ final class VectorIndex private (
   /** TRIGGERED refresh (`NB:318`): re-read rows with `version` beyond the
     * watermark and merge into index state; falls back to full rebuild when
     * the source has no version column (always correct under TRIGGERED
-    * semantics). */
+    * semantics). The change feed may carry DELETE events — the CDF the
+    * emulation mirrors (`NB:278`) does — as rows with `_deleted = true`
+    * (the tombstone convention shared with [[upsert]]); a deleted pk
+    * leaves the index on the same incremental pass that would have
+    * upserted it, instead of serving stale until a full rebuild. */
   def refresh(source: DataFrame): this.type = synchronized {
     val hasVersion = source.columns.contains("version")
     // the source never carries the internal `cell`/`pq_code` columns — full
@@ -284,13 +291,19 @@ final class VectorIndex private (
     // upsert path assigns per incoming batch
     val srcCols = state.columns.filterNot(internalCols).toSeq
     if (!hasVersion) {
-      val base = source.select(srcCols.map(col): _*)
+      val live =
+        if (source.columns.contains(DeletedCol)) source.filter(!col(DeletedCol))
+        else source
+      val base = live.select(srcCols.map(col): _*)
       swapState(withLayoutCols(base))
     } else {
-      // upsert only rows changed since the watermark (version column kept
-      // so upsert picks the latest row per pk)
+      // upsert only rows changed since the watermark (version kept so
+      // upsert picks the latest row per pk; the tombstone flag kept so
+      // upsert can drop deleted pks)
+      val carried = if (source.columns.contains(DeletedCol))
+        srcCols :+ "version" :+ DeletedCol else srcCols :+ "version"
       upsert(source.filter(col("version") > syncedVersion)
-        .select((srcCols :+ "version").distinct.map(col): _*))
+        .select(carried.distinct.map(col): _*))
       syncedVersion = source.agg(max(col("version"))).head().getLong(0)
     }
     this
@@ -300,7 +313,11 @@ final class VectorIndex private (
     * (each CDF micro-batch lands here, see [[graft.streaming.IndexSync]]).
     * A batch may carry several rows for one pk (multiple versions in one
     * micro-batch): only one survives — the highest `version` when the batch
-    * has that column, otherwise an arbitrary single row. */
+    * has that column, otherwise an arbitrary single row. A surviving row
+    * with `_deleted = true` is a tombstone: the pk is REMOVED from index
+    * state (CDF delete-event semantics) — an earlier-versioned insert in
+    * the same batch loses to it, and a later-versioned re-insert wins
+    * over it, both by the same latest-version rule. */
   def upsert(changed: DataFrame): this.type = synchronized {
     val stateCols = state.columns.toSeq
     val latest =
@@ -310,12 +327,16 @@ final class VectorIndex private (
         changed.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
       } else changed.dropDuplicates(primaryKey)
+    // tombstones participate in the anti-join (every changed pk leaves the
+    // old state) but not in the union (deleted pks are not re-added)
+    val live = if (latest.columns.contains(DeletedCol))
+      latest.filter(!coalesce(col(DeletedCol), lit(false))) else latest
     // IVF/PQ maintenance: incoming rows get cell + code assigned against
     // the FIXED centroids/codebooks (re-run buildIvf/buildPq to refit
     // after heavy drift)
-    val c = withLayoutCols(latest).select(stateCols.map(col): _*)
+    val c = withLayoutCols(live).select(stateCols.map(col): _*)
     swapState(
-      state.join(c.select(primaryKey), Seq(primaryKey), "left_anti")
+      state.join(latest.select(primaryKey), Seq(primaryKey), "left_anti")
         .unionByName(c))
     this
   }
@@ -391,16 +412,26 @@ final class VectorIndex private (
 
 object VectorIndex {
 
+  /** Tombstone convention for the CDF emulation: a change row with this
+    * boolean column true is a DELETE event for its pk (Delta CDF's
+    * `_change_type = 'delete'` analog — `NB:278`). Consumed by
+    * [[VectorIndex.refresh]] / [[VectorIndex.upsert]]; never part of
+    * index state. */
+  val DeletedCol = "_deleted"
+
   /** Build an index from a source table — `create_delta_sync_index_and_wait`
     * parity (`NB:315-323`): eager materialization, dimension data-derived
     * (`NB:322`) when `dim <= 0`. */
   def build(source: DataFrame, name: String, primaryKey: String,
       vectorCol: String, dim: Int = -1, withLsh: Boolean = false,
       projected: Seq[String] = Seq.empty): VectorIndex = {
+    val src = if (source.columns.contains(DeletedCol))
+      source.filter(!coalesce(col(DeletedCol), lit(false))).drop(DeletedCol)
+    else source
     val cols = if (projected.isEmpty)
-      source.columns.filterNot(_ == "version").toSeq
+      src.columns.filterNot(_ == "version").toSeq
     else (primaryKey +: projected :+ vectorCol).distinct
-    val state = source.select(cols.map(col): _*)
+    val state = src.select(cols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val d =
       if (dim > 0) dim

@@ -1405,6 +1405,31 @@ object GraftQueries {
       .select(col("label").cast("long").as("label"), col("score"))
   }
 
+  /** Delete propagation through incremental index sync
+    * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
+    * convention — the CDF delete event the emulation's upsert-only path
+    * used to drop on the floor, VERDICT r6 #2): build the index at
+    * version 1, capture q11's query vector, then DELETE its rank-1 row
+    * (the vec_id-0 self match, score 1.0) with a version-2 tombstone and
+    * run ONE TRIGGERED incremental refresh — no rebuild. The deleted pk
+    * must leave the served results and the old rank-11 row must be
+    * promoted into the top-10; an index that ignores tombstones keeps
+    * serving the deleted row at rank 1 and hash-fails. Oracle: plain SQL
+    * top-10 over the post-delete table (`b.vec_id <> 0`). */
+  def q110IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").withColumn("version", lit(1L))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val idx = graft.index.VectorIndex.build(e, "q110_idx", "vec_id",
+      "embedding")
+    val tomb = Seq((0L, 2L, true)).toDF("vec_id", "version", "_deleted")
+    idx.refresh(e.unionByName(tomb, allowMissingColumns = true))
+    require(idx.currentVersion == 2L,
+      s"q110: refresh watermark ${idx.currentVersion} != 2")
+    idx.search(qv, 10).select(col("vec_id"), col("score"))
+  }
+
   /** Leakage-safe train/val/test split (80/10/10): near-dup CLUSTERS (q15
     * pairs -> [[Dedup.componentMap]] alternating-stars components) are
     * assigned to a split atomically by md5 of the cluster representative —
@@ -1972,5 +1997,6 @@ object GraftQueries {
     "q106_fuzzy_names" -> (q106FuzzyNames _),
     "q107_containment" -> (q107Containment _),
     "q108_leak_split" -> (q108LeakSplit _),
-    "q109_maxsim" -> (q109MaxSim _))
+    "q109_maxsim" -> (q109MaxSim _),
+    "q110_index_delete" -> (q110IndexDelete _))
 }
