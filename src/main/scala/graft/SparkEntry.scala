@@ -111,11 +111,15 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id = 0
          ORDER BY score DESC, b.vec_id LIMIT 10""",
     "q106_fuzzy_names" -> // naive quadratic predicate join; the engine's
-      // deletion-neighborhood blocking must reproduce it exactly
+      // deletion-neighborhood blocking must reproduce it exactly. The
+      // len > 0 predicates mirror editDistancePairs' DOCUMENTED contract
+      // (empty keys are dropped, not matched at distance len) so oracle
+      // and engine agree by definition, not by fixture luck
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-         WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+         WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
+           AND abs(len(a.c_name) - len(b.c_name)) <= 1
            AND levenshtein(a.c_name, b.c_name) <= 1""",
     "q107_containment" -> // q15's tokenization, |a∩b| / |a| directed
       """WITH tok AS (SELECT doc_id,

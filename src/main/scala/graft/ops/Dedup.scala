@@ -520,7 +520,12 @@ object Dedup {
     val (edges, _) = ccFixpoint(pairs, maxIter)
     val spark = pairs.sparkSession
     import spark.implicits._
-    edges.select($"u".as("id"), $"v".as("rep"))
+    // AT the fixpoint the edge set carries exactly one (member, comp-min)
+    // row per member; if maxIter cut the loop short an id can still carry
+    // several candidate reps, and a consumer join (q108) would duplicate
+    // its rows with CONFLICTING split assignments. min(rep) keeps the map
+    // single-valued either way — converged input makes this a no-op agg.
+    edges.groupBy($"u".as("id")).agg(min($"v").as("rep"))
   }
 
   private def ccFixpoint(pairs: DataFrame,
@@ -565,8 +570,11 @@ object Dedup {
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dropDuplicates: alternating stars hit maxIter=$maxIter before " +
-          "convergence; some duplicate clusters may keep extra representatives")
+        s"ccFixpoint (dropDuplicates/componentMap): alternating stars hit " +
+          s"maxIter=$maxIter before convergence; duplicate clusters may " +
+          "keep extra representatives and component reps may be split " +
+          "across several ids (componentMap stays single-valued via " +
+          "min(rep), but cluster atomicity is not guaranteed)")
     // at the fixpoint every edge is (member, component-min): the u side is
     // the victim set, the pair is the component map (distinct already)
     (cur, i)

@@ -41,7 +41,17 @@ object GraftQueries {
         // (~1.7e18) round by hundreds of ns and the derived micros come out
         // off by one
         df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        // the NTZ -> TimestampType cast reinterprets wall-clock values in
+        // the SESSION time zone: value-preserving iff that zone is UTC.
+        // GraftSession/Smoke/SparkSpec all pin it; enforce for sessions
+        // built elsewhere instead of silently shifting every event time.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC" || tz == "Etc/UTC",
+          s"events-table NTZ timestamps require spark.sql.session.timeZone" +
+            s"=UTC (got $tz); set it where the session is built " +
+            "(GraftSession.builder does)")
+        df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
   private def events(spark: SparkSession, dir: String): DataFrame = {

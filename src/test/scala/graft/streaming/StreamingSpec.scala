@@ -38,6 +38,41 @@ class StreamingSpec extends SparkSpec {
     top shouldBe Set(2L, 3L, 888888L) // all three now carry vec 2's vector
   }
 
+  test("IndexSync: a streamed _deleted tombstone removes its pk from the " +
+      "served index; a later-versioned re-insert in the next batch wins") {
+    import spark.implicits._
+    val src = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val idx = VectorIndex.build(src, "stream-del", "vec_id", "embedding")
+    val n0 = idx.size
+    val qv = src.filter(col("vec_id") === 2).head().getSeq[Float](1).toArray
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float], Long, Boolean)]
+    val changes = stream.toDF()
+      .select($"_1".as("vec_id"),
+        $"_2".cast("array<float>").as("embedding"),
+        $"_3".as("version"), $"_4".as("_deleted"))
+      .withColumn("label", lit(-1))
+    // CONTINUOUS mode (processing-time trigger): the two change batches
+    // arrive after query start, which AvailableNow would never see
+    val q = IndexSync.start(idx, changes,
+      s"/tmp/graft-ckpt-del-${System.nanoTime()}", triggered = false)
+    // batch 1: delete vec 2 (version 2). It must leave the serving set —
+    // the pre-delete rank-1 self match becomes unservable.
+    stream.addData((2L, Array.empty[Float], 2L, true))
+    q.processAllAvailable()
+    idx.size shouldBe n0 - 1
+    val after = idx.search(qv, k = 3).collect().map(_.getLong(0)).toSet
+    after should not contain 2L
+    // batch 2: re-insert vec 2 at version 3 — latest version wins over
+    // the tombstone, the pk serves again at rank 1.
+    stream.addData((2L, qv, 3L, false))
+    q.processAllAvailable()
+    q.stop()
+    idx.size shouldBe n0
+    idx.search(qv, k = 1).head().getLong(0) shouldBe 2L
+  }
+
   test("StreamingRetrieval: streamed queries == exact batch kNN at full " +
       "probe; multi-batch arrival converges to the same state; batch " +
       "relation rejected") {
