@@ -143,7 +143,83 @@ object Recall {
     out
   }
 
-  /** `runMain graft.Recall [out=RECALL_r6.json] [sf=DIR] [reps=100]
+  /** Recall@5/@10 of IVF-routed MaxSim ([[graft.ops.SimilaritySearch
+    * .maxSimSearch]]) at the (nProbe, nCells) operating point, against
+    * the exact doc-level group-max. The perturbed corpus doubles as a
+    * natural multi-vector corpus: each base vector's `reps` replicas are
+    * the "chunks" of one doc (`doc_id = vec_id div reps`) — docs have
+    * many near-identical chunks plus the cluster's internal spread,
+    * which is exactly the late-interaction shape (many chunk vectors, a
+    * few of them responsible for the doc's rank). Both sides run as ONE
+    * batch job each: the query batch broadcasts (it is tiny), scores are
+    * a codegen dot per (chunk, query), group-max per (query, doc), then
+    * a per-query top-k window — the routed side additionally joins a
+    * driver-computed (query, probe-cell) table so only probed chunks are
+    * scored, mirroring the per-query `cell IN` pruning of the serving
+    * API. */
+  def maxSimRecall(spark: SparkSession, sfDir: String, reps: Int,
+      nQueries: Int, sigma: Double, nCells: Int = 32, nProbe: Int = 4)
+      : (Double, Double) = {
+    import graft.ops.SimilaritySearch
+    import graft.functions.VectorFunctions.{cosineUnit, dot}
+    import spark.implicits._
+    val k = 10
+    val corpus = perturbedCorpus(spark, sfDir, reps, sigma)
+      .withColumn("doc_id", expr(s"vec_id div $reps"))
+      .repartition(32).persist()
+    val n = corpus.count()
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      .persist()
+    val queryVecs = queries.orderBy("query_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    def topDocs(chunksScored: DataFrame): Map[Long, Seq[Long]] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      chunksScored
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(max(col("score")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+          col("rnk"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq)
+        .toMap
+    }
+    val exact = topDocs(corpus.crossJoin(broadcast(queries))
+      .withColumn("score", cosineUnit(col("embedding"), col("__qv"))))
+
+    val (ix, cents) = SimilaritySearch.ivfBuildKMeans(corpus, "vec_id",
+      "embedding", nCells, totalHint = Some(n))
+    val indexed = ix.persist()
+    indexed.count()
+    val probed = queryVecs.toSeq.flatMap { case (qid, qv) =>
+      cents.indices.sortBy(i => -dot(qv, cents(i))).take(nProbe)
+        .map(c => (qid, c))
+    }.toDF("query_id", "cell")
+    val routed = topDocs(indexed
+      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("score", cosineUnit(col("embedding"), col("__qv"))))
+
+    def recallAt(at: Int): Double = {
+      val per = exact.keys.toSeq.map { q =>
+        val truth = exact(q).take(at).toSet
+        val found = routed.getOrElse(q, Seq.empty).take(at).toSet
+        (truth & found).size.toDouble / at
+      }
+      per.sum / per.size
+    }
+    val out = (recallAt(5), recallAt(10))
+    Seq(corpus, queries, indexed).foreach(_.unpersist())
+    out
+  }
+
+  /** `runMain graft.Recall [out=RECALL_r7.json] [sf=DIR] [reps=100]
     * [queries=32]` — writes the artifact, then asserts the floor. */
   def main(args: Array[String]): Unit = {
     val argMap = args.flatMap { a =>
@@ -151,7 +227,7 @@ object Recall {
     }.toMap
     val sfDir = argMap.getOrElse("sf",
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val out = argMap.getOrElse("out", "RECALL_r6.json")
+    val out = argMap.getOrElse("out", "RECALL_r7.json")
     val reps = argMap.getOrElse("reps", "100").toInt
     val nQueries = argMap.getOrElse("queries", "32").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -161,8 +237,12 @@ object Recall {
       results.map { case (name, (r5, r10)) =>
         f""""$name%s":{"recall_at_5":$r5%.4f,"recall_at_10":$r10%.4f}"""
       }.mkString("{", ",", "}")
-    // the floor corpus: resolvable rank gaps (see measure's scaladoc)
-    val retrieval = measure(spark, sfDir, reps, nQueries, sigma = 0.1)
+    // the floor corpus: resolvable rank gaps (see measure's scaladoc).
+    // maxsim joins the family table at the same operating point (nProbe 4
+    // of 32 cells) — the doc-level routed group-max vs the exact one.
+    val retrieval = measure(spark, sfDir, reps, nQueries, sigma = 0.1) :+
+      ("maxsim_nprobe4" -> maxSimRecall(spark, sfDir, reps, nQueries,
+        sigma = 0.1))
     // the envelope corpus: dedup-density clusters below SQ8 resolution
     val envelope = measure(spark, sfDir, reps, nQueries, sigma = 0.02)
     val corpusRows = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * reps

@@ -175,6 +175,15 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id = 0
            GROUP BY b.label)
          ORDER BY score DESC, label LIMIT 5""",
+    "q111_maxsim_ivf" -> // IVF-routed MaxSim at FULL probe: the routing
+      // is lossless there, so q109's exact group-max oracle verbatim
+      """SELECT CAST(label AS BIGINT) AS label, score FROM (
+           SELECT b.label AS label, max(list_dot_product(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[]))) AS score
+           FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+           GROUP BY b.label)
+         ORDER BY score DESC, label LIMIT 5""",
     "q12_knn_join" ->
       """SELECT query_id, vec_id, score, rnk FROM (
            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

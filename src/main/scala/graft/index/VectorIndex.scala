@@ -138,6 +138,23 @@ final class VectorIndex private (
       .select((primaryKey +: cols.filterNot(_ == primaryKey)).map(col) :+ col("score"): _*)
   }
 
+  /** IVF-routed late-interaction retrieval over a MULTI-VECTOR corpus:
+    * index rows are chunk vectors, `docCol` groups them into documents,
+    * and the result is the top-k docs by MaxSim (max chunk score). Same
+    * cell pruning as [[searchIvf]], applied per chunk vector before the
+    * group-max ([[graft.ops.SimilaritySearch.maxSimSearch]]); `nProbe >=
+    * nCells` provably equals the exact group-max. */
+  def searchMaxSim(queryVec: Array[Float], docCol: String, k: Int = 5,
+      nProbe: Int = 4): DataFrame = {
+    require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
+    val cents = ivfCents.getOrElse(
+      throw new IllegalStateException(s"index $name has no IVF layout; run buildIvf"))
+    require(state.columns.contains(docCol),
+      s"searchMaxSim needs doc column '$docCol' in the index state")
+    graft.ops.SimilaritySearch.maxSimSearch(state, cents, docCol,
+      vectorCol, queryVec, k, nProbe)
+  }
+
   /** Attach a product-quantization layout: train codebooks on the indexed
     * vectors ([[graft.ops.SimilaritySearch.pqTrain]]) and materialize the
     * M-byte `pq_code` per row. [[searchPq]] then runs the compressed

@@ -709,4 +709,31 @@ object SimilaritySearch {
       .limit(k)
       .drop(vecCol)
   }
+
+  /** IVF-routed late-interaction MaxSim (q109's serving shape at scale —
+    * `NB:380-390` generalized to multi-vector docs): a doc is MANY chunk
+    * vectors; its score is the max over its chunks' scores against the
+    * query, and retrieval returns the top-k DOCS. Routing: the same cell
+    * pruning as [[ivfSearch]] applied per CHUNK vector — only chunks in
+    * the `nProbe` cells nearest the query are scored, everything else
+    * never enters the dot product. Plan: pushed `cell IN (...)` filter
+    * on the scan, one codegen dot per surviving chunk (map-only against
+    * the broadcast query literal), map-side partial max per doc, one
+    * short-key shuffle, TakeOrdered. The approximation is one-sided and
+    * conservative in the same sense as IVF point search: a doc ranks by
+    * the best chunk the probe SEES; `nProbe >= nCells` provably equals
+    * the exact group-max (q111 oracles that equality against q109's
+    * plain SQL; RecallSpec pins the operating point). */
+  def maxSimSearch(indexed: DataFrame, centroids: Array[Array[Float]],
+      docCol: String, vecCol: String, query: Array[Float], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val probeCells = centroids.indices
+      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+    indexed.filter(col("cell").isin(probeCells: _*))
+      .withColumn("score", cosineUnit(col(vecCol), vecLit(query)))
+      .groupBy(col(docCol))
+      .agg(max(col("score")).as("score"))
+      .orderBy(desc("score"), col(docCol))
+      .limit(k)
+  }
 }

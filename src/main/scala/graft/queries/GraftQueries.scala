@@ -1415,6 +1415,25 @@ object GraftQueries {
       .select(col("label").cast("long").as("label"), col("score"))
   }
 
+  /** IVF-routed MaxSim ([[SimilaritySearch.maxSimSearch]] through the
+    * [[graft.index.VectorIndex.searchMaxSim]] API): q109's late-
+    * interaction retrieval with the cell-pruned routing its doc comment
+    * promises — the serving shape a multi-vector 100 TB chunk corpus
+    * actually runs (score only chunks in the probed cells, then
+    * group-max). Run at FULL probe (`nProbe = nCells`), where routing is
+    * provably lossless, so q109's plain-SQL oracle applies verbatim;
+    * RecallSpec pins the approximate operating point (nProbe 4/32) and
+    * the recall artifact records it. */
+  def q111MaxSimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val idx = graft.index.VectorIndex.build(e, "q111_idx", "vec_id",
+      "embedding").buildIvf(nCells = 8)
+    idx.searchMaxSim(qv, "label", k = 5, nProbe = 8)
+      .select(col("label").cast("long").as("label"), col("score"))
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2008,5 +2027,6 @@ object GraftQueries {
     "q107_containment" -> (q107Containment _),
     "q108_leak_split" -> (q108LeakSplit _),
     "q109_maxsim" -> (q109MaxSim _),
-    "q110_index_delete" -> (q110IndexDelete _))
+    "q110_index_delete" -> (q110IndexDelete _),
+    "q111_maxsim_ivf" -> (q111MaxSimIvf _))
 }

@@ -25,4 +25,14 @@ class RecallSpec extends SparkSpec {
       }
     }
   }
+
+  test("IVF-routed MaxSim recall@5 and @10 >= 0.9 at nProbe 4 of 32 " +
+      "cells (docs = replica clusters of the perturbed corpus)") {
+    val (r5, r10) = Recall.maxSimRecall(spark, TestSpark.sf0001,
+      reps = 40, nQueries = 16, sigma = 0.1)
+    withClue(s"maxsim recall@5=$r5 recall@10=$r10: ") {
+      r5 should be >= 0.9
+      r10 should be >= 0.9
+    }
+  }
 }

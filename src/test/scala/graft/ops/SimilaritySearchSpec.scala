@@ -121,6 +121,42 @@ class SimilaritySearchSpec extends SparkSpec {
     part should contain(0L)
   }
 
+  test("maxSimSearch: full probe == exact doc-level group-max; partial " +
+      "probe keeps the self-match doc; VectorIndex API guards layout") {
+    import org.apache.spark.sql.functions._
+    val (indexed, cents) = SimilaritySearch.ivfBuild(emb, "vec_id",
+      "embedding", nCells = 8)
+    val qv = all(0L)
+    // exact MaxSim ground truth: dot every chunk, max per doc (label),
+    // rank by (score desc, doc) — computed with plain DataFrame ops
+    val exact = emb
+      .withColumn("score", graft.functions.VectorFunctions.cosineUnit(
+        col("embedding"), graft.functions.VectorFunctions.vecLit(qv)))
+      .groupBy(col("label")).agg(max("score").as("score"))
+      .orderBy(desc("score"), col("label")).limit(5)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val full = SimilaritySearch.maxSimSearch(indexed, cents, "label",
+        "embedding", qv, k = 5, nProbe = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    full shouldBe exact
+    // partial probe: vec 0's own chunk survives its own cell, so its doc
+    // must keep rank 1 with the exact self-match score
+    val part = SimilaritySearch.maxSimSearch(indexed, cents, "label",
+        "embedding", qv, k = 5, nProbe = 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    part.head shouldBe exact.head
+    // index API: routed MaxSim needs the IVF layout and the doc column
+    val idx = graft.index.VectorIndex.build(emb, "maxsim-spec", "vec_id",
+      "embedding")
+    an[IllegalStateException] should be thrownBy
+      idx.searchMaxSim(qv, "label", k = 5)
+    idx.buildIvf(nCells = 8)
+    an[IllegalArgumentException] should be thrownBy
+      idx.searchMaxSim(qv, "nope", k = 5)
+    idx.searchMaxSim(qv, "label", k = 5, nProbe = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))) shouldBe exact
+  }
+
   test("knnJoinIvf: full probe == exact knnJoin; pruned probe recall " +
       ">= 0.95@10; aggregator path identical; rank exchange vector-free") {
     val (indexed, cents) = SimilaritySearch.ivfBuildKMeans(emb, "vec_id",
