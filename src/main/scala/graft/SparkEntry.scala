@@ -121,6 +121,15 @@ object SparkEntry {
          WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
            AND abs(len(a.c_name) - len(b.c_name)) <= 1
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    "q112_sql_fuzzy" -> // the SQL-authored fuzzy pipeline must reproduce
+      // q106's naive quadratic oracle exactly (same engine semantics,
+      // different authoring surface)
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
+           AND abs(len(a.c_name) - len(b.c_name)) <= 1
+           AND levenshtein(a.c_name, b.c_name) <= 1""",
     "q107_containment" -> // q15's tokenization, |a∩b| / |a| directed
       """WITH tok AS (SELECT doc_id,
              list_distinct(list_filter(string_split_regex(text, '\s+'),

@@ -1434,6 +1434,42 @@ object GraftQueries {
       .select(col("label").cast("long").as("label"), col("score"))
   }
 
+  /** The q106 entity-resolution pipeline through `spark.sql` text ONLY —
+    * the non-Scala authoring story for fuzzy matching, like q104 is for
+    * minhash dedup: deletion-neighborhood signatures via
+    * `sequence`/`transform`/`substr` (the same Column arithmetic
+    * [[graft.ops.FuzzyJoin.candidatePairs]] compiles), `xxhash64`
+    * bucketing, candidate self-join, and the built-in `levenshtein`
+    * verify — every step mirrors the DataFrame path literally so the
+    * hash comparison against q106's naive-quadratic oracle is
+    * bit-stable. */
+  def q112SqlFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    spark.sql(
+      """WITH base AS (
+           SELECT c_custkey AS id, c_name AS s FROM g_customer
+           WHERE length(c_name) > 0
+         ),
+         sigs AS (
+           SELECT DISTINCT id, s, xxhash64(v) AS sig
+           FROM (
+             SELECT id, s, explode(array_distinct(array_union(
+               array(s),
+               transform(sequence(1, length(s)),
+                 i -> concat(substr(s, 1, i - 1),
+                             substr(s, i + 1, length(s))))))) AS v
+             FROM base)
+         ),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  a.s AS s_a, b.s AS s_b
+           FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+         )
+         SELECT id_a, id_b, CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+         FROM cand
+         WHERE levenshtein(s_a, s_b) <= 1""")
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2028,5 +2064,6 @@ object GraftQueries {
     "q108_leak_split" -> (q108LeakSplit _),
     "q109_maxsim" -> (q109MaxSim _),
     "q110_index_delete" -> (q110IndexDelete _),
-    "q111_maxsim_ivf" -> (q111MaxSimIvf _))
+    "q111_maxsim_ivf" -> (q111MaxSimIvf _),
+    "q112_sql_fuzzy" -> (q112SqlFuzzy _))
 }
