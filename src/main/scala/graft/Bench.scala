@@ -503,6 +503,104 @@ object Bench {
     * set by the digit alphabet, not the corpus size — then times the full
     * verify pipeline at both scales with the dedup blocks' min-of-2
     * discipline and per-row probes. */
+  /** Containment-join candidate growth at 50k AND 200k docs on the
+    * large-vocab synthetic corpus — OPT-IN (`only=x_containment`), the
+    * §c8 discipline applied to the one round-6 operator whose scale
+    * claim was argued from structure, not measured (q107's sf0.01
+    * fixture is deliberately DENSE — near-quadratic by construction —
+    * so its timing says nothing about the large-vocab regime the
+    * directed prefix filter is designed for). Counts candidates/doc at
+    * both scales (claim: flat within ~1.5x across the 4x step — probe
+    * prefixes are each doc's rarest shingles, so posting-list hits stay
+    * short when the vocabulary scales with the corpus), then times the
+    * full verify pipeline with the dedup blocks' min-of-2 + per-row
+    * probe discipline. */
+  private def scaledContainmentBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.Dedup
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try {
+      def candsPerDoc(n: Int): Double = {
+        val synth = DedupStress.syntheticDocs(spark, n)
+          .repartition(32).persist()
+        synth.count()
+        val sh = Dedup.shingleSets(synth, "doc_id", "text", 1)
+        val c = Dedup.containmentCandidates(sh, 0.9).count().toDouble / n
+        synth.unpersist()
+        c
+      }
+      val c50 = candsPerDoc(50000)
+      val c200 = candsPerDoc(200000)
+      System.err.println(f"[bench] x_containment candidates/doc " +
+        f"50k=$c50%.3f 200k=$c200%.3f growth=${c200 / c50}%.2fx")
+      def minOf2(tag: String, n: Int): Double = {
+        val synth = DedupStress.syntheticDocs(spark, n)
+          .repartition(32).persist()
+        synth.count()
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          val t = timed(force(Dedup.containmentPairs(synth, "doc_id",
+            "text", n = 1, threshold = 0.9)))
+          System.err.println(f"[bench] $tag%s rep$i%d wall=$t%.1fs " +
+            f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          t
+        }
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        synth.unpersist()
+        t
+      }
+      Seq("x_containment_50k" -> minOf2("x_containment_50k", 50000),
+        "x_containment_200k" -> minOf2("x_containment_200k", 200000))
+    } catch { case _: Throwable => Seq("x_containment_scaled" -> -1.0)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    }
+  }
+
+  /** The maxDist=2 fuzzy path as an ANCHORED row (it previously had spec
+    * coverage only at toy scale): 15k real customer names, depth-2
+    * deletion neighborhoods — O(len^2)/2 signature rows per key, each
+    * carrying the full string through the candidate join
+    * (FuzzyJoin.scala's documented short-key trade) — then the
+    * levenshtein <= 2 verify. Candidates/key is logged so BASELINE can
+    * track whether the k=2 string-carry volume ever warrants switching
+    * that path to ids-only + re-attach. Runs on a full bench (or
+    * `only=x_fuzzy_k2`). */
+  private def fuzzyK2Bench(spark: SparkSession, sfDir: String,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.FuzzyJoin
+    import org.apache.spark.sql.functions.col
+    try {
+      val names = spark.read.parquet(s"$sfDir/customer.parquet")
+        .filter(col("c_custkey") <= 15000)
+        .select(col("c_custkey"), col("c_name"))
+        .repartition(32).persist()
+      val n = names.count()
+      val cpk = FuzzyJoin.candidatePairs(names, "c_custkey", "c_name", 2)
+        .count().toDouble / n
+      System.err.println(f"[bench] x_fuzzy_k2_15k n=$n%d " +
+        f"candidates/key=$cpk%.2f")
+      def one(i: Int): Double = {
+        val g0 = gcMillis()
+        val t = timed(force(FuzzyJoin.editDistancePairs(names, "c_custkey",
+          "c_name", maxDist = 2)))
+        System.err.println(f"[bench] x_fuzzy_k2_15k rep$i%d wall=$t%.1fs " +
+          f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+        t
+      }
+      val pb = probeOnce(spark)
+      val t = math.min(one(1), one(2))
+      recordProbe("x_fuzzy_k2_15k", (pb, probeOnce(spark)))
+      names.unpersist()
+      Seq("x_fuzzy_k2_15k" -> t)
+    } catch { case _: Throwable => Seq("x_fuzzy_k2_15k" -> -1.0) }
+  }
+
   private def scaledFuzzy600Bench(spark: SparkSession,
       recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : Seq[(String, Double)] = {
@@ -769,14 +867,26 @@ object Bench {
       if (only.exists(_.contains("x_fuzzy600")))
         scaledFuzzy600Bench(spark, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only: containment-join candidate growth (50k -> 200k docs)
+    val containment =
+      if (only.exists(_.contains("x_containment")))
+        scaledContainmentBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
+    // anchored k=2 fuzzy row: full bench or `only=x_fuzzy_k2`
+    val fuzzyK2 =
+      if (wantExtra("x_fuzzy_k2"))
+        fuzzyK2Bench(spark, sfDir, (tag, p) => probes(tag) = p)
+      else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
-      vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600
+      vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
+      containment ++ fuzzyK2
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
-      vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600
+      vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
+      containment ++ fuzzyK2
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated

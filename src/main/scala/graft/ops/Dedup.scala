@@ -121,6 +121,29 @@ object Dedup {
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
     val sh = shingleSets(df, pk, textCol, n)
+    val cand = containmentCandidates(sh, threshold)
+    val shh = hashedShingles(sh)
+    cand
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b")), "id_b")
+      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
+      .withColumn("containment", $"common" / $"sz_a")
+      .filter($"containment" >= threshold)
+      .select($"id_a", $"id_b", $"containment")
+  }
+
+  /** The blocked candidate stage of [[containmentPairs]] — directed
+    * `(id_a, id_b)` pairs where one of a's rarest-prefix shingles hits
+    * b's postings under the size band, BEFORE the exact verify. Exposed
+    * (like [[prefixCandidates]] and FuzzyJoin.candidatePairs) so the
+    * growth-stress bench can count candidate mass per doc at two corpus
+    * scales — the scale claim under test: rarest-shingle probe prefixes
+    * keep posting-list hits short on a large-vocab corpus, so
+    * candidates/doc stays flat as the corpus grows. */
+  private[graft] def containmentCandidates(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     val dfreq = sh.select(explode($"sh").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("dcount"))
     val w = Window.partitionBy($"id").orderBy($"dcount", $"tok")
@@ -130,19 +153,11 @@ object Dedup {
       .filter($"rk" <= $"sz" - ceil($"sz" * lit(threshold)) + lit(1))
       .select($"id", $"sz", $"tok")
     val postings = sh.select($"id", $"sz", explode($"sh").as("tok"))
-    val cand = pref.as("a").join(postings.as("b"),
+    pref.as("a").join(postings.as("b"),
         $"a.tok" === $"b.tok" && $"a.id" =!= $"b.id" &&
           $"b.sz" >= ceil($"a.sz" * lit(threshold)))
       .select($"a.id".as("id_a"), $"b.id".as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shh = hashedShingles(sh)
-    cand
-      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
-      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b")), "id_b")
-      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
-      .withColumn("containment", $"common" / $"sz_a")
-      .filter($"containment" >= threshold)
-      .select($"id_a", $"id_b", $"containment")
   }
 
   /** Sorted 64-bit xxhash shingle sets for the verify re-attach: the

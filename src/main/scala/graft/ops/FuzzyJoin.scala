@@ -91,13 +91,31 @@ object FuzzyJoin {
       .select($"id", $"s", xxhash64($"v").as("sig"))
       .dropDuplicates("id", "sig")
 
-    // variant-bucket candidates (ids + strings ride along: keys are short,
-    // and carrying them kills the re-attach joins), deduped per pair so
-    // the verify runs once per candidate pair
-    sigs.as("a").join(sigs.as("b"),
-        $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-        $"a.s".as("s_a"), $"b.s".as("s_b"))
-      .dropDuplicates("id_a", "id_b")
+    // Candidate join shape differs by depth (measured, x_fuzzy_k2_15k vs
+    // the k=1 rows in BASELINE):
+    //   - k=1: ids + strings ride the sig join — buckets are sparse
+    //     (candidates/key ~100 on 150k real names), so the string-carry
+    //     is small and it kills the re-attach joins;
+    //   - k=2: depth-2 variants of similar keys collide heavily
+    //     (candidates/key ~1.2k on 15k zero-padded names — an
+    //     order-of-magnitude denser pre-dedup stream), so the pair dedup
+    //     shuffles ids ONLY (16 B/row instead of ~60 B) and the two
+    //     string re-attach joins run once per DEDUPED pair against the
+    //     short base table (broadcast or AQE-sized shuffle join).
+    if (maxDist == 1)
+      sigs.as("a").join(sigs.as("b"),
+          $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+          $"a.s".as("s_a"), $"b.s".as("s_b"))
+        .dropDuplicates("id_a", "id_b")
+    else {
+      val ids = sigs.select($"id", $"sig")
+      ids.as("a").join(ids.as("b"),
+          $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .join(base.select($"id".as("id_a"), $"s".as("s_a")), "id_a")
+        .join(base.select($"id".as("id_b"), $"s".as("s_b")), "id_b")
+    }
   }
 }
