@@ -467,15 +467,24 @@ object Bench {
         .select("id_a", "id_b").persist()
       pairs50.count()
       var ccRounds = -1
+      // split timing (round-6 drift question): the row is fixpoint +
+      // survivor anti-join; the split shows WHICH half moves when the
+      // full-suite reading drifts off the isolated anchor
+      var ccWall = -1.0; var ajWall = -1.0
       val collapse = minOf2("x_dedup_collapse") {
+        val t0 = System.nanoTime()
         val (victims, rounds) = Dedup.ccAlternatingStars(pairs50, 20)
         ccRounds = rounds
+        ccWall = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
         force(synth.join(victims,
           synth("doc_id") === victims("id"), "left_anti"))
+        ajWall = (System.nanoTime() - t1) / 1e9
       }
       // rounds should stay ~log^2(largest component), NOT track corpus
       // size — the O(log^2 n) contract the bench row exists to watch
-      System.err.println(s"[bench] x_dedup_collapse_${sn}k rounds=$ccRounds")
+      System.err.println(f"[bench] x_dedup_collapse_${sn}k rounds=$ccRounds " +
+        f"cc=$ccWall%.2fs antijoin=$ajWall%.2fs (last rep)")
       pairs50.unpersist()
       synth.unpersist()
       Seq(s"x_dedup_minhash_${n}k" -> mh, s"x_dedup_simhash_${n}k" -> sh,

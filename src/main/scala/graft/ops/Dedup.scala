@@ -552,8 +552,9 @@ object Dedup {
       .select(greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
       .filter($"u" =!= $"v").distinct()
       .materialized
+    var curCnt = cur.count()
     var i = 0
-    var converged = cur.isEmpty
+    var converged = curCnt == 0
     while (i < maxIter && !converged) {
       // large-star: bidirectional neighborhoods, m(x) = min(x, min N(x));
       // every neighbor y > x re-hangs at (y, m(x))
@@ -578,9 +579,14 @@ object Dedup {
         .materialized // cut lineage: each round otherwise nests
         // the previous round's joins and blows the driver long before the
         // data does
-      // fixpoint test on the canonical edge set (two ids-only anti-joins)
-      converged = ss.except(cur).isEmpty && cur.except(ss).isEmpty
+      // fixpoint test on the canonical edge set: both sides are DISTINCT
+      // materialized row sets, so equal counts + one empty anti-join
+      // (ss ⊆ cur) prove set equality — one fewer except job per round
+      // than the symmetric test (counts on materialized data are cheap)
+      val ssCnt = ss.count()
+      converged = ssCnt == curCnt && ss.except(cur).isEmpty
       cur = ss
+      curCnt = ssCnt
       i += 1
     }
     if (!converged)
