@@ -130,6 +130,85 @@ object SparkEntry {
          WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
            AND abs(len(a.c_name) - len(b.c_name)) <= 1
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
+      // posting-list self-join, df band LIVE at 0.8 (prunes the head
+      // term); double math, float-cast emit and rank (the q41 rule)
+      """WITH tok AS (SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0), x -> lower(x)) AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM t GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         wtd AS (SELECT term, doc_id,
+             CAST(tf AS DOUBLE) *
+               ln((n_docs + 1.0) / (CAST(df AS DOUBLE) + 1.0)) AS w
+           FROM tf JOIN dfreq USING (term), stats
+           WHERE CAST(df AS DOUBLE) <= n_docs * 0.8),
+         norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                   FROM wtd GROUP BY doc_id),
+         dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(a.w * b.w) AS dot
+           FROM wtd a JOIN wtd b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id),
+         cosp AS (SELECT id_a, id_b,
+             CAST(dot / (na.nrm * nb.nrm) AS FLOAT) AS cos
+           FROM dots JOIN norms na ON dots.id_a = na.doc_id
+                     JOIN norms nb ON dots.id_b = nb.doc_id),
+         sym AS (SELECT id_a AS doc_id, id_b AS nbr_id, cos FROM cosp
+                 UNION ALL SELECT id_b, id_a, cos FROM cosp)
+         SELECT doc_id, nbr_id, cos, rnk FROM (
+           SELECT doc_id, nbr_id, cos,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM sym)
+         WHERE rnk <= 3""",
+    "q114_bigram_lm" -> // add-0.5-smoothed bigram conditional log-probs,
+      // corpus-fitted; docs with < 2 tokens absent (the documented
+      // engine contract); per-doc mean in double, float-cast emit
+      """WITH tok AS (SELECT doc_id,
+             list_transform(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0), x -> lower(x)) AS toks FROM documents),
+         idx AS (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+                 FROM tok WHERE len(toks) >= 2),
+         big AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+                 FROM idx),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+         vocab AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+                   FROM (SELECT unnest(toks) AS t FROM tok))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(avg(ln((CAST(c2 AS DOUBLE) + 0.5) /
+                       (CAST(c1 AS DOUBLE) + 0.5 * v))) AS FLOAT) AS avg_logp
+         FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+         GROUP BY doc_id""",
+    "q115_keep_best" -> // q108's recursive-CTE reachability clusters +
+      // keep-LONGEST argmax (n_chars DESC, doc_id tie-break) — integer
+      // quality, zero float risk in the rank
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents),
+         pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+           FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+           WHERE len(list_distinct(list_concat(a.w, b.w))) > 0
+             AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.w, b.w))) >= 0.9),
+         edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id),
+         rep AS (SELECT id AS doc_id, min(lbl) AS rep FROM reach GROUP BY id),
+         j AS (SELECT d.doc_id, d.n_chars, r.rep FROM documents d
+               JOIN rep r USING (doc_id)),
+         ranked AS (SELECT doc_id, rep, n_chars,
+             row_number() OVER (PARTITION BY rep
+               ORDER BY n_chars DESC, doc_id) AS rnk,
+             CAST(count(*) OVER (PARTITION BY rep) AS BIGINT)
+               AS cluster_size
+           FROM j)
+         SELECT doc_id, rep, n_chars, cluster_size FROM ranked
+         WHERE rnk = 1""",
     "q107_containment" -> // q15's tokenization, |a∩b| / |a| directed
       """WITH tok AS (SELECT doc_id,
              list_distinct(list_filter(string_split_regex(text, '\s+'),

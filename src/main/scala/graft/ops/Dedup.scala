@@ -543,6 +543,37 @@ object Dedup {
     edges.groupBy($"u".as("id")).agg(min($"v").as("rep"))
   }
 
+  /** Canonical selection by QUALITY: among each near-duplicate cluster
+    * keep the row maximizing `quality` (ties -> smaller id), not the
+    * min-id row [[dropDuplicates]] keeps. The decision step real corpus
+    * pipelines run after clustering — near-dup groups usually hold one
+    * full document and several truncated/boilerplate-wrapped variants,
+    * and min-id keeps an arbitrary one; argmax-quality keeps the best
+    * (keep-longest is the common instantiation, RefinedWeb/Gopher
+    * practice). Output: the surviving rows' (<idCol>, rep, cluster_size
+    * LONG) plus the evaluated `quality` as column `__q` dropped — callers
+    * re-join payloads by id (ids-only discipline: nothing wide rides the
+    * cluster shuffle).
+    *
+    * Scale shape: `pairs` -> [[componentMap]] (log-round alternating
+    * stars, ids only) -> one left equi-join to cover singletons -> one
+    * rank window partitioned by cluster rep. The window's partition is a
+    * CLUSTER (bounded by near-dup group size), never the corpus. */
+  def keepBestByQuality(df: DataFrame, idCol: String, pairs: DataFrame,
+      quality: Column): DataFrame = {
+    val reps = componentMap(pairs).withColumnRenamed("id", idCol)
+    val withRep = df.select(col(idCol), quality.as("__q"))
+      .join(reps, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+    val w = Window.partitionBy(col("rep"))
+    val ord = w.orderBy(desc("__q"), col(idCol))
+    withRep
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("__rnk", row_number().over(ord))
+      .filter(col("__rnk") === 1)
+      .select(col(idCol), col("rep"), col("cluster_size"))
+  }
+
   private def ccFixpoint(pairs: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
     val spark = pairs.sparkSession

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-vector document similarity — the "more-like-this" / related-
+  * documents join over TF-IDF weights, the lexical complement of the
+  * embedding-space kNN join ([[SimilaritySearch.knnJoin]]): no model, no
+  * vectors, exact cosine over the term overlap. Used to build sparse kNN
+  * graphs for clustering, link-adjacent leakage analysis, and recall
+  * backstops for dense retrieval (the reference's hybrid search plays the
+  * same card at query time, `NB:404–409`; this is the corpus-vs-corpus
+  * form).
+  *
+  * Scale shape: the pair generation is a POSTING-LIST self-join keyed on
+  * the term — candidate mass Σ df² over surviving terms, never N². Two
+  * levers bound it at 100 TB:
+  *   - `maxDfFraction` drops head terms (df above the fraction) BEFORE the
+  *     join — the same two-pass df-band discipline as
+  *     [[InvertedIndex.build]]; head terms carry ~zero idf weight, so
+  *     dropping them trades ~no cosine mass for the quadratic tail of the
+  *     join (CCNet/Elasticsearch stop-term practice);
+  *   - everything that rides the join is `(term, id, weight)` — ids and
+  *     one double, never text.
+  * The per-doc top-k is a bounded rank window partitioned by doc.
+  *
+  * Determinism across engines (the oracle contract): weights are
+  * `tf * ln((N+1)/(df+1))` in double; dot and norms accumulate in double;
+  * the emitted cosine is float-cast and RANKED as float with the neighbor
+  * id as tie-break — the q41 rule, absorbing both libm last-ulp `ln`
+  * differences and summation fold order. */
+object SparseSimilarity {
+
+  /** Top-`k` cosine neighbors per document over smoothed-idf TF-IDF
+    * weights. Output: (<idCol>, nbr_id, cos FLOAT, rnk LONG), one row per
+    * (doc, ranked neighbor), docs with no surviving shared term absent.
+    * `maxDfFraction`: keep terms with `df <= n_docs * maxDfFraction`. */
+  def tfidfNeighbors(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDfFraction: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction in (0, 1], got $maxDfFraction")
+    val terms = df.select(col(idCol).as("__id"),
+      explode(transform(graft.functions.TextFunctions.tokens(col(textCol)),
+        t => lower(t))).as("__term"))
+    // tf feeds BOTH the df aggregate and the weighting join — materialize
+    // (the q41 multi-reuse rule: the broadcast boundary between them
+    // blocks AQE exchange reuse, un-materialized the tokenize/agg chain
+    // runs twice)
+    val tf = graft.Graft.materialize(
+      terms.groupBy(col("__id"), col("__term")).agg(count(lit(1)).as("__tf")))
+    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val stats = df.agg(count(lit(1)).cast("double").as("__n"))
+    // weighted postings are consumed by the norm aggregate AND both sides
+    // of the pair join — one materialization, three readers
+    val weighted = graft.Graft.materialize(tf
+      .join(dfreq, Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .filter(col("__df").cast("double") <= col("__n") * maxDfFraction)
+      .select(col("__term"), col("__id"),
+        (col("__tf").cast("double") *
+          log((col("__n") + 1.0) / (col("__df").cast("double") + 1.0)))
+          .as("__w")))
+    val norms = weighted.groupBy(col("__id"))
+      .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
+    val a = weighted.select(col("__term"), col("__id").as("id_a"),
+      col("__w").as("__wa"))
+    val b = weighted.select(col("__term"), col("__id").as("id_b"),
+      col("__w").as("__wb"))
+    val dots = a.join(b, Seq("__term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+    val cosPairs = dots
+      .join(norms.select(col("__id").as("id_a"), col("__norm").as("__na")),
+        Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__norm").as("__nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__dot") / (col("__na") * col("__nb"))).cast("float").as("cos"))
+    // symmetric expansion, then a bounded top-k window per doc; float
+    // rank with the neighbor id as deterministic tie-break
+    val sym = cosPairs
+      .select(col("id_a").as(idCol), col("id_b").as("nbr_id"), col("cos"))
+      .unionByName(cosPairs
+        .select(col("id_b").as(idCol), col("id_a").as("nbr_id"), col("cos")))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("cos"), col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("nbr_id"), col("cos"), col("rnk"))
+  }
+}

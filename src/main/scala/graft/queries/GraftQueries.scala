@@ -1470,6 +1470,45 @@ object GraftQueries {
          WHERE levenshtein(s_a, s_b) <= 1""")
   }
 
+  /** Sparse TF-IDF cosine neighbors ([[SparseSimilarity.tfidfNeighbors]]):
+    * top-3 lexically-closest documents per document via the posting-list
+    * self-join — the model-free complement of the embedding kNN join
+    * (q12), the corpus-vs-corpus form of hybrid search's sparse leg. The
+    * df band is LIVE here (`maxDfFraction = 0.8` prunes the head term),
+    * so the oracle exercises the scale lever, not just the join. Oracle:
+    * the full postings/weights/norms/rank mirror in SQL — double math,
+    * float-cast emit and rank (the q41 rule). */
+  def q113TfidfNeighbors(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SparseSimilarity.tfidfNeighbors(
+      t(spark, dir, "documents"), "doc_id", "text", k = 3,
+      maxDfFraction = 0.8)
+
+  /** Bigram LM quality scoring ([[Quality.bigramLogProb]]): the
+    * word-order-aware CCNet-style perplexity filter — mean smoothed
+    * conditional log-prob of each document's adjacent token pairs under
+    * the corpus-fitted transition model. q65's unigram scorer ranks token
+    * CHOICE; this ranks token ORDER — scrambled boilerplate with fluent
+    * vocabulary separates here. Docs with < 2 tokens absent (documented
+    * contract, mirrored in the oracle). */
+  def q114BigramLm(spark: SparkSession, dir: String): DataFrame =
+    Quality.bigramLogProb(t(spark, dir, "documents"), "doc_id", "text")
+
+  /** Quality-argmax canonical dedup ([[Dedup.keepBestByQuality]]): q15's
+    * near-dup pair set -> alternating-stars clusters -> keep the LONGEST
+    * member per cluster (n_chars desc, doc_id tie-break) — the keep-best
+    * decision step real pipelines run where [[Dedup.dropDuplicates]]'s
+    * min-id pick is arbitrary (RefinedWeb keep-longest practice). Oracle:
+    * q108's recursive-CTE reachability components + the same argmax
+    * window. Integer quality metric — zero float risk in the rank. */
+  def q115KeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.9)
+    Dedup.keepBestByQuality(docs, "doc_id", pairs, col("n_chars"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .select(col("doc_id"), col("rep"), col("n_chars"), col("cluster_size"))
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2065,5 +2104,8 @@ object GraftQueries {
     "q109_maxsim" -> (q109MaxSim _),
     "q110_index_delete" -> (q110IndexDelete _),
     "q111_maxsim_ivf" -> (q111MaxSimIvf _),
-    "q112_sql_fuzzy" -> (q112SqlFuzzy _))
+    "q112_sql_fuzzy" -> (q112SqlFuzzy _),
+    "q113_tfidf_neighbors" -> (q113TfidfNeighbors _),
+    "q114_bigram_lm" -> (q114BigramLm _),
+    "q115_keep_best" -> (q115KeepBest _))
 }

@@ -367,4 +367,20 @@ class DedupSpec extends SparkSpec {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     Dedup.dropDuplicates(df, "id", none).count() shouldBe 21
   }
+
+  test("keepBestByQuality keeps the argmax-quality member per cluster, " +
+      "min-id on ties, singletons intact") {
+    import spark.implicits._
+    // cluster A {1,2,3} via chain, quality peaks at 2; cluster B {10,11}
+    // tied quality -> min id 10; 20 is a singleton
+    val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0),
+      (10L, 4.0), (11L, 4.0), (20L, 1.0)).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestByQuality(rows, "id", pairs, col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set((2L, 1L, 3L), (10L, 10L, 2L), (20L, 20L, 1L))
+    // contrast: dropDuplicates' min-id pick keeps 1, not the best 2
+    Dedup.dropDuplicates(rows, "id", pairs)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 10L, 20L)
+  }
 }

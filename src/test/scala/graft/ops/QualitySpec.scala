@@ -124,4 +124,42 @@ class QualitySpec extends SparkSpec {
     out(1L) shouldBe -1.5f +- 1e-6f
     out(2L) shouldBe -5.5f +- 1e-6f
   }
+
+  test("bigramLogProb matches a hand-computed add-alpha fit") {
+    import spark.implicits._
+    // corpus: bigrams (a,b)x2 from docs 1,2; (a,c)x1 from doc 3;
+    // context counts: a->3; vocab {a,b,c} = 3; alpha 0.5
+    val docs = Seq((1L, "a b"), (2L, "A b"), (3L, "a c"), (4L, "solo"))
+    val out = Quality.bigramLogProb(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getFloat(2))))
+      .toMap
+    // vocab includes 'solo' even though doc 4 has no bigram: V = 4
+    val pAb = math.log((2 + 0.5) / (3 + 0.5 * 4))
+    val pAc = math.log((1 + 0.5) / (3 + 0.5 * 4))
+    out.keySet shouldBe Set(1L, 2L, 3L) // doc 4: < 2 tokens, absent
+    out(1L) shouldBe ((1L, pAb.toFloat))
+    out(2L) shouldBe ((1L, pAb.toFloat)) // case-folded
+    out(3L) shouldBe ((1L, pAc.toFloat))
+    out(1L)._2 should be > out(3L)._2 // frequent transition outscores rare
+  }
+
+  test("bigramLogProb ranks token ORDER, not just token choice") {
+    import spark.implicits._
+    // same unigram bag; doc 2 scrambles the dominant word order
+    val fluent = "the cat sat on the mat and the cat sat on the mat"
+    val docs = Seq((1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, "mat the on sat cat the and mat the on sat cat the"))
+    val out = Quality.bigramLogProb(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getFloat(2)).toMap
+    out(1L) should be > out(4L)
+  }
+
+  test("bigramLogProb rejects alpha <= 0") {
+    import spark.implicits._
+    an[IllegalArgumentException] should be thrownBy
+      Quality.bigramLogProb(Seq((1L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", alpha = 0.0)
+  }
 }

@@ -271,4 +271,24 @@ class PlanShapeSpec extends SparkSpec {
       graft.ops.Dedup.embeddingPairsSemDeDup(emb, "vec_id", "embedding", 0.4,
         nClusters = 8))
   }
+
+  test("q113/q114: text-stats joins ship ids, terms and doubles — raw text " +
+      "and token arrays never ride a join input") {
+    spark.sqlContext.clearCache()
+    for (name <- Seq("q113_tfidf_neighbors", "q114_bigram_lm"))
+      withClue(s"$name: ") {
+        val df = GraftQueries.all(name)(spark, TestSpark.sf0001)
+        val joins = df.queryExecution.sparkPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+        joins should not be empty
+        for (j <- joins; side <- Seq(j.left, j.right)) {
+          side.output.map(_.name) should not contain "text"
+          side.output.filter(_.dataType.isInstanceOf[ArrayType]) shouldBe empty
+        }
+        val p = df.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        (p should not).include("CartesianProduct")
+      }
+  }
 }
