@@ -86,7 +86,15 @@ object Bench {
     "q103_cdc_merge",
     // round-6 addition (new anchor): entity-key fuzzy match — deletion-
     // neighborhood signature join + levenshtein verify over 150k names
-    "q106_fuzzy_names")
+    "q106_fuzzy_names",
+    // round-7 additions (new anchors): bigram LM scoring (map-side bigram
+    // gen + one (w1,w2) fit shuffle) and keep-best canonical dedup (q15
+    // pairs + CC + per-cluster argmax window). q113's tf-idf neighbor
+    // join is NOT anchored on the fixture (its 31-term vocabulary makes
+    // the posting join ~all-pairs, 448M candidates at sf0.1 — a fixture
+    // artifact, not the operator's shape); its scale row runs on the
+    // large-vocab synthetic corpus as x_tfidf_50k
+    "q114_bigram_lm", "q115_keep_best")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -610,6 +618,47 @@ object Bench {
     } catch { case _: Throwable => Seq("x_fuzzy_k2_15k" -> -1.0) }
   }
 
+  /** Sparse TF-IDF neighbors at corpus scale (full bench or
+    * `only=x_tfidf`): 50k synthetic docs with a LARGE disjoint vocabulary
+    * (the near-dup twin corpus the 50k dedup rows use) — the regime the
+    * posting-list self-join is designed for, where df stays small and the
+    * candidate mass Σ df² is linear in docs. The documents fixture is the
+    * opposite regime (31 terms, df ~0.8n — posting join ~all-pairs), so
+    * the oracle runs there and the scale row runs here. Candidate
+    * density (Σ df² / n, the posting-join row count per doc) is logged so
+    * BASELINE can watch for quadratic onset like §c8/§c9. */
+  private def tfidfBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.{col, countDistinct, explode,
+      lit, lower, sum, transform, count => cnt}
+    try {
+      val synth = DedupStress.syntheticDocs(spark, 50000)
+        .repartition(32).persist()
+      val n = synth.count()
+      val dfreq = synth.select(explode(transform(
+          graft.functions.TextFunctions.tokens(col("text")),
+          t => lower(t))).as("term"), col("doc_id"))
+        .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val mass = dfreq.agg(sum(col("df") * col("df"))).head().getLong(0)
+      System.err.println(f"[bench] x_tfidf_50k n=$n%d " +
+        f"candidates/doc=${mass.toDouble / n}%.2f")
+      def one(i: Int): Double = {
+        val g0 = gcMillis()
+        val t = timed(force(graft.ops.SparseSimilarity.tfidfNeighbors(
+          synth, "doc_id", "text", k = 3, maxDfFraction = 0.5)))
+        System.err.println(f"[bench] x_tfidf_50k rep$i%d wall=$t%.1fs " +
+          f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+        t
+      }
+      val pb = probeOnce(spark)
+      val t = math.min(one(1), one(2))
+      recordProbe("x_tfidf_50k", (pb, probeOnce(spark)))
+      synth.unpersist()
+      Seq("x_tfidf_50k" -> t)
+    } catch { case _: Throwable => Seq("x_tfidf_50k" -> -1.0) }
+  }
+
   private def scaledFuzzy600Bench(spark: SparkSession,
       recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : Seq[(String, Double)] = {
@@ -886,16 +935,22 @@ object Bench {
       if (wantExtra("x_fuzzy_k2"))
         fuzzyK2Bench(spark, sfDir, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // anchored sparse tf-idf row on the large-vocab corpus: full bench or
+    // `only=x_tfidf`
+    val tfidf =
+      if (wantExtra("x_tfidf"))
+        tfidfBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
       vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ fuzzyK2
+      containment ++ fuzzyK2 ++ tfidf
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ fuzzyK2
+      containment ++ fuzzyK2 ++ tfidf
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated
