@@ -209,6 +209,61 @@ object SparkEntry {
            FROM j)
          SELECT doc_id, rep, n_chars, cluster_size FROM ranked
          WHERE rnk = 1""",
+    "q116_bfs_hops" -> // multi-source BFS over the co-purchase graph;
+      // recursion on DISTINCT (n, hops) pairs (UNION, not UNION ALL —
+      // path enumeration would be exponential), min hops per node
+      """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b,
+             l_partkey AS i FROM lineitem),
+         und AS (SELECT DISTINCT x.i AS u, y.i AS v
+                 FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+         dir AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         nodes AS (SELECT DISTINCT u AS n FROM dir),
+         reach(n, hops) AS (
+           SELECT n, CAST(0 AS BIGINT) FROM nodes WHERE n IN (1, 2, 3)
+           UNION
+           SELECT d.v, r.hops + 1 FROM reach r JOIN dir d ON d.u = r.n
+           WHERE r.hops < 3)
+         SELECT n, min(hops) AS hops FROM reach GROUP BY n""",
+    "q117_ppr" -> // q94's unrolled-iteration arithmetic with the teleport
+      // mass pinned to parts {1,2,3}; float cast absorbs fold order
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         und AS (SELECT DISTINCT x.i AS u, y.i AS v
+                 FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+         dir AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM dir
+                 GROUP BY u),
+         tele AS (SELECT n, CASE WHEN n IN (1, 2, 3) THEN 1.0 ELSE 0.0 END
+                  AS ind FROM deg),
+         sc AS (SELECT sum(ind) AS ns FROM tele),
+         tv AS (SELECT n, ind / (SELECT ns FROM sc) AS t FROM tele),
+         r0 AS (SELECT n, t AS r FROM tv),
+         s1 AS (SELECT dir.v AS n, sum(r0.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r0 ON r0.n = dir.u
+                GROUP BY dir.v),
+         r1 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s1.s, 0)
+                  AS r FROM tv LEFT JOIN s1 ON s1.n = tv.n),
+         s2 AS (SELECT dir.v AS n, sum(r1.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r1 ON r1.n = dir.u
+                GROUP BY dir.v),
+         r2 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s2.s, 0)
+                  AS r FROM tv LEFT JOIN s2 ON s2.n = tv.n),
+         s3 AS (SELECT dir.v AS n, sum(r2.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r2 ON r2.n = dir.u
+                GROUP BY dir.v),
+         r3 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s3.s, 0)
+                  AS r FROM tv LEFT JOIN s3 ON s3.n = tv.n),
+         s4 AS (SELECT dir.v AS n, sum(r3.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r3 ON r3.n = dir.u
+                GROUP BY dir.v),
+         r4 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s4.s, 0)
+                  AS r FROM tv LEFT JOIN s4 ON s4.n = tv.n),
+         s5 AS (SELECT dir.v AS n, sum(r4.r / deg.d) AS s FROM dir
+                JOIN deg ON deg.n = dir.u JOIN r4 ON r4.n = dir.u
+                GROUP BY dir.v),
+         r5 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s5.s, 0)
+                  AS r FROM tv LEFT JOIN s5 ON s5.n = tv.n)
+         SELECT n AS part, CAST(r AS FLOAT) AS rank FROM r5""",
     "q107_containment" -> // q15's tokenization, |a∩b| / |a| directed
       """WITH tok AS (SELECT doc_id,
              list_distinct(list_filter(string_split_regex(text, '\s+'),

@@ -138,6 +138,103 @@ object GraphOps {
     rank
   }
 
+  /** Minimum-hop distances from a seed set — multi-source BFS over an
+    * undirected edge list (duplicates/direction ignored, self-loops
+    * discarded: simple-graph semantics shared with [[pageRank]]). Output:
+    * (n, hops LONG) for every GRAPH node reachable from a seed within
+    * `maxHops` (seeds present in the graph at hops = 0; seed ids absent
+    * from the edge list are ignored). The distance feature behind
+    * contamination-spread analysis and link-distance relevance tiers.
+    *
+    * Scale shape: level-synchronous frontier expansion — each round is
+    * one O(frontier·deg) equi-join shuffle, a distinct, and an anti-join
+    * against the settled set (which guarantees minimality: a node joins
+    * `dist` the first round it is seen, so later sightings are dropped).
+    * Rounds bounded by `maxHops` with early exit on an empty frontier;
+    * every round's output is materialized (the iterative lineage-cut
+    * rule [[Dedup.ccAlternatingStars]] follows). Ids-only throughout. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(sources.nonEmpty, "bfsHops needs at least one source id")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .materialized
+    val nodes = adj.select(col("u").as("n")).distinct()
+    val seedDf = sources.distinct.toDF("n")
+    var dist = nodes.join(broadcast(seedDf), Seq("n"))
+      .select(col("n"), lit(0L).as("hops")).materialized
+    var frontier = dist.select(col("n"))
+    var h = 1
+    var done = frontier.isEmpty
+    while (h <= maxHops && !done) {
+      val next = adj.join(frontier, adj("u") === frontier("n"))
+        .select(col("v").as("n")).distinct()
+        .join(dist.select(col("n")), Seq("n"), "left_anti")
+        .select(col("n"), lit(h.toLong).as("hops")).materialized
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next)
+        frontier = next.select(col("n"))
+        h += 1
+      }
+    }
+    dist
+  }
+
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * concentrated on a seed set instead of spread uniformly: ranks answer
+    * "important relative to THESE nodes", the query behind
+    * related-to-this-item recommendation and seed-anchored relevance
+    * (topic-sensitive PageRank). Same simple-graph canonicalization,
+    * same one-O(m)-contribution-shuffle-per-iteration lazy chain; the
+    * only structural difference is the teleport vector (an indicator
+    * over seeds, built with one broadcast semi-join, carried as a column
+    * of the static node frame). Seeds absent from the graph are ignored;
+    * at least one seed must be present. Ranks sum to 1 (no dangling
+    * nodes in an undirected graph). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank needs at least one iteration")
+    require(seeds.nonEmpty, "personalizedPageRank needs a seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val dir = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("d"))
+    val adj = dir.join(deg, "u").materialized
+    val seedDf = seeds.distinct.toDF("sn")
+    // teleport indicator on the static node frame: 1/|S∩nodes| on seeds,
+    // 0 elsewhere — ONE broadcast left join, reused every iteration
+    val nodes0 = adj.select(col("u").as("n")).distinct()
+      .join(broadcast(seedDf), col("n") === col("sn"), "left")
+      .select(col("n"), when(col("sn").isNotNull, 1.0).otherwise(0.0)
+        .as("ind")).materialized
+    val nSeeds = nodes0.agg(sum(col("ind"))).head().getDouble(0)
+    require(nSeeds > 0, "no seed id appears in the edge list")
+    val nodes = nodes0.select(col("n"), (col("ind") / nSeeds).as("t"))
+    var rank = nodes.select(col("n"), col("t").as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = adj.join(rank, adj("u") === rank("n"))
+        .select(col("v"), (col("r") / col("d")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("s"))
+      rank = nodes
+        .join(contribs, col("n") === col("v"), "left")
+        .select(col("n"), (lit(1.0 - damping) * col("t") +
+          lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    rank
+  }
+
   /** Per-node triangle participation and local clustering coefficient
     * over an undirected graph given as an edge list (direction and
     * duplicates ignored; self-loops discarded — simple-graph semantics).

@@ -1509,6 +1509,36 @@ object GraftQueries {
       .select(col("doc_id"), col("rep"), col("n_chars"), col("cluster_size"))
   }
 
+  /** Multi-source BFS hop distances ([[GraphOps.bfsHops]]): minimum hops
+    * from parts {1, 2, 3} over the co-purchase graph — the frontier
+    * iteration sibling of the CC fixpoint, each round one O(frontier·deg)
+    * equi-join + anti-join against the settled set, ids only. The dense
+    * fixture graph settles in two rounds and the third proves the empty-
+    * frontier early exit. Oracle: recursive CTE on DISTINCT (n, hops)
+    * pairs (UNION, not UNION ALL — path enumeration would be
+    * exponential), min per node. */
+  def q116BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey")
+    GraphOps.bfsHops(edges, "item_a", "item_b",
+      sources = Seq(1L, 2L, 3L), maxHops = 3)
+  }
+
+  /** Personalized PageRank ([[GraphOps.personalizedPageRank]]): q94's
+    * propagation loop with the teleport mass pinned to parts {1, 2, 3} —
+    * "important relative to THESE items", the seed-anchored relevance
+    * behind related-item recommendation (topic-sensitive PageRank).
+    * Oracle: q94's unrolled-iteration SQL with the teleport indicator in
+    * place of the uniform term — identical per-node double arithmetic,
+    * float cast absorbs fold order (the q29 rule). */
+  def q117Ppr(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey")
+    GraphOps.personalizedPageRank(edges, "item_a", "item_b",
+        seeds = Seq(1L, 2L, 3L), iterations = 5)
+      .select(col("n").as("part"), col("r").cast("float").as("rank"))
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2107,5 +2137,7 @@ object GraftQueries {
     "q112_sql_fuzzy" -> (q112SqlFuzzy _),
     "q113_tfidf_neighbors" -> (q113TfidfNeighbors _),
     "q114_bigram_lm" -> (q114BigramLm _),
-    "q115_keep_best" -> (q115KeepBest _))
+    "q115_keep_best" -> (q115KeepBest _),
+    "q116_bfs_hops" -> (q116BfsHops _),
+    "q117_ppr" -> (q117Ppr _))
 }

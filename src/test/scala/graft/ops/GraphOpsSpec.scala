@@ -246,4 +246,68 @@ class GraphOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "payload"
   }
+
+  test("bfsHops matches a driver BFS: min hops, maxHops bound, " +
+      "unreachable and absent-seed handling") {
+    import spark.implicits._
+    // chain 0-1-2-3-4, branch 1-10, separate component {20, 21}
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 10L),
+      (20L, 21L))
+    def brute(srcs: Set[Long], cap: Int): Map[Long, Long] = {
+      val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var dist = srcs.filter(adj.contains).map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      for (h <- 1 to cap) {
+        val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+        dist ++= next.map(_ -> h.toLong)
+        frontier = next
+      }
+      dist
+    }
+    val df = es.toDF("src", "dst")
+    for (cap <- Seq(0, 1, 2, 10)) {
+      val got = GraphOps.bfsHops(df, "src", "dst", Seq(0L, 20L), cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"cap=$cap: ") { got shouldBe brute(Set(0L, 20L), cap) }
+    }
+    // node 4 unreachable within 3 hops of {0}; seed 99 not in the graph
+    val g3 = GraphOps.bfsHops(df, "src", "dst", Seq(0L, 99L), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    g3 shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 10L -> 2L, 3L -> 3L)
+  }
+
+  test("personalizedPageRank matches the driver mirror; teleport " +
+      "concentrates rank on the seeds; ranks sum to 1") {
+    import spark.implicits._
+    val seeds = Set(1L, 2L)
+    val adj = randomEdges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq
+    val ns = seeds.count(adj.contains).toDouble
+    val t = nodes.map(n => n -> (if (seeds(n)) 1.0 / ns else 0.0)).toMap
+    var r = t
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (u <- nodes; v <- adj(u)) contrib(v) += r(u) / adj(u).size
+      r = nodes.map(n => n -> ((1.0 - 0.85) * t(n) + 0.85 * contrib(n))).toMap
+    }
+    val got = GraphOps.personalizedPageRank(
+      randomEdges.toDF("src", "dst").repartition(5), "src", "dst",
+      seeds = seeds.toSeq, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    got.keySet shouldBe r.keySet
+    got.foreach { case (n, v) => v shouldBe r(n) +- 1e-12 }
+    got.values.sum shouldBe 1.0 +- 1e-9
+    // seed-anchored: seeds outrank the global uniform share
+    seeds.foreach(s => got(s) should be > 1.0 / nodes.size)
+  }
+
+  test("personalizedPageRank rejects an all-absent seed set") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    an[IllegalArgumentException] should be thrownBy
+      GraphOps.personalizedPageRank(df, "src", "dst", seeds = Seq(99L))
+  }
 }
