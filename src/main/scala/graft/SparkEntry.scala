@@ -264,6 +264,57 @@ object SparkEntry {
          r5 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s5.s, 0)
                   AS r FROM tv LEFT JOIN s5 ON s5.n = tv.n)
          SELECT n AS part, CAST(r AS FLOAT) AS rank FROM r5""",
+    "q119_cross_jaccard" -> // naive quadratic eval-vs-train cross join,
+      // q15's tokenization and intersection-over-union double math; the
+      // engine's shared-order cross-relation prefix filter must reproduce
+      // it exactly
+      """WITH tok AS (SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS w FROM documents)
+         SELECT a.doc_id AS eval_id, b.doc_id AS train_id,
+           CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+         FROM tok a JOIN tok b
+           ON a.doc_id % 101 = 0 AND b.doc_id % 101 <> 0
+         WHERE len(a.w) > 0 AND len(b.w) > 0
+           AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.w, b.w))) >= 0.8""",
+    "q120_norm_dedup" -> // the same two regex rewrites + md5; explicit
+      // ASCII classes (not \s / \p{Punct}) so both regex engines emit
+      // identical bytes into the digest
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 \t\n\r]', '', 'g'), '[ \t\n\r]+', ' ', 'g')))
+           AS norm_digest,
+         CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS rep_id
+         FROM documents GROUP BY 1""",
+    "q121_hrw_shard" -> // the argmax replayed as a per-doc rank over the
+      // 8 suffixed md5s (DESC ties to the largest shard id, matching the
+      // engine's struct-max tie-break)
+      """SELECT doc_id, shard FROM (
+           SELECT doc_id, s AS shard, row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(s AS VARCHAR)) DESC, s DESC) AS rn
+           FROM documents, range(8) AS t(s)) sub
+         WHERE rn = 1""",
+    "q122_overlap_frac" -> // q45's gram construction, DISTINCT per doc,
+      // LEFT join so zero-overlap docs stay at 0.0; double division on
+      // both sides
+      """WITH tok AS (SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0) AS toks FROM documents),
+         g AS (SELECT doc_id, source,
+               array_to_string(toks[s+1:s+4], ' ') AS gram
+               FROM tok, UNNEST(range(0, len(toks)-3)) AS t(s)
+               WHERE len(toks) >= 4),
+         ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+         tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+         SELECT tr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(ev.gram) AS BIGINT) AS n_hit,
+           CAST(count(ev.gram) AS DOUBLE) / count(*) AS overlap_frac
+         FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+         GROUP BY tr.doc_id""",
     "q107_containment" -> // q15's tokenization, |a∩b| / |a| directed
       """WITH tok AS (SELECT doc_id,
              list_distinct(list_filter(string_split_regex(text, '\s+'),

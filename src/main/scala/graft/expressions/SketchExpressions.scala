@@ -28,6 +28,26 @@ object SketchHash {
     while (i < b.length) { h = h * 31L + b(i); i += 1 }
     mix(h)
   }
+
+  /** Count-min row index for `t` in sketch row `row` (one independent hash
+    * per row via a row-salted seed). Shared by [[CmsSketch]]'s update path,
+    * [[CmsEstimate]]'s probe (eval AND generated code), and the golden
+    * oracle's independent driver-side recomputation. */
+  def cmsIndex(t: UTF8String, row: Int, width: Int): Int =
+    java.lang.Math.floorMod(hash(t, 0xc3a5c85c97cb3127L * (row + 1)),
+      width.toLong).toInt
+
+  /** Point estimate = min over rows of the addressed counters. */
+  def cmsEstimate(sk: ArrayData, t: UTF8String, depth: Int, width: Int): Long = {
+    var m = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = sk.getLong(r * width + cmsIndex(t, r, width))
+      if (c < m) m = c
+      r += 1
+    }
+    m
+  }
 }
 
 /** MinHash signature of a string-array column: `numHashes` permutation
@@ -388,6 +408,114 @@ object VecTopK {
   }
 }
 
+/** Count-min sketch of a string column (Cormode & Muthukrishnan 2005) as a
+  * typed aggregate: `depth x width` counters, one row-salted hash per row;
+  * update increments one counter per row, merge is element-wise addition —
+  * fully mergeable, fixed `depth*width*8` bytes of state per partial buffer
+  * regardless of cardinality. Where [[MgTopK]] answers "which items are
+  * frequent", the CMS answers POINT queries — "how often did THIS
+  * key occur" — for any key decided after the scan, without shuffling the
+  * key universe. Guarantees: estimates never undercount, and overcount by
+  * at most `e*N/width` with probability `1 - e^-depth` (N = stream size).
+  * Returns the counter matrix as array<long> (row-major), probed with
+  * [[CmsEstimate]]. Deterministic for a fixed input multiset: counters are
+  * sums, so partitioning and merge order cannot change them (unlike MG's
+  * borderline evictions). */
+case class CmsSketch(child: Expression, depth: Int, width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  require(depth > 0 && depth <= 16, s"cms_sketch: depth must be in [1,16], got $depth")
+  require(width > 0, s"cms_sketch: width must be positive, got $width")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch needs a string column, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(b: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.asInstanceOf[UTF8String]
+      var r = 0
+      while (r < depth) {
+        b(r * width + SketchHash.cmsIndex(t, r, width)) += 1
+        r += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length) { b(i) += other(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(b.length * 8)
+    bb.asLongBuffer().put(b)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val b = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(b)
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketch =
+    copy(child = newChild)
+  override def prettyName: String = "cms_sketch"
+}
+
+/** Point-query a [[CmsSketch]] counter matrix: min over the `depth`
+  * addressed counters. `depth`/`width` must match the sketch they came
+  * from (the sketch is just an array — the shape is the caller's
+  * contract). Codegen'd: the generated code calls the same
+  * [[SketchHash]] statics as the interpreted path. */
+case class CmsEstimate(left: Expression, right: Expression,
+    depth: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(depth > 0 && width > 0, "cms_estimate: depth/width must be positive")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate needs (array<bigint>, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(sk: Any, t: Any): Any =
+    SketchHash.cmsEstimate(sk.asInstanceOf[ArrayData],
+      t.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, t) =>
+      s"${ev.value} = graft.expressions.SketchHash.cmsEstimate($sk, $t, $depth, $width);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cms_estimate"
+}
+
 object SketchExpressions {
   import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 
@@ -404,4 +532,12 @@ object SketchExpressions {
   /** Bounded top-k (id, score) pairs by rank order (see [[VecTopK]]). */
   def vecTopK(id: Column, score: Column, k: Int): Column =
     column(VecTopK(expression(id), expression(score), k).toAggregateExpression())
+
+  /** Count-min sketch over a string column (see [[CmsSketch]]). */
+  def cmsSketch(term: Column, depth: Int, width: Int): Column =
+    column(CmsSketch(expression(term), depth, width).toAggregateExpression())
+
+  /** Point-query a count-min sketch (see [[CmsEstimate]]). */
+  def cmsEstimate(sketch: Column, term: Column, depth: Int, width: Int): Column =
+    column(CmsEstimate(expression(sketch), expression(term), depth, width))
 }

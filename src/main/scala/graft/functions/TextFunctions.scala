@@ -98,6 +98,23 @@ object TextFunctions {
     * DuckDB oracle bit-identical. */
   def fingerprintMd5(text: Column): Column = md5(text)
 
+  /** Canonical text normalization for fuzzy-exact dedup — the CCNet-style
+    * normalize-then-hash step that catches documents differing only in
+    * case, punctuation, or whitespace, which byte-exact [[fingerprintMd5]]
+    * treats as distinct: lowercase, strip every character outside
+    * `[a-z0-9]` and whitespace, collapse whitespace runs to one space,
+    * trim. Map-only Column math (two codegen'd regex rewrites), so it
+    * rides the scan like the other fingerprints. The character classes
+    * are spelled as explicit ASCII sets (not `\p{Punct}`/`\s`) so any
+    * RE2-family engine reproduces the bytes exactly — which is what makes
+    * the normalized digest oracle-checkable and portable across engines
+    * sharing a corpus. Non-ASCII letters are stripped, not folded —
+    * normalization for matching, not for display. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 \\t\\n\\r]", ""),
+      "[ \\t\\n\\r]+", " "))
+
   /** 64-bit rolling polynomial fingerprint over characters — base-31 mod
     * 2^40 left fold, matching [[RollingHash.fingerprint]] exactly. */
   def fingerprintRolling(text: Column): Column =

@@ -123,6 +123,33 @@ object Decontaminate {
     train.join(broadcast(contaminatedIds), Seq(idCol), "left_anti")
   }
 
+  /** Per-document overlap FRACTION: distinct overlapping n-grams over
+    * distinct n-grams, for every train document (zero-overlap docs
+    * included at 0.0) — the graded signal behind [[contamination]]'s
+    * absolute counts. The PaLM/GPT-4-style procedure gates on a fraction
+    * ("drop if more than X% of the document's grams appear in an eval
+    * set"), not a count: a 10-gram hit means something different in a
+    * tweet than in a book. Output: (<idCol>, n_grams, n_hit, overlap_frac).
+    *
+    * Scale shape: the denominator and numerator come from ONE pass over
+    * the exploded distinct grams (the broadcast eval join is a LEFT join,
+    * so non-hits survive to the count) — the train side shuffles only
+    * (id, 16-byte digest) rows into the per-doc aggregate, and docs with
+    * no grams at all are absent by construction (no 0/0). */
+  def overlapFraction(train: DataFrame, idCol: String, textCol: String,
+      evalDigests: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"gram length must be >= 1, got $n")
+    val grams = train.select(col(idCol),
+        explode(array_distinct(gramDigests(textCol, n))).as("__g"))
+    grams.join(broadcast(evalDigests.withColumn("__hit", lit(1))),
+        Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hit"))
+      .withColumn("overlap_frac",
+        col("n_hit").cast("double") / col("n_grams"))
+  }
+
   /** The shared map-side pipeline: exploded train gram digests broadcast-
     * hash-joined against the eval digests — one row per contaminated span
     * occurrence, (idCol, __g). */

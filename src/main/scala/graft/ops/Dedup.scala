@@ -132,6 +132,75 @@ object Dedup {
       .select($"id_a", $"id_b", $"containment")
   }
 
+  /** Cross-relation n-gram Jaccard threshold join: `(id_l, id_r, jaccard)`
+    * over pairs drawn one from `left`, one from `right`, with word-n-gram
+    * Jaccard `>= threshold` — the R-S generalization of
+    * [[ngramJaccardPairs]]' self-join. This is the FUZZY decontamination
+    * shape: [[Decontaminate]] catches verbatim n-gram overlap spans, but a
+    * lightly paraphrased or truncated eval document shares no exact
+    * 13-gram while its unigram set stays ~90% intact — this join finds
+    * those. Also the "new crawl snapshot vs existing corpus" incremental
+    * dedup step, where self-joining the concatenation would re-verify the
+    * old corpus against itself every snapshot.
+    *
+    * Blocking is the same lossless prefix filter as [[prefixCandidates]],
+    * with ONE shared shingle order across both relations: document
+    * frequencies are counted over the UNION of both sides' shingle sets,
+    * and each side takes its `sz - ceil(t*sz) + 1` rarest shingles under
+    * that common (dcount, tok) total order. The self-join losslessness
+    * proof transfers verbatim — it only needs both members of a qualifying
+    * pair to prefix under the SAME total order (the pair's globally
+    * smallest common shingle then lies inside both prefixes, and the
+    * PPJoin position filter passes at it) — it never uses `id_a < id_b`.
+    * Candidates join prefix-vs-prefix (not prefix-vs-postings: Jaccard
+    * bounds BOTH sizes, unlike [[containmentPairs]]), ids only; hashed
+    * shingle sets re-attach for the exact sorted-merge verify. At 100 TB
+    * the typical shape is a small-ish left (eval suites, fresh crawl
+    * slice) against a huge right: left's prefix frame is dwarfed by
+    * right's, the equi-join shuffles short (tok, id, sz, rk) rows on
+    * rarest-shingle keys, and the df pass over the union is one map-side
+    * combinable count. */
+  def ngramJaccardJoin(left: DataFrame, right: DataFrame,
+      leftPk: String, rightPk: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = left.sparkSession
+    import spark.implicits._
+    import graft.expressions.VectorExpressions.sortedCountCommon
+    val shL = shingleSets(left, leftPk, textCol, n)
+    val shR = shingleSets(right, rightPk, textCol, n)
+    // one shared rarity order: df counts over BOTH relations' sets
+    val dfreq = shL.select($"sh").unionAll(shR.select($"sh"))
+      .select(explode($"sh").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("dcount"))
+    def prefixes(sh: DataFrame) = {
+      val w = Window.partitionBy($"id").orderBy($"dcount", $"tok")
+      sh.select($"id", $"sz", explode($"sh").as("tok"))
+        .join(dfreq, "tok")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= $"sz" - ceil($"sz" * lit(threshold)) + lit(1))
+        .select($"id", $"sz", $"tok", $"rk")
+    }
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) * ($"a.sz" + $"b.sz"))
+    val cand = prefixes(shL).as("a").join(prefixes(shR).as("b"),
+        $"a.tok" === $"b.tok" &&
+          $"b.sz" >= ceil($"a.sz" * lit(threshold)) &&
+          $"a.sz" >= ceil($"b.sz" * lit(threshold)) &&
+          lit(1) + least($"a.sz" - $"a.rk", $"b.sz" - $"b.rk") >= alpha)
+      .select($"a.id".as("id_l"), $"b.id".as("id_r"))
+      .dropDuplicates("id_l", "id_r")
+    cand
+      .join(hashedShingles(shL).select($"id".as("id_l"), $"shh".as("sh_a"),
+        $"sz".as("sz_a")), "id_l")
+      .join(hashedShingles(shR).select($"id".as("id_r"), $"shh".as("sh_b"),
+        $"sz".as("sz_b")), "id_r")
+      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
+      .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_l", $"id_r", $"jaccard")
+  }
+
   /** The blocked candidate stage of [[containmentPairs]] — directed
     * `(id_a, id_b)` pairs where one of a's rarest-prefix shingles hits
     * b's postings under the size band, BEFORE the exact verify. Exposed

@@ -117,4 +117,33 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment:
+    * `shard(id) = argmax over s in [0, nShards) of md5(id ":" s)` — the
+    * stable routing primitive for sharding a corpus across workers,
+    * embedding-index cells, or output files. Properties mod-hashing
+    * (`pmod(hash(id), n)`) lacks:
+    *
+    *  - **Minimal disruption**: dropping shard `k` reassigns ONLY the keys
+    *    that lived on `k` (their runner-up wins; every other key's argmax
+    *    is untouched), and growing `n -> n+1` moves only ~1/(n+1) of keys
+    *    — mod-hashing reshuffles (n-1)/n of the corpus on every resize.
+    *  - **Deterministic + engine-portable**: a pure function of (id,
+    *    shard), reproducible by any system with md5 — oracle-checkable
+    *    bit-for-bit, stable under retries/re-partitioning like
+    *    [[hashSample]].
+    *  - **Map-only**: per-row Column math, no shuffle; `nShards` md5s per
+    *    row is the classic HRW cost and vanishes against the scan at
+    *    realistic shard counts.
+    *
+    * Ties (never in practice: a tie needs an md5 collision between two
+    * suffixed keys) break to the LARGEST shard id — struct max compares
+    * (h, s) lexicographically. */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val scored = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(md5(concat(id.cast("string"), lit(":"), s.cast("string"))
+        .cast("binary")).as("h"), s.as("s")))
+    array_max(scored).getField("s").cast("long")
+  }
 }

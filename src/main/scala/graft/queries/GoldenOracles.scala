@@ -66,6 +66,7 @@ object GoldenOracles {
         "q25_hybrid" -> q25,
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
+        "q118_cms_freq" -> q118For(dir),
         "q77_sketch_rollup" -> q77)
     else always
   }
@@ -202,6 +203,76 @@ object GoldenOracles {
          WHERE NOT EXISTS (SELECT 1 FROM miss
            WHERE m_a = id_a AND m_b = id_b)"""
 
+
+  /** q118 (count-min point estimates): the est column is the engine's CMS
+    * — deterministic (counters are sums: partitioning and merge order
+    * cannot change them) but with no DuckDB twin, so it is DERIVED at
+    * verify time by an independent driver-side replay of the public
+    * algorithm (a plain Scala loop over the collected token stream — not
+    * the aggregate's update/merge code paths); the exact counts, the
+    * top-20 probe pick, and the join all come from DuckDB's own
+    * computation, and the guard — `est_n >= c` (a CMS never undercounts)
+    * AND `est_n <= c + slack` with `slack = ceil(4N/width)` (4x one row's
+    * expected collision mass; the min over 4 rows sits far inside) —
+    * makes the oracle self-auditing: a derivation drifting from the true
+    * counts drops its row and fails the compare. Works at any sf dir with
+    * an active session; the pinned fallback covers sessionless callers at
+    * sf0.01. */
+  private def q118For(dir: String): String =
+    SparkSession.getActiveSession.map { spark =>
+      val depth = 4; val width = 8192
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+        .collect().map(_.getString(0))
+      val counters = new Array[Long](depth * width)
+      toks.foreach { s =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        var r = 0
+        while (r < depth) {
+          counters(r * width +
+            graft.expressions.SketchHash.cmsIndex(u, r, width)) += 1
+          r += 1
+        }
+      }
+      def est(s: String): Long = {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        (0 until depth).map(r => counters(r * width +
+          graft.expressions.SketchHash.cmsIndex(u, r, width))).min
+      }
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      val slack = math.ceil(4.0 * toks.length / width).toLong
+      top.foreach { case (t, c) =>
+        require(est(t) >= c && est(t) <= c + slack,
+          s"q118 self-deriving oracle: derived estimate ${est(t)} for " +
+            s"'$t' outside [$c, ${c + slack}] — CMS invariant broken")
+      }
+      val values = top.map { case (t, _) =>
+        s"('${t.replace("'", "''")}', ${est(t)})" }.mkString(", ")
+      q118With(values, slack)
+    }.getOrElse(q118Pinned)
+
+  private def q118With(values: String, slack: Long): String =
+    s"""WITH tok AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+             x -> len(x) > 0) AS toks FROM documents),
+         trm AS (SELECT unnest(toks) AS term FROM tok),
+         exact AS (SELECT term, count(*) AS c FROM trm
+                   GROUP BY term ORDER BY c DESC, term LIMIT 20),
+         est(e_term, est_n) AS (VALUES $values)
+         SELECT term, CAST(c AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n
+         FROM exact JOIN est ON term = e_term
+         WHERE est_n >= c AND est_n <= c + $slack"""
+
+  /** Sessionless fallback, pinned against the sf0.01 documents fixture
+    * (regenerate via the q118For derivation if the fixture changes). */
+  private val q118Pinned: String = q118With(
+    "('join', 964), ('hash', 947), ('row', 943), ('batch', 937), " +
+      "('scan', 936), ('column', 934), ('customer', 934), ('filter', 933), " +
+      "('small', 928), ('merge', 918), ('slow', 918), ('order', 912), " +
+      "('vector', 912), ('line', 910), ('data', 908), ('table', 908), " +
+      "('agg', 901), ('value', 897), ('key', 896), ('stream', 888)", 14L)
 
   /** q48 (HLL approximate distinct): the approx column is Spark's HLL++ —
     * deterministic (register max-merge is order/partition-independent) but

@@ -1539,6 +1539,90 @@ object GraftQueries {
       .select(col("n").as("part"), col("r").cast("float").as("rank"))
   }
 
+  /** Cross-relation fuzzy decontamination ([[Dedup.ngramJaccardJoin]]):
+    * an eval slice of the corpus (doc_id % 101 == 0) joined against the
+    * disjoint train remainder on unigram Jaccard >= 0.8 — the
+    * paraphrase-robust complement of q45's verbatim n-gram
+    * decontamination, and the "new snapshot vs existing corpus"
+    * incremental dedup shape (R-S, never a self-join over the
+    * concatenation). Oracle: naive quadratic cross join with the same
+    * intersection-over-union double math as q15's. */
+  def q119CrossJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Dedup.ngramJaccardJoin(
+        docs.filter(col("doc_id") % 101 === 0),
+        docs.filter(col("doc_id") % 101 =!= 0),
+        "doc_id", "doc_id", "text", n = 1, threshold = 0.8)
+      .select(col("id_l").as("eval_id"), col("id_r").as("train_id"),
+        col("jaccard"))
+  }
+
+  /** Count-min point-frequency estimates
+    * ([[graft.expressions.CmsSketch]] / [[graft.expressions.CmsEstimate]]):
+    * ONE 4x8192 counter matrix over the whole token stream (fixed 256 KiB
+    * of state per partial buffer, merged element-wise — the mergeable
+    * point-query sibling of q71's Misra-Gries top-k), probed at the exact
+    * top-20 terms. Output (term, exact_n, est_n): the exact side doubles
+    * as the probe-term pick and the oracle's audit column. At 100 TB the
+    * sketch replaces a vocabulary-wide shuffle with a 256 KiB reduce;
+    * estimates never undercount and overcount by at most ~N/width per row
+    * (min over 4 rows). Oracle: self-deriving golden — an independent
+    * driver-side replay of the public CMS construction, guarded against
+    * DuckDB's own exact counts (the q48 pattern). */
+  def q118CmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchExpressions
+    val toks = t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val sk = toks.agg(SketchExpressions.cmsSketch(col("term"),
+      depth = 4, width = 8192).as("sk"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), asc("term")).limit(20)
+    top.crossJoin(broadcast(sk))
+      .select(col("term"), col("exact_n"),
+        SketchExpressions.cmsEstimate(col("sk"), col("term"),
+          depth = 4, width = 8192).as("est_n"))
+  }
+
+  /** Normalized-form exact dedup ([[graft.functions.TextFunctions.normalizeText]]
+    * + md5): documents grouped by the digest of their canonicalized text —
+    * the fuzzy-exact tier between q14's byte-exact dedup and q15's Jaccard,
+    * catching case/punctuation/whitespace variants at exact-dedup cost (one
+    * 16-byte-key shuffle with map-side partial aggregation; normalization
+    * itself rides the scan). Oracle: the same two regex rewrites + md5 in
+    * DuckDB — the explicit ASCII character classes make the bytes agree
+    * across engines. */
+  def q120NormDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(fingerprintMd5(normalizeText(col("text"))).as("norm_digest"),
+        col("doc_id"))
+      .groupBy("norm_digest")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_id"))
+
+  /** Rendezvous-hash shard routing ([[Sampling.rendezvousShard]]): each
+    * document assigned to one of 8 shards by highest-random-weight md5 —
+    * the elastic-resharding primitive (removing a shard strands only that
+    * shard's keys; mod-hashing would move 7/8 of the corpus). Map-only;
+    * the oracle replays the argmax as a per-doc rank over the 8 suffixed
+    * md5s. */
+  def q121HrwShard(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        Sampling.rendezvousShard(col("doc_id"), nShards = 8).as("shard"))
+
+  /** Graded contamination: per-train-doc fraction of distinct 4-grams
+    * present in the eval set ([[Decontaminate.overlapFraction]]) — the
+    * PaLM-style fractional gate behind q45's absolute counts; zero-overlap
+    * docs appear at 0.0 so the output is a per-document SCORE (join it to
+    * a threshold, don't re-derive absence). Same src0-as-eval convention
+    * and gram math as q45. */
+  def q122OverlapFrac(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val evalDigests = Decontaminate.evalGramDigests(
+      docs.filter(col("source") === "src0"), "text", n = 4)
+    Decontaminate.overlapFraction(docs.filter(col("source") =!= "src0"),
+      "doc_id", "text", evalDigests, n = 4)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2139,5 +2223,10 @@ object GraftQueries {
     "q114_bigram_lm" -> (q114BigramLm _),
     "q115_keep_best" -> (q115KeepBest _),
     "q116_bfs_hops" -> (q116BfsHops _),
-    "q117_ppr" -> (q117Ppr _))
+    "q117_ppr" -> (q117Ppr _),
+    "q118_cms_freq" -> (q118CmsFreq _),
+    "q119_cross_jaccard" -> (q119CrossJaccard _),
+    "q120_norm_dedup" -> (q120NormDedup _),
+    "q121_hrw_shard" -> (q121HrwShard _),
+    "q122_overlap_frac" -> (q122OverlapFrac _))
 }

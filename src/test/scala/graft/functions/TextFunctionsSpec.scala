@@ -170,4 +170,22 @@ class TextFunctionsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       T.tokenChunks(col("t"), 0, 0)
   }
+
+  test("normalizeText: case, punctuation, whitespace, non-ASCII, idempotence") {
+    import spark.implicits._
+    val cases = Seq(
+      "Hello, World!"            -> "hello world",
+      "  a\t\tb\nc  "            -> "a b c",
+      "A.B.C's  ---  d_e"        -> "abcs de",
+      "café résumé" -> "caf rsum", // non-ASCII stripped, not folded
+      "!!!"                      -> "",
+      "same text"                -> "same text")
+    val got = cases.map(_._1).toDF("t")
+      .select(T.normalizeText(col("t"))).collect().map(_.getString(0))
+    got.toSeq shouldBe cases.map(_._2)
+    // idempotent: normalizing a normalized string is a no-op
+    val twice = cases.map(_._2).toDF("t")
+      .select(T.normalizeText(col("t"))).collect().map(_.getString(0))
+    twice.toSeq shouldBe cases.map(_._2)
+  }
 }

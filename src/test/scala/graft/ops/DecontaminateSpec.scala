@@ -148,4 +148,45 @@ class DecontaminateSpec extends SparkSpec {
       Decontaminate.contaminationBloom(train, "doc_id", "text", ev, 3,
         fpp = 1.5)
   }
+
+  test("overlapFraction: distinct-gram fraction, zero-overlap docs at 0.0, " +
+      "sub-gram docs absent") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b x y z c d x y z"), // grams: 8 raw, 7 distinct ("x y z" twice)
+      (2L, "p q r s t u v"),       // zero overlap, 5 distinct grams
+      (3L, "x y")                  // < 3 tokens: no 3-grams, absent
+    ).toDF("doc_id", "text")
+    val ev = Decontaminate.evalGramDigests(
+      Seq((100L, "m n x y z k")).toDF("doc_id", "text"), "text", n = 3)
+    val out = Decontaminate.overlapFraction(train, "doc_id", "text", ev, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe ((7L, 1L, 1.0 / 7.0)) // "x y z" is the one shared gram
+    out(2L) shouldBe ((5L, 0L, 0.0))
+  }
+
+  test("overlapFraction matches brute force on a seeded random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def doc(n: Int) = (0 until n).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    val trainRows = (1L to 80L).map(i => (i, doc(4 + rnd.nextInt(20))))
+    val evalRows = (1L to 10L).map(i => (i, doc(4 + rnd.nextInt(20))))
+    def grams(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(4).filter(_.size == 4).map(_.mkString(" ")).toSet
+    val evalGrams = evalRows.flatMap(r => grams(r._2)).toSet
+    val want = trainRows.map { case (id, t) =>
+      val g = grams(t)
+      id -> ((g.size.toLong, g.count(evalGrams).toLong,
+        g.count(evalGrams).toDouble / g.size))
+    }.filter(_._2._1 > 0).toMap
+    val ev = Decontaminate.evalGramDigests(
+      evalRows.toDF("doc_id", "text"), "text", n = 4)
+    val got = Decontaminate.overlapFraction(
+        trainRows.toDF("doc_id", "text"), "doc_id", "text", ev, n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got shouldBe want
+  }
 }

@@ -123,6 +123,52 @@ class DedupSpec extends SparkSpec {
     got(smallDf, 0.9, "auto") shouldBe wantSmall
   }
 
+  test("ngramJaccardJoin equals brute force cross product (synthetic + fixture)") {
+    import spark.implicits._
+    def brute(l: Seq[(Long, String)], r: Seq[(Long, String)],
+        t: Double): Set[(Long, Long)] = {
+      def sets(rows: Seq[(Long, String)]) = rows.map { case (id, txt) =>
+        id -> txt.split("\\s+").filter(_.nonEmpty).toSet
+      }.filter(_._2.nonEmpty)
+      (for {
+        (il, sl) <- sets(l); (ir, sr) <- sets(r)
+        if sl.intersect(sr).size.toDouble / sl.union(sr).size >= t
+      } yield (il, ir)).toSet
+    }
+    def got(l: Seq[(Long, String)], r: Seq[(Long, String)],
+        t: Double): Set[(Long, Long)] =
+      Dedup.ngramJaccardJoin(l.toDF("doc_id", "text"), r.toDF("doc_id", "text"),
+          "doc_id", "doc_id", "text", n = 1, threshold = t)
+        .select("id_l", "id_r").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+
+    // large-vocab synthetic: left gets one member of each near-dup pair,
+    // right the other, plus right-only noise — the prefix filter's corpus
+    val left = (1L to 40L).map { k =>
+      (k, (1 to 10).map(i => s"w${k}_$i").mkString(" ")) }
+    val right = (1L to 40L).map { k =>
+      (1000 + k, ((1 to 10).map(i => s"w${k}_$i").drop(1) :+ s"x$k").mkString(" ")) } ++
+      (1L to 40L).map { k => (2000 + k, (1 to 10).map(i => s"n${k}_$i").mkString(" ")) }
+    val want = brute(left, right, 0.8)
+    want.nonEmpty shouldBe true
+    got(left, right, 0.8) shouldBe want
+
+    // fixture sample split by id parity (the q119 shape at toy scale) —
+    // small shared vocabulary, the prefix filter's adversarial regime:
+    // losslessness must hold regardless
+    val rows = docs.select("doc_id", "text").limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (fl, fr) = rows.partition(_._1 % 2 == 0)
+    val wantF = brute(fl, fr, 0.9)
+    wantF.nonEmpty shouldBe true
+    got(fl, fr, 0.9) shouldBe wantF
+
+    // a doc present in BOTH relations meets itself (cross-relation join has
+    // no self-pair exclusion — by contract)
+    val dup = Seq((7L, "alpha beta gamma"))
+    got(dup, Seq((9L, "alpha beta gamma")), 1.0) shouldBe Set((7L, 9L))
+  }
+
   test("minhash pairs approximate exact jaccard pairs (recall/precision)") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1,
       threshold = 0.9).select("id_a", "id_b").collect()

@@ -160,4 +160,42 @@ class SamplingSpec extends SparkSpec {
     // one hash exchange on the key feeds the window sort; no second shuffle
     "Exchange".r.findAllIn(plan).size shouldBe 1
   }
+
+  test("rendezvousShard: in range, deterministic, partition-invariant") {
+    val a = ids.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.values.foreach { s => s should be >= 0L; s should be < 8L }
+    val b = ids.repartition(13).select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    b shouldBe a
+    // every shard gets work, and no shard hogs: 20k keys over 8 shards,
+    // binomial 5-sigma band around 2500
+    val byShard = a.values.groupBy(identity).view.mapValues(_.size)
+    byShard.size shouldBe 8
+    byShard.values.foreach(n => n.toDouble shouldBe 2500.0 +- 250.0)
+  }
+
+  test("rendezvousShard: dropping the last shard moves ONLY its keys " +
+      "(minimal disruption, the property mod-hashing lacks)") {
+    val with8 = ids.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val with7 = ids.select(col("id"),
+        Sampling.rendezvousShard(col("id"), 7).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    with8.foreach { case (id, s8) =>
+      if (s8 < 7) with7(id) shouldBe s8 // survivors keep their argmax
+      else with7(id) should be < 7L     // orphans land on a runner-up
+    }
+    // contrast: mod-hashing would move ~(n-1)/n of ALL keys on the resize
+    val moved = with8.count { case (id, s8) => with7(id) != s8 }
+    moved shouldBe with8.count(_._2 == 7L)
+  }
+
+  test("rendezvousShard rejects a non-positive shard count") {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.rendezvousShard(col("id"), 0)
+  }
 }
