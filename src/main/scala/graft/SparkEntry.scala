@@ -315,6 +315,9 @@ object SparkEntry {
            CAST(count(ev.gram) AS DOUBLE) / count(*) AS overlap_frac
          FROM tr LEFT JOIN ev ON tr.gram = ev.gram
          GROUP BY tr.doc_id""",
+    "q123_k_anonymity" -> // literal HAVING mirror of the small-group audit
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n
+         FROM documents GROUP BY lang, source HAVING count(*) < 15""",
     "q107_containment" -> // q15's tokenization, |a∩b| / |a| directed
       """WITH tok AS (SELECT doc_id,
              list_distinct(list_filter(string_split_regex(text, '\s+'),

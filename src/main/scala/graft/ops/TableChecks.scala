@@ -49,4 +49,25 @@ object TableChecks {
     * — unknown is not accepted). */
   def satisfies(df: DataFrame, accept: Column, label: String): DataFrame =
     row(label, count(when(!coalesce(accept, lit(false)), 1)), df)
+
+  /** k-anonymity audit (Sweeney 2002): every quasi-identifier group with
+    * fewer than `k` rows — the combinations that re-identify individuals
+    * by attribute intersection alone, the privacy gate a training corpus
+    * with user-derived metadata runs before release. Returns the violating
+    * groups themselves, `(quasiCols..., group_n)`, not just a count:
+    * remediation (suppress / generalize / drop) needs the group identity.
+    * Null attribute values form groups of their own (SQL GROUP BY
+    * semantics — a null quasi tuple re-identifies like any other rare
+    * tuple).
+    *
+    * Scale shape: one map-side-combinable count shuffle on the quasi
+    * tuple; the output is bounded by the number of SMALL groups, which is
+    * what makes auditing a 100 TB corpus tractable — the well-populated
+    * mass aggregates away map-side and filters out. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(k > 1, s"k must be > 1 (k=1 is vacuous), got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") < k)
+  }
 }

@@ -1623,6 +1623,16 @@ object GraftQueries {
       "doc_id", "text", evalDigests, n = 4)
   }
 
+  /** k-anonymity audit ([[TableChecks.kAnonymity]]): (lang, source)
+    * quasi-identifier groups with fewer than 15 documents — the
+    * re-identifiable combinations a corpus with user-derived metadata
+    * must suppress or generalize before release. One count shuffle;
+    * output bounded by the number of SMALL groups (the big mass
+    * aggregates away map-side). */
+  def q123KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    TableChecks.kAnonymity(t(spark, dir, "documents"),
+      Seq("lang", "source"), k = 15)
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2228,5 +2238,6 @@ object GraftQueries {
     "q119_cross_jaccard" -> (q119CrossJaccard _),
     "q120_norm_dedup" -> (q120NormDedup _),
     "q121_hrw_shard" -> (q121HrwShard _),
-    "q122_overlap_frac" -> (q122OverlapFrac _))
+    "q122_overlap_frac" -> (q122OverlapFrac _),
+    "q123_k_anonymity" -> (q123KAnonymity _))
 }

@@ -67,6 +67,14 @@ class CmsSketchSpec extends SparkSpec {
     probes.foreach { t => viaDf(t) shouldBe replay(t) }
   }
 
+  test("partial aggregation: the exchange carries counter matrices, not rows") {
+    val plan = zipf.repartition(6)
+      .agg(SketchExpressions.cmsSketch(col("term"), depth, width))
+      .queryExecution.executedPlan.toString
+    plan should include("partial_cms_sketch")
+    plan should include("cms_sketch")
+  }
+
   test("guards: wrong input type, bad shape parameters") {
     import spark.implicits._
     an[Exception] should be thrownBy

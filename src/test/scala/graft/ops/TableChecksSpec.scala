@@ -49,6 +49,22 @@ class TableChecksSpec extends SparkSpec {
       Map("pos" -> 2L)
   }
 
+  test("kAnonymity: small groups surface with identity, null tuples are " +
+      "groups, well-populated groups filter out") {
+    import spark.implicits._
+    val t = (Seq.fill(5)(("en", "a")) ++ Seq(("en", "b"), ("en", "b")) ++
+        Seq(("fr", null)) ++ Seq.fill(3)((null, "a")))
+      .toDF("lang", "source")
+    val got = TableChecks.kAnonymity(t, Seq("lang", "source"), k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // ("en","a") has 5 >= 4 rows -> absent; the rest are re-identifiable
+    got shouldBe Map(("en", "b") -> 2L, ("fr", null) -> 1L,
+      ((null, "a"): (String, String)) -> 3L)
+    an[IllegalArgumentException] should be thrownBy
+      TableChecks.kAnonymity(t, Seq("lang"), k = 1)
+  }
+
   test("a suite unions into one (chk, violations) frame") {
     import spark.implicits._
     val t = Seq(1L, 1L).toDF("id")

@@ -272,6 +272,35 @@ class PlanShapeSpec extends SparkSpec {
         nClusters = 8))
   }
 
+  test("q119: cross-relation jaccard blocking join carries ids only") {
+    spark.sqlContext.clearCache()
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    assertBlockingJoinsIdsOnly(graft.ops.Dedup.ngramJaccardJoin(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "doc_id", "text", n = 1, threshold = 0.9))
+  }
+
+  test("q121: rendezvous sharding is map-only — no exchange at all") {
+    val p = plan("q121_hrw_shard")
+    (p should not).include("Exchange")
+  }
+
+  test("q122: overlap fraction broadcasts the eval digests; text never " +
+      "rides a join input") {
+    spark.sqlContext.clearCache()
+    val df = GraftQueries.all("q122_overlap_frac")(spark, TestSpark.sf0001)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    joins should not be empty
+    for (j <- joins; side <- Seq(j.left, j.right))
+      side.output.map(_.name) should not contain "text"
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    p should include("BroadcastHashJoin")
+  }
+
   test("q113/q114: text-stats joins ship ids, terms and doubles — raw text " +
       "and token arrays never ride a join input") {
     spark.sqlContext.clearCache()
