@@ -94,7 +94,14 @@ object Bench {
     // the posting join ~all-pairs, 448M candidates at sf0.1 — a fixture
     // artifact, not the operator's shape); its scale row runs on the
     // large-vocab synthetic corpus as x_tfidf_50k
-    "q114_bigram_lm", "q115_keep_best")
+    "q114_bigram_lm", "q115_keep_best",
+    // round-7 continuation additions (new anchors): count-min sketch
+    // build + probe (two token-explode passes: one 256 KiB-state sketch
+    // reduce, one exact top-20 pick), cross-relation jaccard join (the
+    // eval-vs-train R-S prefix filter; small left, 101x larger right),
+    // normalize-then-hash dedup (map-only regex rewrite + 16-byte-key
+    // shuffle). q121/q122/q123 are scan-trivial — oracled, not anchored
+    "q118_cms_freq", "q119_cross_jaccard", "q120_norm_dedup")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -143,34 +143,77 @@ object Dedup {
     * dedup step, where self-joining the concatenation would re-verify the
     * old corpus against itself every snapshot.
     *
-    * Blocking is the same lossless prefix filter as [[prefixCandidates]],
-    * with ONE shared shingle order across both relations: document
-    * frequencies are counted over the UNION of both sides' shingle sets,
-    * and each side takes its `sz - ceil(t*sz) + 1` rarest shingles under
-    * that common (dcount, tok) total order. The self-join losslessness
-    * proof transfers verbatim — it only needs both members of a qualifying
-    * pair to prefix under the SAME total order (the pair's globally
-    * smallest common shingle then lies inside both prefixes, and the
-    * PPJoin position filter passes at it) — it never uses `id_a < id_b`.
-    * Candidates join prefix-vs-prefix (not prefix-vs-postings: Jaccard
-    * bounds BOTH sizes, unlike [[containmentPairs]]), ids only; hashed
-    * shingle sets re-attach for the exact sorted-merge verify. At 100 TB
+    * Both [[ngramJaccardPairs]] blockers generalize, under the same
+    * `auto` rule (vocabulary vs combined corpus size, measured on the
+    * union):
+    *   - `"prefix"` — the lossless prefix filter with ONE shared shingle
+    *     order across both relations: document frequencies are counted
+    *     over the UNION of both sides' shingle sets, and each side takes
+    *     its `sz - ceil(t*sz) + 1` rarest shingles under that common
+    *     (dcount, tok) total order. The self-join losslessness proof
+    *     transfers verbatim — it only needs both members of a qualifying
+    *     pair to prefix under the SAME total order (the pair's globally
+    *     smallest common shingle then lies inside both prefixes, and the
+    *     PPJoin position filter passes at it) — it never uses
+    *     `id_a < id_b`. Candidates join prefix-vs-prefix (not
+    *     prefix-vs-postings: Jaccard bounds BOTH sizes, unlike
+    *     [[containmentPairs]]), ids only.
+    *   - `"size"` — the degenerate-vocabulary fallback: the left explodes
+    *     its admissible partner-size band `ceil(t*sz) .. floor(sz/t)`,
+    *     the right is salted; one equi-join on (size, salt), no df pass.
+    * Hashed shingle sets re-attach for the exact sorted-merge verify
+    * either way, so the result is exact regardless of blocker. At 100 TB
     * the typical shape is a small-ish left (eval suites, fresh crawl
-    * slice) against a huge right: left's prefix frame is dwarfed by
-    * right's, the equi-join shuffles short (tok, id, sz, rk) rows on
-    * rarest-shingle keys, and the df pass over the union is one map-side
-    * combinable count. */
+    * slice) against a huge right on a real large-vocab corpus: auto lands
+    * on prefix, left's prefix frame is dwarfed by right's, the equi-join
+    * shuffles short (tok, id, sz, rk) rows on rarest-shingle keys, and
+    * the df pass over the union is one map-side combinable count. */
   def ngramJaccardJoin(left: DataFrame, right: DataFrame,
       leftPk: String, rightPk: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      blocking: String = "auto", saltR: Int = 8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(Set("auto", "prefix", "size")(blocking),
+      s"blocking must be auto|prefix|size, got $blocking")
     val spark = left.sparkSession
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
     val shL = shingleSets(left, leftPk, textCol, n)
     val shR = shingleSets(right, rightPk, textCol, n)
-    // one shared rarity order: df counts over BOTH relations' sets
+    // the self-join's auto rule, on the union: prefix filtering needs a
+    // vocabulary at least as large as the combined corpus to make
+    // shingles rare; a tiny shared vocabulary -> size banding (one
+    // equi-join, no df pass)
+    val block =
+      if (blocking != "auto") blocking
+      else {
+        val vocab = shL.select($"sh").unionAll(shR.select($"sh"))
+          .select(explode($"sh").as("tok"))
+          .agg(approx_count_distinct($"tok")).head().getLong(0)
+        if (vocab >= shL.count() + shR.count()) "prefix" else "size"
+      }
+    val cand = if (block == "prefix") crossPrefixCandidates(shL, shR, threshold)
+               else crossSizeBandCandidates(shL, shR, threshold, saltR)
+    cand
+      .join(hashedShingles(shL).select($"id".as("id_l"), $"shh".as("sh_a"),
+        $"sz".as("sz_a")), "id_l")
+      .join(hashedShingles(shR).select($"id".as("id_r"), $"shh".as("sh_b"),
+        $"sz".as("sz_b")), "id_r")
+      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
+      .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_l", $"id_r", $"jaccard")
+  }
+
+  /** [[prefixCandidates]] across two relations: one shared rarity order
+    * (df counts over the union), each side prefixes under it, prefix-vs-
+    * prefix equi-join with both size bands + the position filter. No
+    * `id < id` constraint — (l, r) pairs are directed by relation. */
+  private def crossPrefixCandidates(shL: DataFrame, shR: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = shL.sparkSession
+    import spark.implicits._
     val dfreq = shL.select($"sh").unionAll(shR.select($"sh"))
       .select(explode($"sh").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("dcount"))
@@ -183,22 +226,34 @@ object Dedup {
         .select($"id", $"sz", $"tok", $"rk")
     }
     val alpha = ceil(lit(threshold / (1.0 + threshold)) * ($"a.sz" + $"b.sz"))
-    val cand = prefixes(shL).as("a").join(prefixes(shR).as("b"),
+    prefixes(shL).as("a").join(prefixes(shR).as("b"),
         $"a.tok" === $"b.tok" &&
           $"b.sz" >= ceil($"a.sz" * lit(threshold)) &&
           $"a.sz" >= ceil($"b.sz" * lit(threshold)) &&
           lit(1) + least($"a.sz" - $"a.rk", $"b.sz" - $"b.rk") >= alpha)
       .select($"a.id".as("id_l"), $"b.id".as("id_r"))
       .dropDuplicates("id_l", "id_r")
-    cand
-      .join(hashedShingles(shL).select($"id".as("id_l"), $"shh".as("sh_a"),
-        $"sz".as("sz_a")), "id_l")
-      .join(hashedShingles(shR).select($"id".as("id_r"), $"shh".as("sh_b"),
-        $"sz".as("sz_b")), "id_r")
-      .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
-      .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
-      .filter($"jaccard" >= threshold)
-      .select($"id_l", $"id_r", $"jaccard")
+  }
+
+  /** [[sizeBandCandidates]] across two relations: the left explodes one
+    * probe row per admissible right size (`ceil(t*sz) .. floor(sz/t)` —
+    * both directions of the band in one explode), the right is salted
+    * `saltR` ways; pairs unique by construction (one bucket matches a
+    * right doc's exact size). */
+  private def crossSizeBandCandidates(shL: DataFrame, shR: DataFrame,
+      threshold: Double, saltR: Int): DataFrame = {
+    val spark = shL.sparkSession
+    import spark.implicits._
+    val probe = shL.select($"id", $"sz")
+      .withColumn("bucket", explode(sequence(
+        ceil($"sz" * lit(threshold)).cast("int"),
+        floor($"sz" / lit(threshold)).cast("int"))))
+      .withColumn("salt", explode(array((0 until saltR).map(lit(_)): _*)))
+    val build = shR.select($"id", $"sz")
+      .withColumn("salt", pmod(xxhash64($"id"), lit(saltR)).cast("int"))
+    probe.as("a").join(build.as("b"),
+        $"a.bucket" === $"b.sz" && $"a.salt" === $"b.salt")
+      .select($"a.id".as("id_l"), $"b.id".as("id_r"))
   }
 
   /** The blocked candidate stage of [[containmentPairs]] — directed

@@ -135,12 +135,19 @@ class DedupSpec extends SparkSpec {
         if sl.intersect(sr).size.toDouble / sl.union(sr).size >= t
       } yield (il, ir)).toSet
     }
-    def got(l: Seq[(Long, String)], r: Seq[(Long, String)],
-        t: Double): Set[(Long, Long)] =
+    def got1(l: Seq[(Long, String)], r: Seq[(Long, String)],
+        t: Double, blocking: String): Set[(Long, Long)] =
       Dedup.ngramJaccardJoin(l.toDF("doc_id", "text"), r.toDF("doc_id", "text"),
-          "doc_id", "doc_id", "text", n = 1, threshold = t)
+          "doc_id", "doc_id", "text", n = 1, threshold = t,
+          blocking = blocking)
         .select("id_l", "id_r").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
+    def got(l: Seq[(Long, String)], r: Seq[(Long, String)],
+        t: Double): Set[(Long, Long)] = {
+      val byBlocker = Seq("prefix", "size", "auto").map(got1(l, r, t, _))
+      byBlocker.distinct.size shouldBe 1 // both blockers + auto agree
+      byBlocker.head
+    }
 
     // large-vocab synthetic: left gets one member of each near-dup pair,
     // right the other, plus right-only noise — the prefix filter's corpus
