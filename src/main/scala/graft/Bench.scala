@@ -666,6 +666,52 @@ object Bench {
     } catch { case _: Throwable => Seq("x_tfidf_50k" -> -1.0) }
   }
 
+  /** Cross-relation jaccard join candidate growth (50k -> 200k docs) on
+    * the large-vocab synthetic corpus — OPT-IN (`only=x_cross`), the §c8
+    * discipline for the round-7 R-S join: left = a ~1/64 hash slice (the
+    * eval-suite / fresh-snapshot shape), right = the rest, prefix
+    * blocking forced (what auto picks on a real corpus). Logged
+    * candidates/left-doc is the scale claim under test: the shared-order
+    * rarest-shingle prefixes keep posting hits short as BOTH relations
+    * grow, so the ratio should stay flat across the 4x step. */
+  private def crossJaccardBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    try {
+      Seq(50000, 200000).flatMap { nDocs =>
+        val synth = DedupStress.syntheticDocs(spark, nDocs)
+          .repartition(32).persist()
+        val n = synth.count()
+        val isLeft = pmod(xxhash64(col("doc_id")), lit(64)) === 0
+        val left = synth.filter(isLeft).persist()
+        val right = synth.filter(!isLeft).persist()
+        val nl = left.count(); right.count()
+        val cand = Dedup.crossPrefixCandidates(
+          Dedup.shingleSets(left, "doc_id", "text", 1),
+          Dedup.shingleSets(right, "doc_id", "text", 1), 0.9).count()
+        System.err.println(f"[bench] x_cross_jaccard_${n / 1000}%dk " +
+          f"nLeft=$nl%d candidates/leftDoc=${cand.toDouble / nl}%.3f")
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          val t = timed(force(Dedup.ngramJaccardJoin(left, right,
+            "doc_id", "doc_id", "text", n = 1, threshold = 0.9,
+            blocking = "prefix")))
+          System.err.println(f"[bench] x_cross_jaccard_${n / 1000}%dk " +
+            f"rep$i%d wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          t
+        }
+        val tag = s"x_cross_jaccard_${n / 1000}k"
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        left.unpersist(); right.unpersist(); synth.unpersist()
+        Seq(tag -> t)
+      }
+    } catch { case _: Throwable => Seq("x_cross_jaccard" -> -1.0) }
+  }
+
   private def scaledFuzzy600Bench(spark: SparkSession,
       recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : Seq[(String, Double)] = {
@@ -937,6 +983,11 @@ object Bench {
       if (only.exists(_.contains("x_containment")))
         scaledContainmentBench(spark, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only: cross-relation jaccard candidate growth (50k -> 200k)
+    val crossJac =
+      if (only.exists(_.contains("x_cross")))
+        crossJaccardBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
     // anchored k=2 fuzzy row: full bench or `only=x_fuzzy_k2`
     val fuzzyK2 =
       if (wantExtra("x_fuzzy_k2"))
@@ -953,11 +1004,11 @@ object Bench {
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
       vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ fuzzyK2 ++ tfidf
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ fuzzyK2 ++ tfidf
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated

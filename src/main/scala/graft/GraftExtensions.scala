@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomMightContainLong, MgTopK, MinHashSignature, SimHash64, SortedCountCommon, VecDot, VecTopK}
+import graft.expressions.{BloomMightContainLong, CmsEstimate, CmsSketch, MgTopK, MinHashSignature, SimHash64, SortedCountCommon, VecDot, VecTopK}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -16,9 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * functions: `vec_dot(a, b)`, `vec_cosine(a, b)` (alias of dot for
   * unit-norm vectors), `sorted_count_common(a, b)`,
   * `minhash_sig(shingles, num_hashes)`, `simhash64(tokens)`,
-  * `bloom_might_contain_long(x, bloom)` (bloom a binary literal), and the
-  * aggregates `mg_topk(term, capacity)` and `vec_topk(id, score, k)`
-  * (capacity/k literals).
+  * `bloom_might_contain_long(x, bloom)` (bloom a binary literal),
+  * `cms_estimate(sketch, term, depth, width)`, and the aggregates
+  * `mg_topk(term, capacity)`, `vec_topk(id, score, k)`, and
+  * `cms_sketch(term, depth, width)` (capacity/k/depth/width literals).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -64,6 +65,25 @@ object GraftFunctions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),
+    ("cms_sketch", // aggregate: count-min counter matrix (row-major)
+      new ExpressionInfo(classOf[CmsSketch].getName, null, "cms_sketch"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3 && intLiteral(es(1)) && intLiteral(es(2)),
+          "cms_sketch(term, depth, width) needs non-null integral literal " +
+            "depth and width")
+        CmsSketch(es(0), es(1).eval().asInstanceOf[Number].intValue(),
+          es(2).eval().asInstanceOf[Number].intValue())
+      }),
+    ("cms_estimate", // point-query a cms_sketch result (same depth/width)
+      new ExpressionInfo(classOf[CmsEstimate].getName, null, "cms_estimate"),
+      (es: Seq[Expression]) => {
+        require(es.length == 4 && intLiteral(es(2)) && intLiteral(es(3)),
+          "cms_estimate(sketch, term, depth, width) needs non-null " +
+            "integral literal depth and width")
+        CmsEstimate(es(0), es(1),
+          es(2).eval().asInstanceOf[Number].intValue(),
+          es(3).eval().asInstanceOf[Number].intValue())
+      }),
     ("bloom_might_contain_long", // decontamination's map-side prefilter
       new ExpressionInfo(classOf[BloomMightContainLong].getName, null,
         "bloom_might_contain_long"),

@@ -210,7 +210,7 @@ object Dedup {
     * (df counts over the union), each side prefixes under it, prefix-vs-
     * prefix equi-join with both size bands + the position filter. No
     * `id < id` constraint — (l, r) pairs are directed by relation. */
-  private def crossPrefixCandidates(shL: DataFrame, shR: DataFrame,
+  private[graft] def crossPrefixCandidates(shL: DataFrame, shR: DataFrame,
       threshold: Double): DataFrame = {
     val spark = shL.sparkSession
     import spark.implicits._

@@ -20,7 +20,34 @@ class GraftExtensionsSpec extends SparkSpec {
     // exposes the same builders the registry path uses
     GraftFunctions.all.map(_._1).toSet shouldBe
       Set("vec_dot", "vec_cosine", "sorted_count_common", "mg_topk",
-        "vec_topk", "minhash_sig", "simhash64", "bloom_might_contain_long")
+        "vec_topk", "minhash_sig", "simhash64", "bloom_might_contain_long",
+        "cms_sketch", "cms_estimate")
+  }
+
+  test("cms_sketch / cms_estimate SQL functions match the Column twins " +
+      "and guard non-literal shapes") {
+    import graft.expressions.SketchExpressions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val terms = (0 until 8).flatMap(i => Seq.fill(i + 1)(s"t$i"))
+      .toDF("term")
+    terms.createOrReplaceTempView("g_cms_test")
+    val viaSql = spark.sql(
+      """WITH sk AS (SELECT cms_sketch(term, 4, 64) AS s FROM g_cms_test)
+         SELECT term, cms_estimate(s, term, 4, 64) AS e
+         FROM (SELECT DISTINCT term FROM g_cms_test) CROSS JOIN sk""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = terms.agg(
+      SketchExpressions.cmsSketch(col("term"), 4, 64).as("s"))
+    val viaCol = terms.distinct().crossJoin(sk)
+      .select(col("term"), SketchExpressions.cmsEstimate(col("s"),
+        col("term"), 4, 64).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaSql shouldBe viaCol
+    viaSql.keySet shouldBe (0 until 8).map(i => s"t$i").toSet
+    an[Exception] should be thrownBy
+      spark.sql("SELECT cms_sketch(term, term, 64) FROM g_cms_test").collect()
   }
 
   test("minhash_sig / simhash64 SQL functions match their Column twins") {
