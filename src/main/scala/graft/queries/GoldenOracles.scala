@@ -54,8 +54,17 @@ object GoldenOracles {
     val always = Map("q33_image_pipeline" -> q33,
       "q52_index_pipeline" -> q33,
       "q80_index_refresh" -> q80)
+    // the CMS oracle derives at ANY sf with an active session (q118For);
+    // sessionless it falls back to the sf0.01 pin, and for other dirs the
+    // entries are omitted (driver records the weaker rows-only check)
+    // rather than emitting a wrong-scale pin. q124 drains the SAME sketch
+    // through streaming state; CMS counters are order-invariant sums, so
+    // the result is q118's bit for bit and the oracle is shared verbatim.
+    val cms = q118For(dir)
+      .map(sql => Map("q118_cms_freq" -> sql, "q124_stream_cms" -> sql))
+      .getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ Map(
+      always ++ cms ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -66,9 +75,8 @@ object GoldenOracles {
         "q25_hybrid" -> q25,
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
-        "q118_cms_freq" -> q118For(dir),
         "q77_sketch_rollup" -> q77)
-    else always
+    else always ++ cms
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -217,8 +225,8 @@ object GoldenOracles {
     * makes the oracle self-auditing: a derivation drifting from the true
     * counts drops its row and fails the compare. Works at any sf dir with
     * an active session; the pinned fallback covers sessionless callers at
-    * sf0.01. */
-  private def q118For(dir: String): String =
+    * sf0.01 only (None elsewhere — the caller omits the entry). */
+  private def q118For(dir: String): Option[String] =
     SparkSession.getActiveSession.map { spark =>
       val depth = 4; val width = 8192
       val toks = spark.read.parquet(s"$dir/documents.parquet")
@@ -251,7 +259,7 @@ object GoldenOracles {
       val values = top.map { case (t, _) =>
         s"('${t.replace("'", "''")}', ${est(t)})" }.mkString(", ")
       q118With(values, slack)
-    }.getOrElse(q118Pinned)
+    }.orElse(if (sfPinned(dir)) Some(q118Pinned) else None)
 
   private def q118With(values: String, slack: Long): String =
     s"""WITH tok AS (SELECT list_filter(string_split_regex(text, '\\s+'),

@@ -1921,6 +1921,39 @@ object GraftQueries {
       .limit(10)
   }
 
+  /** Streaming count-min frequency (q118's sketch as stream state): the
+    * token stream drains through `cms_sketch` in complete mode — the
+    * WHOLE state store is ONE 256 KiB counter matrix regardless of
+    * vocabulary (q90's MG story for point queries instead of top-k), and
+    * because CMS counters are order/partition-invariant sums, the drained
+    * result is BIT-IDENTICAL to the batch sketch: the query shares q118's
+    * self-deriving golden oracle verbatim, ungated. Probe terms come from
+    * the batch exact top-20 (the serving-side join, not stream state). */
+  def q124StreamCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.SketchExpressions
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamableDir(spark, dir, "documents"))
+    spark.catalog.dropTempView("q124_stream_cms")
+    val q = stream
+      .select(explode(tokens(col("text"))).as("term"))
+      .agg(SketchExpressions.cmsSketch(col("term"), depth = 4,
+        width = 8192).as("sk"))
+      .writeStream.format("memory").queryName("q124_stream_cms")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sk = spark.table("q124_stream_cms")
+    val toks = t(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), asc("term")).limit(20)
+    top.crossJoin(broadcast(sk))
+      .select(col("term"), col("exact_n"),
+        SketchExpressions.cmsEstimate(col("sk"), col("term"),
+          depth = 4, width = 8192).as("est_n"))
+  }
+
   /** Market-basket co-occurrence ([[GraphOps.coOccurrencePairs]]): part
     * pairs bought together in at least two orders — the affinity-mining
     * primitive behind "frequently bought together". Candidate mass is
@@ -2239,5 +2272,6 @@ object GraftQueries {
     "q120_norm_dedup" -> (q120NormDedup _),
     "q121_hrw_shard" -> (q121HrwShard _),
     "q122_overlap_frac" -> (q122OverlapFrac _),
-    "q123_k_anonymity" -> (q123KAnonymity _))
+    "q123_k_anonymity" -> (q123KAnonymity _),
+    "q124_stream_cms" -> (q124StreamCms _))
 }

@@ -401,4 +401,25 @@ class StreamingSpec extends SparkSpec {
     want should not be empty
     got shouldBe want
   }
+
+  test("streaming cms_sketch over multi-batch arrival equals the batch " +
+      "sketch bit for bit (counters are order-invariant sums)") {
+    import graft.expressions.SketchExpressions
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val terms = (0 until 12).flatMap(i => Seq.fill(i + 1)(s"t$i"))
+    val batchSk = terms.toDF("term")
+      .agg(SketchExpressions.cmsSketch(col("term"), 4, 128).as("sk"))
+      .head().getSeq[Long](0)
+    val stream = MemoryStream[String]
+    val q = stream.toDF().select($"value".as("term"))
+      .agg(SketchExpressions.cmsSketch(col("term"), 4, 128).as("sk"))
+      .writeStream.format("memory").queryName("cms_stream_spec")
+      .outputMode("complete").start()
+    val (a, b) = terms.splitAt(terms.size / 3)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    q.stop()
+    spark.table("cms_stream_spec").head().getSeq[Long](0) shouldBe batchSk
+  }
 }
