@@ -315,6 +315,17 @@ object SparkEntry {
            CAST(count(ev.gram) AS DOUBLE) / count(*) AS overlap_frac
          FROM tr LEFT JOIN ev ON tr.gram = ev.gram
          GROUP BY tr.doc_id""",
+    "q125_vec_profile" -> // 1-based list indexing over a lateral range;
+      // identical sum/n mean and E[x^2]-E[x]^2 population variance —
+      // fold-order float wobble absorbed by the tolerant compare
+      """WITH x AS (SELECT unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS dim FROM embeddings)
+         SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(v AS DOUBLE)) / count(*) AS mean,
+           sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) / count(*)
+             - pow(sum(CAST(v AS DOUBLE)) / count(*), 2) AS variance
+         FROM x GROUP BY dim""",
     "q123_k_anonymity" -> // literal HAVING mirror of the small-group audit
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n
          FROM documents GROUP BY lang, source HAVING count(*) < 15""",

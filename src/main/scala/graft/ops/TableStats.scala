@@ -91,4 +91,25 @@ object TableStats {
         (lit(lo) + (col("bin") + 1) * lit(width)).as("bin_hi"),
         col("n"))
   }
+
+  /** Per-dimension profile of a vector column — `(dim, n, mean,
+    * variance)` — through [[graft.expressions.VecMoments]]'s ONE-pass
+    * element-wise aggregate: the embedding-column sibling of [[profile]],
+    * feeding quantizer grids (SQ ranges, PQ sub-space scaling), drift
+    * monitors, and standardization. The naive `posexplode` +
+    * `groupBy(dim)` shuffles rows x dims rows; this ships one
+    * `16*dim`-byte moment buffer per partition and explodes only the
+    * final dim-long result row. Mean/variance are derived with explicit
+    * `sum/n` arithmetic (population variance `E[x^2] - E[x]^2`) so an
+    * oracle can share the formula term for term. */
+  def vectorProfile(df: DataFrame, vecCol: String): DataFrame =
+    df.agg(graft.expressions.SketchExpressions.vecMoments(col(vecCol))
+        .as("m"))
+      .select(col("m.n").as("n"), col("m.sum").as("s"),
+        col("m.sumsq").as("q"))
+      .select(col("n"), posexplode(arrays_zip(col("s"), col("q"))))
+      .select(col("pos").cast("long").as("dim"), col("n"),
+        (col("col.s") / col("n")).as("mean"),
+        (col("col.q") / col("n") -
+          pow(col("col.s") / col("n"), 2)).as("variance"))
 }

@@ -1633,6 +1633,17 @@ object GraftQueries {
     TableChecks.kAnonymity(t(spark, dir, "documents"),
       Seq("lang", "source"), k = 15)
 
+  /** Vector-column profiling ([[graft.ops.TableStats.vectorProfile]] /
+    * [[graft.expressions.VecMoments]]): per-dimension mean and population
+    * variance of the embeddings table in ONE element-wise aggregate pass
+    * — the stats a quantizer grid or drift monitor reads, without the
+    * rows x dims explode-shuffle. Oracle: DuckDB's 1-based list indexing
+    * over a lateral range, same explicit sum/n arithmetic (float
+    * tolerance absorbs fold order, the q29 rule). */
+  def q125VecProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TableStats.vectorProfile(t(spark, dir, "embeddings"),
+      "embedding")
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2273,5 +2284,6 @@ object GraftQueries {
     "q121_hrw_shard" -> (q121HrwShard _),
     "q122_overlap_frac" -> (q122OverlapFrac _),
     "q123_k_anonymity" -> (q123KAnonymity _),
-    "q124_stream_cms" -> (q124StreamCms _))
+    "q124_stream_cms" -> (q124StreamCms _),
+    "q125_vec_profile" -> (q125VecProfile _))
 }
