@@ -326,6 +326,25 @@ object SparkEntry {
            sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) / count(*)
              - pow(sum(CAST(v AS DOUBLE)) / count(*), 2) AS variance
          FROM x GROUP BY dim""",
+    "q126_change_set" -> // literal FULL OUTER JOIN, same synthetic drift;
+      // COALESCE(a, b) picks the after image for I/U, before image for D
+      """WITH b AS (SELECT p_partkey, p_name, p_retailprice FROM part),
+         a AS (SELECT p_partkey, p_name,
+                 CASE WHEN p_partkey % 10 = 0 THEN p_retailprice + 10.0
+                      ELSE p_retailprice END AS p_retailprice
+               FROM part WHERE p_partkey % 13 <> 0
+               UNION ALL
+               SELECT p_partkey + 1000000, p_name, p_retailprice FROM part
+               WHERE p_partkey % 17 = 0)
+         SELECT COALESCE(a.p_partkey, b.p_partkey) AS p_partkey,
+           COALESCE(a.p_name, b.p_name) AS p_name,
+           COALESCE(a.p_retailprice, b.p_retailprice) AS p_retailprice,
+           CASE WHEN b.p_partkey IS NULL THEN 'I'
+                WHEN a.p_partkey IS NULL THEN 'D' ELSE 'U' END AS op
+         FROM a FULL OUTER JOIN b ON a.p_partkey = b.p_partkey
+         WHERE b.p_partkey IS NULL OR a.p_partkey IS NULL
+           OR a.p_retailprice <> b.p_retailprice
+           OR a.p_name <> b.p_name""",
     "q123_k_anonymity" -> // literal HAVING mirror of the small-group audit
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n
          FROM documents GROUP BY lang, source HAVING count(*) < 15""",

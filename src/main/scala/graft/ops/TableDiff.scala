@@ -43,4 +43,37 @@ object TableDiff {
       .filter(col("status") =!= "unchanged")
       .select(coalesce(col("__pk_b"), col("__pk_a")).as(pk), col("status"))
   }
+
+  /** Derive an I/U/D change set from two snapshots — the inverse of
+    * [[TableMerge.applyChanges]], closing the CDC loop: `diff` says WHAT
+    * moved, this emits the change rows a downstream merge (or
+    * [[graft.streaming.IndexSync]]'s tombstone convention) consumes.
+    * Output: `after`'s columns + `opCol`; I and U rows carry the after
+    * image, D rows carry the last before image (classic CDC delete
+    * semantics — consumers that only need the pk ignore the payload).
+    * Round-trip law (spec-checked): `applyChanges(before, toChangeSet(
+    * before, after)) == after`.
+    *
+    * Scale shape: statuses come from [[diff]]'s digests-only join; the
+    * payload re-attach joins the keys-only status frame back to each
+    * snapshot — bounded by the CHANGE count, which is small in every
+    * regime where emitting a change set beats rewriting the table, and
+    * AQE broadcasts it without being forced (a genuinely huge drift
+    * degrades to a shuffled join instead of a driver OOM). Payload rows
+    * never shuffle on the digest pass. */
+  def toChangeSet(before: DataFrame, after: DataFrame, pk: String,
+      compareCols: Seq[String], opCol: String = "op"): DataFrame = {
+    val st = diff(before, after, pk, compareCols)
+      .select(col(pk).as("__ck"), col("status"))
+    val upserts = after.join(st, after(pk) === col("__ck"))
+      .withColumn(opCol, when(col("status") === "added", "I")
+        .when(col("status") === "changed", "U"))
+      .filter(col(opCol).isNotNull)
+      .select(after.columns.map(col) :+ col(opCol): _*)
+    val deletes = before.join(st.filter(col("status") === "removed"),
+        before(pk) === col("__ck"))
+      .withColumn(opCol, lit("D"))
+      .select(before.columns.map(col) :+ col(opCol): _*)
+    upserts.unionByName(deletes)
+  }
 }

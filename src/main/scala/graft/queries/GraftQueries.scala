@@ -1644,6 +1644,25 @@ object GraftQueries {
     graft.ops.TableStats.vectorProfile(t(spark, dir, "embeddings"),
       "embedding")
 
+  /** Change-set derivation ([[graft.ops.TableDiff.toChangeSet]]): the
+    * inverse of q103's MERGE apply — reconcile two part-snapshot versions
+    * (deterministic synthetic drift: +10 price on pk%10==0, pk%13==0
+    * deleted, pk%17==0 re-keyed as inserts) into the I/U/D rows a
+    * downstream merge consumes. I/U carry the after image, D the last
+    * before image. Oracle: literal FULL OUTER JOIN with the same drift
+    * construction and COALESCE image-pick. */
+  def q126ChangeSet(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+    val after = p.filter(col("p_partkey") % 13 =!= 0)
+      .withColumn("p_retailprice", when(col("p_partkey") % 10 === 0,
+        col("p_retailprice") + 10.0).otherwise(col("p_retailprice")))
+      .unionByName(p.filter(col("p_partkey") % 17 === 0)
+        .withColumn("p_partkey", col("p_partkey") + 1000000L))
+    graft.ops.TableDiff.toChangeSet(p, after, "p_partkey",
+      Seq("p_name", "p_retailprice"))
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2285,5 +2304,6 @@ object GraftQueries {
     "q122_overlap_frac" -> (q122OverlapFrac _),
     "q123_k_anonymity" -> (q123KAnonymity _),
     "q124_stream_cms" -> (q124StreamCms _),
-    "q125_vec_profile" -> (q125VecProfile _))
+    "q125_vec_profile" -> (q125VecProfile _),
+    "q126_change_set" -> (q126ChangeSet _))
 }

@@ -84,4 +84,36 @@ class TableDiffSpec extends SparkSpec {
       out.exists(_.startsWith("__d_")) shouldBe true
     }
   }
+
+  test("toChangeSet: I/U carry the after image, D the before image; " +
+      "applyChanges round-trips to the after snapshot") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val before = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)).toDF("pk", "s", "v")
+    val after = Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 9.0),
+      (5L, "e", 5.0)).toDF("pk", "s", "v")
+    val cs = TableDiff.toChangeSet(before, after, "pk", Seq("s", "v"))
+    val rows = cs.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getString(3)))).toMap
+    rows shouldBe Map(
+      2L -> (("B", 2.0, "U")), // after image
+      4L -> (("d", 9.0, "U")),
+      5L -> (("e", 5.0, "I")),
+      3L -> (("c", 3.0, "D"))) // last before image
+    // the round-trip law: apply the derived set onto before == after
+    val applied = TableMerge.applyChanges(before, cs, "pk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    applied shouldBe after.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // identical snapshots produce an empty change set
+    TableDiff.toChangeSet(before, before, "pk", Seq("s", "v"))
+      .count() shouldBe 0L
+    // and payloads never ride the digest join: the status frame is
+    // keys-only by construction (covered by the digests-only plan test
+    // above, which toChangeSet routes through)
+    cs.columns.toSeq shouldBe Seq("pk", "s", "v", "op")
+  }
 }
