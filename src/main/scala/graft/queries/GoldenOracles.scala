@@ -63,8 +63,10 @@ object GoldenOracles {
     val cms = q118For(dir)
       .map(sql => Map("q118_cms_freq" -> sql, "q124_stream_cms" -> sql))
       .getOrElse(Map.empty)
+    val bpe = q127For(dir)
+      .map(sql => Map("q127_bpe_merges" -> sql)).getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ cms ++ Map(
+      always ++ cms ++ bpe ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -76,7 +78,7 @@ object GoldenOracles {
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
         "q77_sketch_rollup" -> q77)
-    else always ++ cms
+    else always ++ cms ++ bpe
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -281,6 +283,85 @@ object GoldenOracles {
       "('small', 928), ('merge', 918), ('slow', 918), ('order', 912), " +
       "('vector', 912), ('line', 910), ('data', 908), ('table', 908), " +
       "('agg', 901), ('value', 897), ('key', 896), ('stream', 888)", 14L)
+
+  /** q127 (BPE merges): ranks 2+ depend on merged symbols no SQL engine
+    * can recompute without replaying the algorithm, so the oracle is
+    * DERIVED at verify time by an INDEPENDENT plain-Scala replay of the
+    * public construction (fold-based leftmost merge over the collected
+    * word-frequency table — not the engine's Column/aggregate code
+    * paths), emitted as VALUES. Self-audit: the rank-1 row must be an
+    * argmax of DuckDB's OWN first-iteration character-pair counts with
+    * the exact count — a drifted derivation (or a stale pin after a
+    * fixture regeneration) drops that row and fails the compare. */
+  private def q127For(dir: String): Option[String] =
+    SparkSession.getActiveSession.map { spark =>
+      val wf = spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val values = scalaBpe(wf, 8).map { case (rank, l, r, c) =>
+        s"($rank, '${l.replace("'", "''")}', '${r.replace("'", "''")}', $c)"
+      }.mkString(", ")
+      q127With(values)
+    }.orElse(if (sfPinned(dir)) Some(q127Pinned) else None)
+
+  /** Reference BPE in plain Scala: adjacent-pair counts weighted by word
+    * frequency, argmax with (count desc, left asc, right asc) ties,
+    * greedy leftmost merge application. */
+  private def scalaBpe(wf: Seq[(String, Long)],
+      k: Int): Seq[(Int, String, String, Long)] = {
+    def mergeOne(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    var vocab = wf.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toList, f) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.lazyZip(syms.drop(1)).foreach((a, b) => counts((a, b)) += f) }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, c))
+        vocab = vocab.map { case (syms, f) => (mergeOne(syms, l, r), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def q127With(values: String): String =
+    s"""WITH tok AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+             x -> len(x) > 0) AS toks FROM documents),
+         w AS (SELECT unnest(toks) AS word FROM tok),
+         wf AS (SELECT word, count(*) AS f FROM w GROUP BY word),
+         cs AS (SELECT regexp_extract_all(word, '.') AS cs, f FROM wf),
+         p1 AS (SELECT unnest(cs[1:len(cs)-1]) AS l,
+                unnest(cs[2:len(cs)]) AS r, f FROM cs WHERE len(cs) > 1),
+         c1 AS (SELECT l, r, sum(f) AS c FROM p1 GROUP BY l, r),
+         m(rank, left_sym, right_sym, pair_count) AS (VALUES $values)
+         SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+         FROM m
+         WHERE rank > 1 OR EXISTS (SELECT 1 FROM c1
+           WHERE c1.l = m.left_sym AND c1.r = m.right_sym
+             AND c1.c = m.pair_count
+             AND c1.c = (SELECT max(c) FROM c1))"""
+
+  /** Sessionless fallback, pinned against the sf0.01 documents fixture
+    * (regenerate via q127For if the fixture changes). */
+  private val q127Pinned: String = q127With(
+    "(1, 'e', 'r', 4568), (2, 'i', 'n', 2760), (3, 'o', 'w', 2747), " +
+      "(4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852), " +
+      "(7, 'a', 't', 1845), (8, 'l', 'u', 1831)")
 
   /** q48 (HLL approximate distinct): the approx column is Spark's HLL++ —
     * deterministic (register max-merge is order/partition-independent) but

@@ -1663,6 +1663,18 @@ object GraftQueries {
       Seq("p_name", "p_retailprice"))
   }
 
+  /** BPE merge learning ([[graft.ops.BpeTrain.merges]]): the first 8
+    * byte-pair merges learned over the corpus — tokenizer training as a
+    * vocabulary-bounded iteration (one pair-count shuffle + one map-only
+    * merge rewrite per rank; the driver sees only the argmax row).
+    * Oracle: self-deriving golden — an independent plain-Scala replay of
+    * the public algorithm over the collected word-frequency table, with
+    * the rank-1 row additionally audited against DuckDB's own
+    * first-iteration pair counts (argmax membership + exact count). */
+  def q127BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BpeTrain.merges(t(spark, dir, "documents"), "text",
+      numMerges = 8)
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2305,5 +2317,6 @@ object GraftQueries {
     "q123_k_anonymity" -> (q123KAnonymity _),
     "q124_stream_cms" -> (q124StreamCms _),
     "q125_vec_profile" -> (q125VecProfile _),
-    "q126_change_set" -> (q126ChangeSet _))
+    "q126_change_set" -> (q126ChangeSet _),
+    "q127_bpe_merges" -> (q127BpeMerges _))
 }
