@@ -534,7 +534,10 @@ final class MomentsBuffer(var n: Long, var sum: Array[Double],
   * compare is float-tolerant, and callers derive mean/variance via
   * explicit sum/n arithmetic so both engines share the formula).
   * Ragged dimensions fail loudly — a silent truncation would corrupt
-  * every downstream statistic. */
+  * every downstream statistic. Contract: vectors are dense — NULL rows
+  * are skipped, but null ELEMENTS inside a vector are not supported
+  * (clean them upstream; an embedding with missing dimensions is not a
+  * vector). */
 case class VecMoments(child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
