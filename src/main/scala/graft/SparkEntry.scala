@@ -345,6 +345,22 @@ object SparkEntry {
          WHERE b.p_partkey IS NULL OR a.p_partkey IS NULL
            OR a.p_retailprice <> b.p_retailprice
            OR a.p_name <> b.p_name""",
+    "q128_anomaly" -> // identical trailing frame (24 PRECEDING..1
+      // PRECEDING) and E[x^2]-E[x]^2 variance; NULL z on empty/constant
+      // baselines on both sides
+      """WITH h AS (SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hour, n,
+             avg(CAST(n AS DOUBLE)) OVER fr AS m,
+             avg(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER fr AS m2
+           FROM h WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour, n, m AS baseline_mean,
+           CASE WHEN m2 - m * m > 1e-9
+             THEN (CAST(n AS DOUBLE) - m) / sqrt(m2 - m * m) END AS z
+         FROM w""",
     "q123_k_anonymity" -> // literal HAVING mirror of the small-group audit
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n
          FROM documents GROUP BY lang, source HAVING count(*) < 15""",

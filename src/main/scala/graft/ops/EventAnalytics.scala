@@ -107,4 +107,31 @@ object EventAnalytics {
         count(when(datediff(col("day"), col("__prev")) === 1, 1))
           .as("retained"))
   }
+
+  /** Trailing z-score over a keyed series — the volume-anomaly monitor a
+    * pipeline runs over its own ingest counts (an event type whose hourly
+    * volume jumps 5 sigma off its trailing baseline is a broken producer
+    * or an incident, and at 100 TB/day nobody eyeballs the counts).
+    * Baseline = the `lookback` PRECEDING rows, current row excluded (an
+    * anomaly must not dilute its own baseline); variance via
+    * `E[x^2] - E[x]^2` over the same frame so the whole computation is
+    * two `avg` windows sharing ONE key-partitioned exchange. Rows whose
+    * baseline is empty or constant get a NULL z (undefined, not 0 —
+    * don't alert on the series' first hours). Output: input columns +
+    * (baseline_mean, z). */
+  def trailingZScores(series: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, lookback: Int): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-lookback, -1)
+    val x = col(valueCol).cast("double")
+    val mean = avg(x).over(w)
+    val m2 = avg(x * x).over(w)
+    // one select, not chained withColumn: both aggregates land in ONE
+    // Window operator (a Project between two Window nodes defeats
+    // CollapseWindow and doubles the exchange)
+    series.select(series.columns.map(col) :+ mean.as("baseline_mean") :+
+      when(m2 - mean * mean > 1e-9,
+        (x - mean) / sqrt(m2 - mean * mean)).as("z"): _*)
+  }
 }

@@ -1675,6 +1675,22 @@ object GraftQueries {
     graft.ops.BpeTrain.merges(t(spark, dir, "documents"), "text",
       numMerges = 8)
 
+  /** Ingest-volume anomaly monitor ([[graft.ops.EventAnalytics
+    * .trailingZScores]]): hourly event counts per type scored against
+    * their 24-hour trailing baseline — the self-monitoring a 100 TB/day
+    * pipeline runs over its own counts. One count shuffle + one
+    * key-partitioned window exchange; empty/constant baselines yield
+    * NULL z by contract. Oracle: identical frame and E[x^2]-E[x]^2
+    * arithmetic in DuckDB window SQL. */
+  def q128Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.EventAnalytics.trailingZScores(hourly, "event_type", "hour",
+      "n", lookback = 24)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2318,5 +2334,6 @@ object GraftQueries {
     "q124_stream_cms" -> (q124StreamCms _),
     "q125_vec_profile" -> (q125VecProfile _),
     "q126_change_set" -> (q126ChangeSet _),
-    "q127_bpe_merges" -> (q127BpeMerges _))
+    "q127_bpe_merges" -> (q127BpeMerges _),
+    "q128_anomaly" -> (q128Anomaly _))
 }

@@ -156,4 +156,42 @@ class EventAnalyticsSpec extends SparkSpec {
     // the per-user collapse also kills the countDistinct Expand
     plan should not include "Expand"
   }
+
+  test("trailingZScores: hand-computed baselines, NULL on empty/constant, " +
+      "keys independent, one exchange") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, 1L), ("a", 2, 2L), ("a", 3, 3L), ("a", 4, 4L), ("a", 5, 100L),
+      ("b", 1, 7L), ("b", 2, 7L), ("b", 3, 7L), ("b", 4, 7L) // constant
+    ).toDF("k", "t", "n")
+    val out = EventAnalytics.trailingZScores(df, "k", "t", "n", lookback = 3)
+    val rows = out.collect().map { r =>
+      (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toMap
+    def zOf(x: Double, base: Seq[Double]): Double = {
+      val m = base.sum / base.size
+      val m2 = base.map(v => v * v).sum / base.size
+      (x - m) / math.sqrt(m2 - m * m)
+    }
+    rows(("a", 1)) shouldBe None // empty baseline
+    rows(("a", 2)) shouldBe None // single-point baseline: zero variance
+    rows(("a", 3)).get shouldBe zOf(3, Seq(1, 2)) +- 1e-12
+    rows(("a", 4)).get shouldBe zOf(4, Seq(1, 2, 3)) +- 1e-12
+    rows(("a", 5)).get shouldBe zOf(100, Seq(2, 3, 4)) +- 1e-12
+    // a constant baseline never divides by ~zero
+    Seq(2, 3, 4).foreach(t => rows(("b", t)) shouldBe None)
+    // the spike's z dwarfs the in-regime rows — the alerting property
+    rows(("a", 5)).get should be > 50.0
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.trailingZScores(df, "k", "t", "n", lookback = 1)
+    // both window aggregates share ONE Window node over one exchange —
+    // a FRESH plan (the collected one's AQE finalization repeats the
+    // exchange as a shuffle read in its plan string)
+    val plan = EventAnalytics.trailingZScores(df, "k", "t", "n", 3)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\(k".r.findAllIn(plan).length shouldBe 1
+    "Window".r.findAllIn(plan).length shouldBe 1
+  }
 }
