@@ -65,8 +65,10 @@ object GoldenOracles {
       .getOrElse(Map.empty)
     val bpe = q127For(dir)
       .map(sql => Map("q127_bpe_merges" -> sql)).getOrElse(Map.empty)
+    val quant = q129For(dir)
+      .map(sql => Map("q129_approx_quantiles" -> sql)).getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ cms ++ bpe ++ Map(
+      always ++ cms ++ bpe ++ quant ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -78,7 +80,7 @@ object GoldenOracles {
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
         "q77_sketch_rollup" -> q77)
-    else always ++ cms ++ bpe
+    else always ++ cms ++ bpe ++ quant
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -362,6 +364,53 @@ object GoldenOracles {
     "(1, 'e', 'r', 4568), (2, 'i', 'n', 2760), (3, 'o', 'w', 2747), " +
       "(4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852), " +
       "(7, 'a', 't', 1845), (8, 'l', 'u', 1831)")
+
+  /** q129 (approximate quantiles): Spark's Greenwald-Khanna
+    * `percentile_approx` has no DuckDB twin, and unlike the CMS/BPE
+    * goldens its internals are not worth replaying — the CONTRACT is the
+    * checkable thing. The emitted values ride as derived VALUES (from
+    * the query itself, same session — deterministic), and DuckDB
+    * independently audits each one: it must BE a data point of its
+    * group (`EXISTS`) whose rank sits inside a ±0.5% band around q*N
+    * (50x the sketch's N/accuracy guarantee at accuracy 10000 — wide
+    * enough for discreteness, far too tight for a wrong value to
+    * survive). A drifted pin drops its row and fails the compare. */
+  private def q129For(dir: String): Option[String] =
+    SparkSession.getActiveSession.map { spark =>
+      val rows = GraftQueries.q129ApproxQuantiles(spark, dir)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val values = rows.map { case (t, q, v) =>
+        s"('${t.replace("'", "''")}', $q, ${java.lang.Double.toString(v)})"
+      }.mkString(", ")
+      q129With(values)
+    }.orElse(if (sfPinned(dir)) Some(q129Pinned) else None)
+
+  private def q129With(values: String): String =
+    s"""WITH m0(e_type, q0, v0) AS (VALUES $values),
+         m AS (SELECT e_type, CAST(q0 AS DOUBLE) AS q,
+                 CAST(v0 AS DOUBLE) AS v FROM m0),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type)
+         SELECT e_type AS event_type, q, v
+         FROM m JOIN g ON g.event_type = m.e_type
+         WHERE EXISTS (SELECT 1 FROM events e
+             WHERE e.event_type = m.e_type AND e.value = m.v)
+           AND (SELECT count(*) FROM events e
+             WHERE e.event_type = m.e_type AND e.value <= m.v)
+             BETWEEN CAST(floor((m.q - 0.005) * g.n) AS BIGINT)
+                 AND CAST(ceil((m.q + 0.005) * g.n) AS BIGINT)"""
+
+  /** Sessionless fallback, pinned against the sf0.01 events fixture
+    * (regenerate via q129For if the fixture changes). */
+  private val q129Pinned: String = q129With(
+    "('signup', 0.5, 35.92), ('signup', 0.9, 118.1), " +
+      "('signup', 0.99, 233.22), ('purchase', 0.5, 33.95), " +
+      "('purchase', 0.9, 107.08), ('purchase', 0.99, 223.62), " +
+      "('error', 0.5, 34.38), ('error', 0.9, 112.6), " +
+      "('error', 0.99, 236.27), ('view', 0.5, 33.83), " +
+      "('view', 0.9, 112.04), ('view', 0.99, 210.58), " +
+      "('click', 0.5, 35.28), ('click', 0.9, 123.3), " +
+      "('click', 0.99, 222.07)")
 
   /** q48 (HLL approximate distinct): the approx column is Spark's HLL++ —
     * deterministic (register max-merge is order/partition-independent) but

@@ -1691,6 +1691,30 @@ object GraftQueries {
       "n", lookback = 24)
   }
 
+  /** Group-wise approximate quantiles (Spark's built-in
+    * `percentile_approx`, Greenwald-Khanna): p50/p90/p99 of event value
+    * per type in ONE map-side-combinable pass — the mergeable-sketch
+    * sibling of q38's exact percentiles, which need a per-group sort a
+    * 100 TB stream can't afford. Oracle: q48-class contract audit — the
+    * emitted values ride as derived VALUES, and DuckDB independently
+    * verifies each one IS a data point of its group whose rank sits
+    * inside the GK error band (the actual guarantee the sketch makes). */
+  def q129ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = GraftQueries.q129Quantiles
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(qs.map(lit): _*), lit(q129Accuracy)).as("vs"))
+      .select(col("event_type"), posexplode(col("vs")))
+      .select(col("event_type"),
+        element_at(array(qs.map(lit): _*), col("pos") + 1).as("q"),
+        col("col").as("v"))
+  }
+
+  /** Shared with the q129 oracle derivation. */
+  private[graft] val q129Quantiles = Seq(0.5, 0.9, 0.99)
+  private[graft] val q129Accuracy = 10000
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2335,5 +2359,6 @@ object GraftQueries {
     "q125_vec_profile" -> (q125VecProfile _),
     "q126_change_set" -> (q126ChangeSet _),
     "q127_bpe_merges" -> (q127BpeMerges _),
-    "q128_anomaly" -> (q128Anomaly _))
+    "q128_anomaly" -> (q128Anomaly _),
+    "q129_approx_quantiles" -> (q129ApproxQuantiles _))
 }

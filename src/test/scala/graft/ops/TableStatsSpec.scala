@@ -69,4 +69,30 @@ class TableStatsSpec extends SparkSpec {
       exactNdv = true).queryExecution.executedPlan.toString
     exact should include("Expand")
   }
+
+  test("q129 approximate quantiles honor the GK rank contract against " +
+      "the exact distribution") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.GraftQueries
+      .q129ApproxQuantiles(spark, graft.TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    out should not be empty
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read
+      .parquet(s"${graft.TestSpark.sf0001}/events.parquet")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { case (t, q, v) =>
+      val xs = byType(t)
+      // the sketch returns an actual data point...
+      xs.contains(v) shouldBe true
+      // ...whose rank is within N/accuracy of the target (+1 for
+      // discreteness at the boundary)
+      val rank = xs.count(_ <= v).toDouble
+      val target = q * xs.length
+      math.abs(rank - target) should be <=
+        (xs.length.toDouble / graft.queries.GraftQueries.q129Accuracy + 1.0)
+    }
+  }
 }
