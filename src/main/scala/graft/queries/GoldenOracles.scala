@@ -67,8 +67,10 @@ object GoldenOracles {
       .map(sql => Map("q127_bpe_merges" -> sql)).getOrElse(Map.empty)
     val quant = q129For(dir)
       .map(sql => Map("q129_approx_quantiles" -> sql)).getOrElse(Map.empty)
+    val core = q130For(dir)
+      .map(sql => Map("q130_coreness" -> sql)).getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ cms ++ bpe ++ quant ++ Map(
+      always ++ cms ++ bpe ++ quant ++ core ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -80,7 +82,7 @@ object GoldenOracles {
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
         "q77_sketch_rollup" -> q77)
-    else always ++ cms ++ bpe ++ quant
+    else always ++ cms ++ bpe ++ quant ++ core
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -411,6 +413,76 @@ object GoldenOracles {
       "('view', 0.9, 112.04), ('view', 0.99, 210.58), " +
       "('click', 0.5, 35.28), ('click', 0.9, 123.3), " +
       "('click', 0.99, 222.07)")
+
+  /** q130 (coreness): derived at verify time by an INDEPENDENT textbook
+    * min-degree PEELING replay in plain Scala — a structurally different
+    * algorithm from the engine's h-index fixpoint, so their agreement is
+    * the oracle, not a mirror. The emitted SQL re-derives the edge set
+    * from DuckDB's own lineitem scan and audits every VALUES row: the
+    * part must BE a graph node, and must have at least `coreness`
+    * neighbors whose claimed coreness is >= its own (the k-core validity
+    * property) — a drifted pin drops its row and fails the compare. */
+  private def q130For(dir: String): Option[String] =
+    SparkSession.getActiveSession.map { spark =>
+      import org.apache.spark.sql.functions.{col => c}
+      val bi = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(c("l_orderkey").as("b"), c("l_partkey").as("i")).distinct()
+      val edges = bi.as("x").join(bi.as("y"),
+          c("x.b") === c("y.b") && c("x.i") < c("y.i"))
+        .select(c("x.i").as("u"), c("y.i").as("v")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val values = peelCoreness(edges).toSeq.sortBy(_._1)
+        .map { case (n, k) => s"($n, $k)" }.mkString(", ")
+      q130With(values)
+    }.orElse(None) // no sessionless fallback: the VALUES table is large
+
+  /** Textbook O(m) bucket-peeling (Batagelj-Zaversnik): repeatedly remove
+    * a minimum-degree node; its coreness is the running max of removal
+    * degrees. */
+  private def peelCoreness(edges: Array[(Long, Long)]): Map[Long, Int] = {
+    import scala.collection.mutable
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, mutable.Set.empty) += u
+    }
+    val deg = mutable.Map.empty[Long, Int] ++ adj.view.mapValues(_.size)
+    val core = mutable.Map.empty[Long, Int]
+    // iterator, NOT .map on the Map: a Map result would key by degree
+    // and collapse every same-degree node to one entry
+    val remaining = mutable.TreeSet.empty[(Int, Long)] ++
+      deg.iterator.map { case (n, d) => (d, n) }
+    while (remaining.nonEmpty) {
+      val (d, n) = remaining.head
+      remaining.remove((d, n))
+      core(n) = d
+      // the Batagelj-Zaversnik guard: only neighbors ABOVE the removal
+      // degree lose a degree — without it a neighbor sinks below the
+      // current level and later surfaces with an inflated clamped core
+      adj(n).foreach { m =>
+        if (!core.contains(m) && deg(m) > d) {
+          remaining.remove((deg(m), m))
+          deg(m) -= 1
+          remaining.add((deg(m), m))
+        }
+      }
+      adj(n).foreach(m => adj(m) -= n)
+    }
+    core.toMap
+  }
+
+  private def q130With(values: String): String =
+    s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem),
+         und AS (SELECT DISTINCT x.i AS u, y.i AS v
+                 FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+         adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         m(part, core) AS (VALUES $values)
+         SELECT m1.part, CAST(m1.core AS BIGINT) AS coreness
+         FROM m m1 JOIN (SELECT DISTINCT u FROM adj) nd ON nd.u = m1.part
+         WHERE (SELECT count(*) FROM adj JOIN m m2 ON m2.part = adj.v
+                WHERE adj.u = m1.part AND m2.core >= m1.core)
+               >= m1.core"""
 
   /** q48 (HLL approximate distinct): the approx column is Spark's HLL++ —
     * deterministic (register max-merge is order/partition-independent) but

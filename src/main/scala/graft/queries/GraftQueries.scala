@@ -1715,6 +1715,22 @@ object GraftQueries {
   private[graft] val q129Quantiles = Seq(0.5, 0.9, 0.99)
   private[graft] val q129Accuracy = 10000
 
+  /** k-core decomposition ([[GraphOps.coreness]]): per-part coreness over
+    * the co-purchase graph — the density-stratification signal (spam
+    * rings and boilerplate clusters live in deep cores). h-index fixpoint,
+    * one O(m) estimate join + degree-bounded per-node window per round.
+    * Oracle: self-deriving golden — an independent textbook min-degree
+    * PEELING replay (a different algorithm than the engine's fixpoint;
+    * their agreement is the oracle), plus an in-SQL validity audit (every
+    * node must have >= c neighbors of coreness >= c over DuckDB's own
+    * edge set). */
+  def q130Coreness(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey")
+    GraphOps.coreness(edges, "item_a", "item_b")
+      .select(col("n").as("part"), col("coreness"))
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2360,5 +2376,6 @@ object GraftQueries {
     "q126_change_set" -> (q126ChangeSet _),
     "q127_bpe_merges" -> (q127BpeMerges _),
     "q128_anomaly" -> (q128Anomaly _),
-    "q129_approx_quantiles" -> (q129ApproxQuantiles _))
+    "q129_approx_quantiles" -> (q129ApproxQuantiles _),
+    "q130_coreness" -> (q130Coreness _))
 }

@@ -310,4 +310,51 @@ class GraphOpsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       GraphOps.personalizedPageRank(df, "src", "dst", seeds = Seq(99L))
   }
+
+  test("coreness: hand graph, peeling-replay parity on random graphs, " +
+      "maxIter guard") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+      GraphOps.coreness(edges.toDF("src", "dst"), "src", "dst", maxIter)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 {1..4} + a path 4-5-6: clique nodes core 3, path nodes core 1
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    run(k4 ++ Seq((4L, 5L), (5L, 6L))) shouldBe
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L)
+
+    // independent textbook peeling replay on seeded random graphs
+    def peel(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      import scala.collection.mutable
+      val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+      edges.foreach { case (u, v) => if (u != v) {
+        adj.getOrElseUpdate(u, mutable.Set.empty) += v
+        adj.getOrElseUpdate(v, mutable.Set.empty) += u
+      }}
+      val deg = mutable.Map.empty[Long, Int] ++ adj.view.mapValues(_.size)
+      val rem = mutable.TreeSet.empty[(Int, Long)] ++
+        deg.iterator.map { case (n, d) => (d, n) } // iterator: no Map-key collapse
+      val core = mutable.Map.empty[Long, Long]
+      while (rem.nonEmpty) {
+        val (d, n) = rem.head; rem.remove((d, n))
+        core(n) = d.toLong
+        // BZ guard: only neighbors ABOVE the removal degree decrement
+        adj(n).foreach { m => if (!core.contains(m) && deg(m) > d) {
+          rem.remove((deg(m), m)); deg(m) -= 1; rem.add((deg(m), m))
+        }}
+        adj(n).foreach(m => adj(m) -= n)
+      }
+      core.toMap
+    }
+    val rnd = new scala.util.Random(17)
+    val edges = (0 until 600).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    run(edges) shouldBe peel(edges)
+
+    // the fixpoint needs more than one round on a graph whose degrees
+    // overestimate coreness — maxIter=1 must fail loudly, not return
+    // upper bounds
+    an[IllegalArgumentException] should be thrownBy
+      run(k4 ++ Seq((4L, 5L), (5L, 6L)), maxIter = 1)
+  }
 }
