@@ -95,6 +95,96 @@ object VecDot {
 /** Count of common elements between two ASC-sorted string arrays (linear
   * merge). With distinct sorted shingle sets this gives exact Jaccard as
   * `common / (|a| + |b| - common)` without building intersection arrays. */
+/** Shared core of [[RandomProject]]: the deterministic ±1 projection
+  * matrix entries and the projection loop, called by the interpreted
+  * eval, the generated code, AND the golden oracle's driver-side replay
+  * (same primitive, independent code path). */
+object ProjectionCore {
+  /** ±1 entry of the implicit projection matrix at (input dim i, output
+    * dim j) under `seed` — splitmix-mixed, never materialized. */
+  def sign(seed: Long, i: Int, j: Int): Double = {
+    val h = SketchHash.mix(seed + i * 0x9e3779b97f4a7c15L +
+      j * 0xc2b2ae3d27d4eb4fL)
+    if (h >= 0L) 1.0 else -1.0
+  }
+
+  /** Plain-array twin for driver-side use (golden replay, tests). */
+  def project(v: Array[Float], outDim: Int, seed: Long): Array[Float] = {
+    val out = new Array[Float](outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * sign(seed, i, j); i += 1 }
+      out(j) = (s * scale).toFloat
+      j += 1
+    }
+    out
+  }
+
+  def project(arr: ArrayData, isFloat: Boolean, outDim: Int,
+      seed: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Float](outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        s += x * sign(seed, i, j)
+        i += 1
+      }
+      out(j) = (s * scale).toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Johnson-Lindenstrauss random sign projection (Achlioptas 2003): map a
+  * vector to `outDim` dimensions via an implicit ±1 matrix derived from a
+  * seed — dot products and norms are preserved in expectation with
+  * distortion ~ sqrt(log n / outDim), so a 1024-dim embedding column
+  * shrinks 64x before an ANN index build or a pairwise stage, with NO
+  * training pass (the matrix is hash-derived, never materialized or
+  * broadcast — the projection of 100 TB of vectors is map-only and every
+  * executor agrees on the matrix by construction). The sketch sibling of
+  * the TRAINED reductions (PQ/SQ learn from data; JL needs none). */
+case class RandomProject(child: Expression, outDim: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(outDim > 0, s"random_project: outDim must be positive, got $outDim")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"random_project needs array<float|double>, got ${t.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  private def isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    ProjectionCore.project(input.asInstanceOf[ArrayData], isFloat, outDim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.ProjectionCore.project($a, " +
+        s"$isFloat, $outDim, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+  override def prettyName: String = "random_project"
+}
+
 case class SortedCountCommon(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -863,4 +953,8 @@ object VectorExpressions {
 
   def sqAdcDotLut(codes: Column, factors: Column): Column =
     column(SqAdcDotLut(expression(codes), expression(factors)))
+
+  /** JL random sign projection to `outDim` dims (see [[RandomProject]]). */
+  def randomProject(vec: Column, outDim: Int, seed: Long): Column =
+    column(RandomProject(expression(vec), outDim, seed))
 }

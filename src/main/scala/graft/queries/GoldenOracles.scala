@@ -69,8 +69,10 @@ object GoldenOracles {
       .map(sql => Map("q129_approx_quantiles" -> sql)).getOrElse(Map.empty)
     val core = q130For(dir)
       .map(sql => Map("q130_coreness" -> sql)).getOrElse(Map.empty)
+    val rproj = q131For(dir)
+      .map(sql => Map("q131_random_projection" -> sql)).getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ cms ++ bpe ++ quant ++ core ++ Map(
+      always ++ cms ++ bpe ++ quant ++ core ++ rproj ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -82,7 +84,7 @@ object GoldenOracles {
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
         "q77_sketch_rollup" -> q77)
-    else always ++ cms ++ bpe ++ quant ++ core
+    else always ++ cms ++ bpe ++ quant ++ core ++ rproj
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -483,6 +485,36 @@ object GoldenOracles {
          WHERE (SELECT count(*) FROM adj JOIN m m2 ON m2.part = adj.v
                 WHERE adj.u = m1.part AND m2.core >= m1.core)
                >= m1.core"""
+
+  /** q131 (JL random-projection retrieval): the hash-derived ±1 matrix
+    * is not SQL-expressible, so the oracle is a replay-derived golden —
+    * the driver-side plain-array projection + the same double left-fold
+    * dot and (score desc, id asc) rank, independent of the Expression's
+    * eval/codegen code paths. DuckDB contributes only literal VALUES
+    * (q21's pinned precedent); the JL distortion and neighbor-recall
+    * properties are spec-carried. */
+  private def q131For(dir: String): Option[String] =
+    SparkSession.getActiveSession.map { spark =>
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val proj = rows.map { case (id, v) =>
+        id -> graft.expressions.ProjectionCore.project(v, 16, 42L) }
+      val qv = proj.find(_._1 == 0L).get._2
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val top = proj.map { case (id, p) => (id, dot(p, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10)
+      val values = top.map { case (id, s) =>
+        s"($id, ${java.lang.Double.toString(s)})" }.mkString(", ")
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(score AS DOUBLE) AS score
+         FROM (VALUES $values) AS t(vec_id, score)"""
+    }.orElse(None) // replay needs a session; no static pin (fixture-sized)
 
   /** q48 (HLL approximate distinct): the approx column is Spark's HLL++ —
     * deterministic (register max-merge is order/partition-independent) but

@@ -1731,6 +1731,27 @@ object GraftQueries {
       .select(col("n").as("part"), col("coreness"))
   }
 
+  /** JL random-projection retrieval
+    * ([[graft.expressions.RandomProject]]): embeddings projected 64→16
+    * dims through the hash-derived ±1 matrix (no training pass, no
+    * broadcast — map-only, every executor derives the same matrix), then
+    * q11's top-10 search in the REDUCED space. Oracle: replay-derived
+    * golden — the projection matrix is hash math no SQL engine
+    * reproduces, so the driver-side plain-array replay of the same
+    * public construction (independent of the Expression's eval/codegen
+    * paths) pins the rows; the JL distortion/recall properties are
+    * spec-carried (q21's pinned-integer precedent). */
+  def q131RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.VectorExpressions
+    val proj = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        VectorExpressions.randomProject(col("embedding"), 16, 42L).as("pv"))
+    val q = proj.filter(col("vec_id") === 0).select(col("pv").as("qv"))
+    proj.crossJoin(broadcast(q))
+      .select(col("vec_id"), vecDot(col("pv"), col("qv")).as("score"))
+      .orderBy(desc("score"), asc("vec_id")).limit(10)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2377,5 +2398,6 @@ object GraftQueries {
     "q127_bpe_merges" -> (q127BpeMerges _),
     "q128_anomaly" -> (q128Anomaly _),
     "q129_approx_quantiles" -> (q129ApproxQuantiles _),
-    "q130_coreness" -> (q130Coreness _))
+    "q130_coreness" -> (q130Coreness _),
+    "q131_random_projection" -> (q131RandomProjection _))
 }
