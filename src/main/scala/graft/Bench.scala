@@ -101,7 +101,11 @@ object Bench {
     // eval-vs-train R-S prefix filter; small left, 101x larger right),
     // normalize-then-hash dedup (map-only regex rewrite + 16-byte-key
     // shuffle). q121/q122/q123 are scan-trivial — oracled, not anchored
-    "q118_cms_freq", "q119_cross_jaccard", "q120_norm_dedup")
+    "q118_cms_freq", "q119_cross_jaccard", "q120_norm_dedup",
+    // the round's two iterative operators as anchors: BPE merge learning
+    // (8 vocab-bounded pair-count rounds) and k-core coreness (h-index
+    // fixpoint to convergence on the co-purchase graph)
+    "q127_bpe_merges", "q130_coreness")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -364,22 +364,37 @@ object GraphOps {
       .materialized
     var est = adj.groupBy(col("u").as("n"))
       .agg(count(lit(1)).as("est")).materialized
+    // frontier-driven rounds: a node's h-index can only change if a
+    // NEIGHBOR's estimate changed last round, so each round recomputes
+    // only the changed set's neighborhood — the whole graph in round 1,
+    // then rapidly shrinking frontiers (the late rounds that dominated
+    // the full-recompute formulation touch a few hundred nodes, not 2M
+    // adjacency rows). Skipping an untouched node is exact: identical
+    // inputs reproduce identical h.
+    var active = est.select(col("n"))
     var round = 0
     var converged = false
     while (round < maxIter && !converged) {
-      val nb = adj.join(est.select(col("n").as("v"), col("est")), "v")
+      val touched =
+        if (round == 0) est.select(col("n"))
+        else adj.join(active.withColumnRenamed("n", "v"), "v")
+          .select(col("u").as("n")).distinct()
+      val nb = adj.join(touched, adj("u") === touched("n")).drop(touched("n"))
+        .join(est.select(col("n").as("v"), col("est")), "v")
         .select(col("u").as("n"), col("est").as("ne"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("n")).orderBy(col("ne").desc)
       val h = nb.withColumn("rn", row_number().over(w))
         .groupBy(col("n"))
         .agg(max(least(col("rn").cast("long"), col("ne"))).as("h"))
-      val next = est.join(h, "n")
-        .select(col("n"), least(col("est"), col("h")).as("est"))
+      val updated = est.join(h, Seq("n"), "left")
+        .select(col("n"),
+          coalesce(least(col("est"), col("h")), col("est")).as("est"),
+          (col("h").isNotNull && col("h") < col("est")).as("chg"))
         .materialized
-      converged = next.join(est.withColumnRenamed("est", "prev"), "n")
-        .filter(col("est") =!= col("prev")).isEmpty
-      est = next
+      active = updated.filter(col("chg")).select(col("n"))
+      converged = active.isEmpty
+      est = updated.select(col("n"), col("est"))
       round += 1
     }
     require(converged,
