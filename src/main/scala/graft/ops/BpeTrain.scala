@@ -35,6 +35,32 @@ object BpeTrain {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Corpus-wide BPE token frequencies after APPLYING a learned merge
+    * table — the tokenizer-application step that follows [[merges]]
+    * (learn once, encode everything): `(token, n)` where `n` is the
+    * token's total occurrence count across the corpus.
+    *
+    * Same scale shape as training: the corpus collapses to the
+    * word-frequency vocabulary in ONE `groupBy(word)` shuffle, the whole
+    * rank-ordered merge list is applied as a chained map-only fold over
+    * that vocabulary-bounded frame (k merges = k nested codegen
+    * `aggregate` folds in ONE projection — no per-merge shuffle, unlike
+    * training where each rank needs a fresh global pair count), and one
+    * final map-side-combinable `groupBy(token)` emits the frequencies.
+    * The merge table itself is driver-side config (the tokenizer file a
+    * real pipeline ships), bounded by `numMerges`, never corpus-sized. */
+  def tokenFrequencies(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val syms0 = filter(split(col("w"), ""), x => x =!= "")
+    // rank order matters: later merges see the symbols earlier ones built
+    val encoded = merges.foldLeft(syms0) { case (c, (l, r)) =>
+      mergeAdjacent(c, l, r) }
+    vocab.select(explode(encoded).as("token"), col("f"))
+      .groupBy(col("token")).agg(sum(col("f")).as("n"))
+  }
+
   /** The first `numMerges` learned merges as
     * `(rank, left_sym, right_sym, pair_count)` — rank 1 is the first
     * (highest-count) merge; ties break to the lexicographically smallest

@@ -65,6 +65,8 @@ object GoldenOracles {
       .getOrElse(Map.empty)
     val bpe = q127For(dir)
       .map(sql => Map("q127_bpe_merges" -> sql)).getOrElse(Map.empty)
+    val bpeEnc = q132For(dir)
+      .map(sql => Map("q132_bpe_encode" -> sql)).getOrElse(Map.empty)
     val quant = q129For(dir)
       .map(sql => Map("q129_approx_quantiles" -> sql)).getOrElse(Map.empty)
     val core = q130For(dir)
@@ -72,7 +74,7 @@ object GoldenOracles {
     val rproj = q131For(dir)
       .map(sql => Map("q131_random_projection" -> sql)).getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ cms ++ bpe ++ quant ++ core ++ rproj ++ Map(
+      always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -84,7 +86,7 @@ object GoldenOracles {
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
         "q77_sketch_rollup" -> q77)
-    else always ++ cms ++ bpe ++ quant ++ core ++ rproj
+    else always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -368,6 +370,73 @@ object GoldenOracles {
     "(1, 'e', 'r', 4568), (2, 'i', 'n', 2760), (3, 'o', 'w', 2747), " +
       "(4, 'o', 'r', 2696), (5, 's', 't', 2676), (6, 'm', 'er', 1852), " +
       "(7, 'a', 't', 1845), (8, 'l', 'u', 1831)")
+
+  /** q132 (BPE encode): the encoded token stream depends on the learned
+    * merge table (ranks 2+ are SQL-inexpressible, the q127 argument), so
+    * the oracle is DERIVED at verify time by the same independent
+    * plain-Scala replay — learn 8 merges with [[scalaBpe]], apply them
+    * word-by-word with the fold-based leftmost merge, count token
+    * frequencies weighted by word frequency, take the engine's exact
+    * (count desc, token asc) top-20 — emitted as VALUES. In-SQL audits
+    * make it self-auditing against drift: every emitted token must be a
+    * contiguous substring of some corpus word (BPE tokens never span
+    * words), a single-character token's count can never exceed DuckDB's
+    * OWN total count of that character over the corpus, and the emitted
+    * counts must sum to no more than the corpus character mass — a
+    * derivation that miscounts or invents symbols drops rows and fails
+    * the compare. Works at any sf with an active session; sessionless
+    * falls back to the sf0.01 pin. */
+  private def q132For(dir: String): Option[String] =
+    SparkSession.getActiveSession.map { spark =>
+      val wf = spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("w").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val merges = scalaBpe(wf, 8).map { case (_, l, r, _) => (l, r) }
+      def mergeOne(syms: List[String], l: String, r: String): List[String] =
+        syms.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      val counts = scala.collection.mutable.Map
+        .empty[String, Long].withDefaultValue(0L)
+      wf.foreach { case (w, f) =>
+        val syms0 = w.split("").filter(_.nonEmpty).toList
+        val syms = merges.foldLeft(syms0) { case (s, (l, r)) =>
+          mergeOne(s, l, r) }
+        syms.foreach(t => counts(t) += f)
+      }
+      val top = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      val values = top.map { case (t, n) =>
+        s"('${t.replace("'", "''")}', $n)" }.mkString(", ")
+      q132With(values)
+    }.orElse(if (sfPinned(dir)) Some(q132Pinned) else None)
+
+  private def q132With(values: String): String =
+    s"""WITH tok AS (SELECT list_filter(string_split_regex(text, '\\s+'),
+             x -> len(x) > 0) AS toks FROM documents),
+         w AS (SELECT unnest(toks) AS word FROM tok),
+         wf AS (SELECT word, count(*) AS f FROM w GROUP BY word),
+         cc AS (SELECT c, sum(f) AS n FROM (
+             SELECT unnest(regexp_extract_all(word, '.')) AS c, f FROM wf)
+           GROUP BY c),
+         m(token, n0) AS (VALUES $values)
+         SELECT token, CAST(n0 AS BIGINT) AS n FROM m
+         WHERE EXISTS (SELECT 1 FROM wf WHERE strpos(word, token) > 0)
+           AND (len(token) > 1 OR n0 <= (SELECT cc.n FROM cc
+                WHERE cc.c = token))
+           AND (SELECT sum(n0) FROM m)
+               <= (SELECT sum(len(word) * f) FROM wf)"""
+
+  /** Sessionless fallback, pinned against the sf0.01 documents fixture
+    * (regenerate via q132For if the fixture changes). */
+  private val q132Pinned: String = q132With(
+    "('a', 10805), ('e', 7169), ('l', 5525), ('s', 5481), " +
+      "('t', 5343), ('c', 4653), ('g', 4474), ('r', 4467), " +
+      "('o', 3710), ('h', 3671), ('in', 2760), ('m', 2750), " +
+      "('ow', 2747), ('d', 2732), ('b', 2721), ('er', 2716), " +
+      "('u', 2709), ('or', 2696), ('st', 2676), ('p', 2662)")
 
   /** q129 (approximate quantiles): Spark's Greenwald-Khanna
     * `percentile_approx` has no DuckDB twin, and unlike the CMS/BPE

@@ -1752,6 +1752,29 @@ object GraftQueries {
       .orderBy(desc("score"), asc("vec_id")).limit(10)
   }
 
+  /** Tokenizer application at corpus scale
+    * ([[graft.ops.BpeTrain.tokenFrequencies]]): learn 8 BPE merges
+    * (q127's training step), then ENCODE the whole corpus with them and
+    * emit the top-20 BPE tokens by total frequency — the
+    * "train tokenizer, then tokenize 100 TB" second half of the
+    * tokenization story. The merge table is driver-side config (8 rows,
+    * the shipped tokenizer file); encoding is one word-vocabulary
+    * groupBy, one chained map-only merge fold over the vocab-bounded
+    * frame, one token groupBy — no per-merge shuffle. Oracle:
+    * replay-derived golden (independent plain-Scala learn+encode, see
+    * [[GoldenOracles]]) with in-SQL audits: every token must be a
+    * substring of some corpus word, a single-char token's count cannot
+    * exceed DuckDB's own count of that character, and the top-20 total
+    * cannot exceed the corpus character mass. */
+  def q132BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val m = graft.ops.BpeTrain.merges(docs, "text", numMerges = 8)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ops.BpeTrain.tokenFrequencies(docs, "text", m)
+      .orderBy(desc("n"), asc("token")).limit(20)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2399,5 +2422,6 @@ object GraftQueries {
     "q128_anomaly" -> (q128Anomaly _),
     "q129_approx_quantiles" -> (q129ApproxQuantiles _),
     "q130_coreness" -> (q130Coreness _),
-    "q131_random_projection" -> (q131RandomProjection _))
+    "q131_random_projection" -> (q131RandomProjection _),
+    "q132_bpe_encode" -> (q132BpeEncode _))
 }

@@ -64,6 +64,46 @@ class BpeTrainSpec extends SparkSpec {
     learn(docs, 6) shouldBe want.toSeq
   }
 
+  test("tokenFrequencies: hand-computed encode under a given merge table") {
+    import spark.implicits._
+    // merges (l,o)->(lo,w): "low low lower" -> [low][low][low,e,r] with
+    // vocab {low:2, lower:1}; tokens: low:3 (2 + the prefix in lower),
+    // e:1, r:1. 'aaaa' under (a,a) then (aa,aa) -> [aaaa]:1
+    val df = Seq("low low lower", "aaaa").toDF("text")
+    val got = BpeTrain.tokenFrequencies(df, "text",
+        Seq(("l", "o"), ("lo", "w"), ("a", "a"), ("aa", "aa")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("low" -> 3L, "e" -> 1L, "r" -> 1L, "aaaa" -> 1L)
+  }
+
+  test("tokenFrequencies matches the plain replay on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val words = (0 until 30).map(_ =>
+      (0 until 2 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString)
+    val docs = (0 until 150).map(_ => (0 until 6).map(_ =>
+      words(rnd.nextInt(words.size))).mkString(" "))
+    val df = docs.toDF("text")
+    val merges = BpeTrain.merges(df, "text", 5).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    def mergeOne(s: List[String], l: String, r: String): List[String] =
+      s.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+        else acc :+ x
+      }
+    val want = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    docs.flatMap(_.split("\\s+")).filter(_.nonEmpty).foreach { w =>
+      val syms = merges.foldLeft(w.split("").filter(_.nonEmpty).toList) {
+        case (s, (l, r)) => mergeOne(s, l, r) }
+      syms.foreach(t => want(t) += 1L)
+    }
+    val got = BpeTrain.tokenFrequencies(df, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe want.toMap
+  }
+
   test("exhaustion stops early; numMerges guard") {
     // single-char words have no adjacent pairs at all
     learn(Seq("a b c a b"), 4) shouldBe empty
