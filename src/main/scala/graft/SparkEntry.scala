@@ -130,6 +130,37 @@ object SparkEntry {
          WHERE len(a.c_name) > 0 AND len(b.c_name) > 0
            AND abs(len(a.c_name) - len(b.c_name)) <= 1
            AND levenshtein(a.c_name, b.c_name) <= 1""",
+    "q133_label_prop" -> // the SAME deterministic synchronous semantics
+      // unrolled: 4 rounds of (publish labels to neighbors, count per
+      // (node, label), argmax by count desc then label asc). Integer-only
+      // — node ids are the labels — so the compare is exact
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         und AS (SELECT DISTINCT x.i AS u, y.i AS v
+                 FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+         adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         l0 AS (SELECT DISTINCT u AS n, u AS lab FROM adj),
+         c1 AS (SELECT adj.u AS n, l0.lab AS lab, count(*) AS c
+                FROM adj JOIN l0 ON l0.n = adj.v GROUP BY 1, 2),
+         l1 AS (SELECT n, lab FROM (SELECT n, lab,
+                  row_number() OVER (PARTITION BY n
+                    ORDER BY c DESC, lab) AS rn FROM c1) WHERE rn = 1),
+         c2 AS (SELECT adj.u AS n, l1.lab AS lab, count(*) AS c
+                FROM adj JOIN l1 ON l1.n = adj.v GROUP BY 1, 2),
+         l2 AS (SELECT n, lab FROM (SELECT n, lab,
+                  row_number() OVER (PARTITION BY n
+                    ORDER BY c DESC, lab) AS rn FROM c2) WHERE rn = 1),
+         c3 AS (SELECT adj.u AS n, l2.lab AS lab, count(*) AS c
+                FROM adj JOIN l2 ON l2.n = adj.v GROUP BY 1, 2),
+         l3 AS (SELECT n, lab FROM (SELECT n, lab,
+                  row_number() OVER (PARTITION BY n
+                    ORDER BY c DESC, lab) AS rn FROM c3) WHERE rn = 1),
+         c4 AS (SELECT adj.u AS n, l3.lab AS lab, count(*) AS c
+                FROM adj JOIN l3 ON l3.n = adj.v GROUP BY 1, 2),
+         l4 AS (SELECT n, lab FROM (SELECT n, lab,
+                  row_number() OVER (PARTITION BY n
+                    ORDER BY c DESC, lab) AS rn FROM c4) WHERE rn = 1)
+         SELECT n AS part, CAST(lab AS BIGINT) AS label FROM l4""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -351,6 +351,49 @@ object GraphOps {
     * depth — small on real corpus graphs; `maxIter` caps it and
     * convergence is checked, not assumed (non-convergence throws rather
     * than returning upper bounds silently). Output: `(n, coreness)`. */
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, LPA) over the undirected graph, made fully deterministic:
+    * labels initialize to the node id, and every round EVERY node adopts
+    * the most frequent label among its neighbors with ties broken to the
+    * smallest label — no sequential visit order, no randomness, so the
+    * result is a pure function of the graph and `iters`. A FIXED round
+    * count (not convergence) is the contract: synchronous LPA can
+    * two-cycle on bipartite-ish structure, and a fixed-k snapshot is both
+    * deterministic and the form a SQL mirror can unroll.
+    *
+    * Scale shape: per round, one edge-sized equi-join publishing labels
+    * to neighbors, one map-side-combinable (node, label) count, one
+    * map-side-combinable per-node argmax via `min(struct(-count, label))`
+    * — lexicographic struct ordering gives (count desc, label asc)
+    * without a window sort. Everything is linear in edges, shuffled on
+    * short keys, and the frame is materialized between rounds (the
+    * PageRank lazy-chain discipline). Output: (n, label). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .materialized
+    var labels = adj.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("lab")).materialized
+    var round = 0
+    while (round < iters) {
+      val cnt = adj
+        .join(labels.select(col("n").as("v"), col("lab")), "v")
+        .groupBy(col("u").as("n"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      labels = cnt.groupBy(col("n"))
+        .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab"))).as("m"))
+        .select(col("n"), col("m.lab").as("lab"))
+        .materialized
+      round += 1
+    }
+    labels.select(col("n"), col("lab").as("label"))
+  }
+
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")

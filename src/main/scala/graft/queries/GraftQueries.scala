@@ -1775,6 +1775,22 @@ object GraftQueries {
       .orderBy(desc("n"), asc("token")).limit(20)
   }
 
+  /** Label-propagation community detection
+    * ([[GraphOps.labelPropagation]]): 4 deterministic synchronous rounds
+    * over the co-purchase graph — the cheap community pass that groups a
+    * crawl into topical/site clusters before per-cluster dedup or
+    * mixture balancing (no modularity optimization, no training; one
+    * join + two partial aggregates per round). Oracle: the SAME
+    * fixed-round semantics unrolled as 4 chained CTEs in DuckDB
+    * (argmax by count desc, label asc via row_number) — integer-only,
+    * exactly reproducible. */
+  def q133LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.coOccurrencePairs(t(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey")
+    GraphOps.labelPropagation(edges, "item_a", "item_b", iters = 4)
+      .select(col("n").as("part"), col("label"))
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2423,5 +2439,6 @@ object GraftQueries {
     "q129_approx_quantiles" -> (q129ApproxQuantiles _),
     "q130_coreness" -> (q130Coreness _),
     "q131_random_projection" -> (q131RandomProjection _),
-    "q132_bpe_encode" -> (q132BpeEncode _))
+    "q132_bpe_encode" -> (q132BpeEncode _),
+    "q133_label_prop" -> (q133LabelProp _))
 }

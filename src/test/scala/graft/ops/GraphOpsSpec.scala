@@ -357,4 +357,51 @@ class GraphOpsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       run(k4 ++ Seq((4L, 5L), (5L, 6L)), maxIter = 1)
   }
+
+  /** Plain-Scala synchronous LPA mirror: every node adopts its neighbors'
+    * most frequent label, ties to the smallest label, all nodes at once. */
+  private def lpaMirror(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val und = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .filter { case (u, v) => u < v }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      labels = adj.map { case (n, nbs) =>
+        val counts = nbs.groupBy(labels).view.mapValues(_.size).toSeq
+        n -> counts.minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    labels
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.labelPropagation(edges.toDF("u", "v"), "u", "v", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: hand graph — two triangles over a bridge " +
+      "settle into two communities") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; hand-run of the
+    // synchronous min-tie-break dynamics converges by round 4 to the two
+    // triangle communities labelled 1 and 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    runLpa(edges, 4) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L)
+    // the mirror agrees with the hand run too
+    lpaMirror(edges, 4) shouldBe runLpa(edges, 4)
+  }
+
+  test("labelPropagation matches the synchronous mirror round for round " +
+      "on a random graph; duplicate/reversed edges don't change it") {
+    (1 to 4).foreach { k =>
+      runLpa(randomEdges, k) shouldBe lpaMirror(randomEdges, k)
+    }
+    val noisy = randomEdges ++ randomEdges.map(_.swap) ++ randomEdges.take(7)
+    runLpa(noisy, 3) shouldBe lpaMirror(randomEdges, 3)
+    an[IllegalArgumentException] should be thrownBy runLpa(randomEdges, 0)
+  }
 }
