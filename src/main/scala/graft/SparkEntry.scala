@@ -161,6 +161,28 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY n
                     ORDER BY c DESC, lab) AS rn FROM c4) WHERE rn = 1)
          SELECT n AS part, CAST(lab AS BIGINT) AS label FROM l4""",
+    "q134_nearest_centroid" -> // identical sum/n centroid means, dot/|c|
+      // directional score, (score desc, label asc) argmax — all double
+      // math (the q125 positional-unnest arithmetic); output is integer
+      // confusion counts, robust to fold-order float wobble
+      """WITH x AS (SELECT vec_id, label,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(range(len(embedding))) AS dim FROM embeddings),
+         c AS (SELECT label AS c_label, dim, sum(v) / count(*) AS m
+               FROM x GROUP BY 1, 2),
+         cn AS (SELECT c_label, sqrt(sum(m * m)) AS nrm FROM c GROUP BY 1),
+         s AS (SELECT x.vec_id, x.label, c.c_label, sum(x.v * c.m) AS d
+               FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2, 3),
+         sc AS (SELECT s.vec_id, s.label, s.c_label, s.d / cn.nrm AS score
+                FROM s JOIN cn USING (c_label)),
+         p AS (SELECT vec_id, label, c_label FROM (
+                 SELECT vec_id, label, c_label,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY score DESC, c_label) AS rn FROM sc)
+               WHERE rn = 1)
+         SELECT label, c_label AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -1791,6 +1791,19 @@ object GraftQueries {
       .select(col("n").as("part"), col("label"))
   }
 
+  /** Nearest-centroid label audit ([[graft.ops.Classify
+    * .centroidConfusion]]): classify every embedding to its
+    * nearest class-mean direction and emit the label×predicted confusion
+    * counts — off-diagonal mass is the mislabeled/boundary set a corpus
+    * curation pass reviews. One vecMoments centroid pass + broadcast
+    * scoring + two partial aggregates; nothing rows×dims, nothing
+    * quadratic. Oracle: identical sum/n centroid, dot/|c| score, and
+    * (score desc, label asc) argmax in DuckDB positional-unnest SQL —
+    * double math end to end (the q125 arithmetic, the q41 rule). */
+  def q134NearestCentroid(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Classify.centroidConfusion(t(spark, dir, "embeddings"),
+      "vec_id", "label", "embedding")
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2440,5 +2453,6 @@ object GraftQueries {
     "q130_coreness" -> (q130Coreness _),
     "q131_random_projection" -> (q131RandomProjection _),
     "q132_bpe_encode" -> (q132BpeEncode _),
-    "q133_label_prop" -> (q133LabelProp _))
+    "q133_label_prop" -> (q133LabelProp _),
+    "q134_nearest_centroid" -> (q134NearestCentroid _))
 }
