@@ -28,6 +28,75 @@ object SimilaritySearch {
       .limit(k)
       .drop(vecCol)
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * diversified top-k — each pick maximizes
+    * `lambda·rel(d) − (1−lambda)·max_{s∈selected} sim(d, s)`, so
+    * near-duplicate hits stop crowding the result page. The retrieval
+    * serving shape: relevance alone returns ten paraphrases of one
+    * document; MMR trades a little relevance for coverage.
+    *
+    * Scale shape: stage 1 is [[topK]]'s distributed plan (map-only
+    * codegen scoring + `TakeOrderedAndProject`) fetching the `fetchK`
+    * candidate pool — the ONLY corpus-sized work. Stage 2 is the greedy
+    * selection on the collected pool: a BOUNDED endpoint collect of
+    * `fetchK` rows (the O10 convention) and O(fetchK·k) driver dots —
+    * fetchK is 10s-to-100s by construction, never corpus-sized. Ties
+    * break to the smallest pk; `sim` is the unit-norm dot
+    * (the engine's cosine convention). Output:
+    * `(rank, <pk>, rel, mmr)`, rank 1..k; rank 1's mmr is `lambda·rel`
+    * by definition (nothing is selected yet to repel from). */
+  def mmrRerank(corpus: DataFrame, pk: String, vecCol: String,
+      query: Array[Float], k: Int, fetchK: Int,
+      lambda: Double): DataFrame = {
+    require(k > 0 && fetchK >= k,
+      s"need fetchK >= k > 0, got k=$k fetchK=$fetchK")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = corpus
+      .withColumn("rel", cosineUnit(col(vecCol), vecLit(query)))
+      .orderBy(desc("rel"), col(pk))
+      .limit(fetchK)
+      .select(col(pk).cast("long"), col("rel"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    val n = cands.length
+    val used = new Array[Boolean](n)
+    val maxSim = new Array[Double](n)
+    val out = Seq.newBuilder[(Int, Long, Double, Double)]
+    var rank = 1
+    while (rank <= math.min(k, n)) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val s =
+            if (rank == 1) lambda * cands(i)._2
+            else lambda * cands(i)._2 - (1 - lambda) * maxSim(i)
+          if (best < 0 || s > bestScore ||
+              (s == bestScore && cands(i)._1 < cands(best)._1)) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      out += ((rank, cands(best)._1, cands(best)._2, bestScore))
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val s = graft.functions.VectorFunctions.dot(
+            cands(j)._3, cands(best)._3)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      rank += 1
+    }
+    out.result().toDF("rank", pk, "rel", "mmr")
+  }
+
   /** Multi-query exact k-NN join: broadcast the (small) query relation
     * against the corpus, score map-side, rank per query. Deterministic
     * tie-break on corpus pk.

@@ -73,8 +73,10 @@ object GoldenOracles {
       .map(sql => Map("q130_coreness" -> sql)).getOrElse(Map.empty)
     val rproj = q131For(dir)
       .map(sql => Map("q131_random_projection" -> sql)).getOrElse(Map.empty)
+    val mmr = q135For(dir)
+      .map(sql => Map("q135_mmr_rerank" -> sql)).getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ Map(
+      always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ mmr ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -86,7 +88,7 @@ object GoldenOracles {
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
         "q77_sketch_rollup" -> q77)
-    else always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj
+    else always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ mmr
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -437,6 +439,69 @@ object GoldenOracles {
       "('o', 3710), ('h', 3671), ('in', 2760), ('m', 2750), " +
       "('ow', 2747), ('d', 2732), ('b', 2721), ('er', 2716), " +
       "('u', 2709), ('or', 2696), ('st', 2676), ('p', 2662)")
+
+  /** q135 (MMR re-rank): the greedy diversified selection is inherently
+    * sequential (each pick depends on the previous picks' similarity
+    * mass), so no SQL engine can express it — the picks are DERIVED at
+    * verify time by an independent plain-Scala replay of the public
+    * algorithm (functional fold over the driver-read pool, not the
+    * engine's array/while code path) and emitted as (rank, id, mmr)
+    * VALUES. DuckDB then audits with its OWN computation: the `rel`
+    * column is recomputed by DuckDB per emitted id (the engine's VecDot
+    * left-fold must match `list_dot_product` bit for bit — the q11
+    * precedent), every pick must sit inside DuckDB's own top-`fetchK`
+    * relevance pool, and rank 1 must BE DuckDB's own relevance argmax
+    * with `mmr = lambda·rel` exactly. A drifted derivation drops rows
+    * and fails the compare. */
+  private def q135For(dir: String): Option[String] =
+    SparkSession.getActiveSession.map { spark =>
+      val (k, fetchK, lambda) = (10, 50, 0.5)
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val qv = rows.find(_._1 == 0L).get._2
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        s
+      }
+      val pool = rows.map { case (id, v) => (id, dot(v, qv), v) }
+        .sortBy { case (id, s, _) => (-s, id) }.take(fetchK).toList
+      // functional greedy: state = (selected picks, remaining pool with
+      // each candidate's running max-sim-to-selected)
+      val init = pool.map { case (id, r, v) =>
+        (id, r, v, Double.NegativeInfinity) }
+      val picks = (1 to math.min(k, pool.size)).foldLeft(
+        (List.empty[(Int, Long, Double)], init)) { case ((sel, rem), rank) =>
+        val scored = rem.map { case (id, r, v, ms) =>
+          val s = if (rank == 1) lambda * r else lambda * r - (1 - lambda) * ms
+          (id, r, v, ms, s)
+        }
+        val best = scored.minBy { case (id, _, _, _, s) => (-s, id) }
+        val rest = scored.filter(_._1 != best._1).map {
+          case (id, r, v, ms, _) =>
+            (id, r, v, math.max(ms, dot(v, best._3)))
+        }
+        (sel :+ ((rank, best._1, best._5)), rest)
+      }._1
+      val values = picks.map { case (rank, id, mmr) =>
+        s"($rank, $id, ${java.lang.Double.toString(mmr)})" }.mkString(", ")
+      s"""WITH rel AS (SELECT b.vec_id AS vec_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS rel
+           FROM embeddings a JOIN embeddings b ON a.vec_id = 0),
+         cand AS (SELECT vec_id FROM rel
+                  ORDER BY rel DESC, vec_id LIMIT $fetchK),
+         m(rank0, m_id, mmr0) AS (VALUES $values)
+         SELECT CAST(rank0 AS INTEGER) AS rank, CAST(m_id AS BIGINT)
+             AS vec_id, rel.rel AS rel, CAST(mmr0 AS DOUBLE) AS mmr
+         FROM m JOIN rel ON rel.vec_id = m_id
+         WHERE m_id IN (SELECT vec_id FROM cand)
+           AND (rank0 > 1 OR (
+             m_id = (SELECT vec_id FROM rel
+                     ORDER BY rel DESC, vec_id LIMIT 1)
+             AND abs(mmr0 - $lambda * rel.rel) <= 1e-9))"""
+    }.orElse(None) // replay needs a session; no static pin (q130 class)
 
   /** q129 (approximate quantiles): Spark's Greenwald-Khanna
     * `percentile_approx` has no DuckDB twin, and unlike the CMS/BPE

@@ -1804,6 +1804,24 @@ object GraftQueries {
     graft.ops.Classify.centroidConfusion(t(spark, dir, "embeddings"),
       "vec_id", "label", "embedding")
 
+  /** MMR diversified retrieval ([[graft.ops.SimilaritySearch
+    * .mmrRerank]]): q11's query re-ranked for diversity — top-10 from a
+    * 50-candidate pool at lambda 0.5, so near-duplicate neighbors stop
+    * crowding the page. Distributed candidate generation (map-only
+    * scoring + TakeOrderedAndProject), bounded 50-row endpoint collect,
+    * O(fetchK·k) greedy. Oracle: replay-derived golden for the greedy
+    * picks; DuckDB itself recomputes every emitted row's `rel` (engine
+    * must match bit-for-bit, the q11 precedent) and audits that every
+    * pick is inside its OWN top-50 pool and that rank 1 is its OWN
+    * relevance argmax with `mmr = lambda·rel` exactly. */
+  def q135MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.ops.SimilaritySearch.mmrRerank(e, "vec_id", "embedding", qv,
+      k = 10, fetchK = 50, lambda = 0.5)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2454,5 +2472,6 @@ object GraftQueries {
     "q131_random_projection" -> (q131RandomProjection _),
     "q132_bpe_encode" -> (q132BpeEncode _),
     "q133_label_prop" -> (q133LabelProp _),
-    "q134_nearest_centroid" -> (q134NearestCentroid _))
+    "q134_nearest_centroid" -> (q134NearestCentroid _),
+    "q135_mmr_rerank" -> (q135MmrRerank _))
 }

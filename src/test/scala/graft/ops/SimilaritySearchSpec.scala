@@ -355,4 +355,74 @@ class SimilaritySearchSpec extends SparkSpec {
     SimilaritySearch.ivfSearch(indexed, cents, "vec_id", "embedding", qv, 5,
       nProbe = 8).collect().map(_.getLong(0)).toSet shouldBe exact
   }
+
+  private def runMmr(rows: Seq[(Long, Seq[Float])], qv: Array[Float],
+      k: Int, fetchK: Int, lambda: Double): Seq[(Int, Long, Double, Double)] = {
+    import spark.implicits._
+    SimilaritySearch.mmrRerank(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", qv, k, fetchK, lambda)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+  }
+
+  test("mmrRerank hand case: diversity promotes the off-axis hit over " +
+      "the near-duplicate of rank 1") {
+    // q=(1,0). a=(0.8,0.6) rel .8 is rank 1 (mmr = λ·rel = .4);
+    // b=(0.79,0.61) rel .79 is a near-dup of a (sim .9981) so its mmr is
+    // .395-.49905 < 0; c=(0.7,-0.7) rel .7, sim(c,a)=.14 -> mmr .28 wins
+    // rank 2 despite lower relevance. Pure-relevance order would be a,b,c.
+    val rows = Seq((1L, Seq(0.8f, 0.6f)), (2L, Seq(0.79f, 0.61f)),
+      (3L, Seq(0.7f, -0.7f)))
+    val got = runMmr(rows, Array(1f, 0f), k = 3, fetchK = 3, lambda = 0.5)
+    got.map(_._2) shouldBe Seq(1L, 3L, 2L)
+    got(0)._4 shouldBe (0.4 +- 1e-6)
+    got(1)._4 shouldBe (0.28 +- 1e-6)
+    got(2)._4 shouldBe (0.395 - 0.5 * (0.79 * 0.8 + 0.61 * 0.6) +- 1e-6)
+  }
+
+  test("mmrRerank at lambda=1 is pure relevance (topK order); guards") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map(n =>
+      n -> Seq.fill(6)(rnd.nextGaussian().toFloat))
+    val qv = rows(3)._2.toArray
+    import spark.implicits._
+    val rel = SimilaritySearch.topK(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", qv, 8)
+      .collect().map(_.getLong(0)).toSeq
+    runMmr(rows, qv, k = 8, fetchK = 20, lambda = 1.0)
+      .map(_._2) shouldBe rel
+    an[IllegalArgumentException] should be thrownBy
+      runMmr(rows, qv, k = 5, fetchK = 3, lambda = 0.5)
+    an[IllegalArgumentException] should be thrownBy
+      runMmr(rows, qv, k = 2, fetchK = 5, lambda = 1.5)
+  }
+
+  test("mmrRerank matches an independent functional mirror on seeded " +
+      "vectors, and never repeats a pick") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 60L).map(n =>
+      n -> Seq.fill(5)(rnd.nextGaussian().toFloat))
+    val qv = rows(0)._2.toArray
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble }
+    val lambda = 0.5
+    val pool = rows.map { case (id, v) => (id, dot(v, qv), v) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(25).toList
+    var rem = pool.map { case (id, r, v) => (id, r, v, Double.NegativeInfinity) }
+    var want = List.empty[Long]
+    (1 to 10).foreach { rank =>
+      val best = rem.map { case (id, r, v, ms) =>
+        val s = if (rank == 1) lambda * r else lambda * r - (1 - lambda) * ms
+        (id, r, v, ms, s)
+      }.minBy { case (id, _, _, _, s) => (-s, id) }
+      want = want :+ best._1
+      rem = rem.filter(_._1 != best._1).map { case (id, r, v, ms) =>
+        (id, r, v, math.max(ms, dot(v, best._3))) }
+    }
+    val got = runMmr(rows, qv, k = 10, fetchK = 25, lambda = lambda)
+    got.map(_._2) shouldBe want
+    got.map(_._2).distinct.size shouldBe 10
+  }
 }
