@@ -183,6 +183,22 @@ object SparkEntry {
          SELECT label, c_label AS predicted,
            CAST(count(*) AS BIGINT) AS n
          FROM p GROUP BY 1, 2""",
+    "q136_shuffle_shard" -> // shard = the q121 HRW replay; pos = plain
+      // row_number over (shard, seeded md5 key) — the naive one-task
+      // formulation IS the oracle, the engine's two-pass range rank must
+      // reproduce it exactly
+      """WITH sh AS (SELECT doc_id, shard FROM (
+             SELECT doc_id, s AS shard, row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(s AS VARCHAR)) DESC, s DESC) AS rn
+             FROM documents, range(8) AS t(s)) sub
+           WHERE rn = 1)
+         SELECT doc_id, shard, CAST(row_number() OVER (
+             PARTITION BY shard
+             ORDER BY md5('r7:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS pos
+         FROM sh""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -146,4 +146,43 @@ object Sampling {
         .cast("binary")).as("h"), s.as("s")))
     array_max(scored).getField("s").cast("long")
   }
+
+  /** Deterministic global shuffle + shard assignment — the training-data
+    * EXPORT step: every row gets a stable `(shard, pos)` address, where
+    * `shard` is the [[rendezvousShard]] bucket and `pos` is the row's
+    * 1-based position within its shard under the seeded md5 shuffle
+    * order. Writers then emit shard files whose internal order is the training
+    * order — reproducible across reruns, resumable mid-export, and
+    * changeable only by changing `seed`.
+    *
+    * Scale shape: the naive formulation (`row_number` partitioned by
+    * shard) funnels each shard through ONE task — a 100 GB shard in one
+    * sort. Here positions come from the [[graft.ingest.BinaryIngest
+    * .withDenseIds]] two-pass trick instead: a RANGE shuffle on
+    * `(shard, key, id)` keeps parallelism at the shuffle-partition count
+    * (many partitions per shard), `zipWithIndex` assigns global offsets
+    * in a lightweight second pass, and subtracting each shard's
+    * broadcast `min(g)` (an nShards-row aggregate) turns global offsets
+    * into per-shard positions — map-only. */
+  def shuffleShard(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val keyed = df.select(col(idCol),
+      rendezvousShard(col(idCol), nShards).as("shard"),
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+        .cast("binary")).as("skey"))
+    val sorted = keyed
+      .repartitionByRange(col("shard"), col("skey"), col(idCol))
+      .sortWithinPartitions("shard", "skey", idCol)
+    val schema = StructType(sorted.schema.fields :+
+      StructField("g", LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i) }, schema)
+    val base = indexed.groupBy(col("shard")).agg(min(col("g")).as("g0"))
+    indexed.join(broadcast(base), "shard")
+      .select(col(idCol), col("shard"), (col("g") - col("g0") + 1L).as("pos"))
+  }
 }

@@ -1822,6 +1822,17 @@ object GraftQueries {
       k = 10, fetchK = 50, lambda = 0.5)
   }
 
+  /** Deterministic training-export shuffle ([[graft.ops.Sampling
+    * .shuffleShard]]): every document gets its stable (shard, pos)
+    * training address — HRW shard + seeded-md5 within-shard order — via
+    * the two-pass range-shuffle rank (no one-task-per-shard sort).
+    * Oracle: the q121 HRW replay for the shard + `row_number` over
+    * (shard, md5 key) for the position — pure md5/string math both
+    * engines reproduce bit-for-bit. */
+  def q136ShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.shuffleShard(t(spark, dir, "documents")
+      .select(col("doc_id")), "doc_id", seed = "r7", nShards = 8)
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2473,5 +2484,6 @@ object GraftQueries {
     "q132_bpe_encode" -> (q132BpeEncode _),
     "q133_label_prop" -> (q133LabelProp _),
     "q134_nearest_centroid" -> (q134NearestCentroid _),
-    "q135_mmr_rerank" -> (q135MmrRerank _))
+    "q135_mmr_rerank" -> (q135MmrRerank _),
+    "q136_shuffle_shard" -> (q136ShuffleShard _))
 }

@@ -198,4 +198,59 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.rendezvousShard(col("id"), 0)
   }
+
+  private def shuffled(ids: Seq[Long], seed: String, nShards: Int)
+      : Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Sampling.shuffleShard(ids.toDF("id"), "id", seed, nShards)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("shuffleShard: positions are dense 1..n per shard, every row " +
+      "addressed once, and the two-pass rank equals the naive window") {
+    import spark.implicits._
+    val ids = (0L until 500L)
+    val got = shuffled(ids, "s1", 8)
+    got.keySet shouldBe ids.toSet
+    // dense per-shard positions
+    got.values.groupBy(_._1).foreach { case (_, addrs) =>
+      addrs.map(_._2).toSeq.sorted shouldBe (1L to addrs.size)
+    }
+    // naive single-exchange window formulation as the in-engine mirror
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("skey"), col("id"))
+    val naive = ids.toDF("id")
+      .select(col("id"), Sampling.rendezvousShard(col("id"), 8).as("shard"),
+        md5(concat(lit("s1:"), col("id").cast("string"))
+          .cast("binary")).as("skey"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    got shouldBe naive
+  }
+
+  test("shuffleShard is deterministic under input repartitioning and " +
+      "seed-sensitive; resharding preserves surviving relative order") {
+    import spark.implicits._
+    val ids = (0L until 300L)
+    val a = shuffled(ids, "s1", 8)
+    val b = {
+      val df = ids.toDF("id").repartition(13)
+      Sampling.shuffleShard(df, "id", "s1", 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+    b shouldBe a
+    shuffled(ids, "s2", 8) should not be a
+    // drop the last shard: keys staying in a shard keep their relative
+    // order (the HRW minimal-disruption story carried into positions)
+    val c = shuffled(ids, "s1", 7)
+    (0 until 7).foreach { s =>
+      val before = a.toSeq.filter(_._2._1 == s).sortBy(_._2._2).map(_._1)
+      val after = c.toSeq.filter(_._2._1 == s).sortBy(_._2._2).map(_._1)
+      val survivors = before.filter(after.contains)
+      after.filter(survivors.contains) shouldBe survivors
+    }
+  }
 }
