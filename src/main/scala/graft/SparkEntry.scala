@@ -199,6 +199,33 @@ object SparkEntry {
              ORDER BY md5('r7:' || CAST(doc_id AS VARCHAR)), doc_id)
            AS BIGINT) AS pos
          FROM sh""",
+    "q137_hits" -> // identical unrolled arithmetic: sum over the edge
+      // join, then divide by the L2 norm of the whole half-step vector;
+      // three full iterations, auth first then hub (the engine's order)
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+             FROM lineitem),
+         h0 AS (SELECT DISTINCT s, CAST(1.0 AS DOUBLE) AS h FROM e),
+         a1r AS (SELECT p, sum(h) AS x FROM e JOIN h0 USING (s) GROUP BY p),
+         a1 AS (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a1r) AS a
+                FROM a1r),
+         h1r AS (SELECT s, sum(a) AS x FROM e JOIN a1 USING (p) GROUP BY s),
+         h1 AS (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h1r) AS h
+                FROM h1r),
+         a2r AS (SELECT p, sum(h) AS x FROM e JOIN h1 USING (s) GROUP BY p),
+         a2 AS (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a2r) AS a
+                FROM a2r),
+         h2r AS (SELECT s, sum(a) AS x FROM e JOIN a2 USING (p) GROUP BY s),
+         h2 AS (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h2r) AS h
+                FROM h2r),
+         a3r AS (SELECT p, sum(h) AS x FROM e JOIN h2 USING (s) GROUP BY p),
+         a3 AS (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a3r) AS a
+                FROM a3r),
+         h3r AS (SELECT s, sum(a) AS x FROM e JOIN a3 USING (p) GROUP BY s),
+         h3 AS (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h3r) AS h
+                FROM h3r)
+         SELECT p AS n, 'auth' AS kind, a AS score FROM a3
+         UNION ALL
+         SELECT s AS n, 'hub' AS kind, h AS score FROM h3""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -394,6 +394,45 @@ object GraphOps {
     labels.select(col("n"), col("lab").as("label"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge set,
+    * fixed iteration count with L2 normalization after every half-step —
+    * the link-quality signal for bipartite source→document graphs (a
+    * supplier/site that links many good documents is a hub; a document
+    * many good hubs link is an authority). Deterministic: pure double
+    * arithmetic, no ranking ties to break, and a FIXED `iters` makes the
+    * unrolled SQL mirror mechanical (the q94 PageRank discipline).
+    *
+    * Scale shape per iteration: two edge-sized equi-joins + two
+    * map-side-combinable sums + two single-row norm aggregates broadcast
+    * back — everything linear in edges, frames materialized between
+    * rounds. Output: `(n, kind, score)` with kind ∈ {hub, auth}. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("p"))
+      .distinct().materialized
+    var hub = e.select(col("s")).distinct()
+      .withColumn("h", lit(1.0)).materialized
+    var auth = e.select(col("p")).distinct()
+      .withColumn("a", lit(1.0)).materialized
+    var round = 0
+    while (round < iters) {
+      val a0 = e.join(hub, "s").groupBy(col("p")).agg(sum(col("h")).as("x"))
+      val an = a0.agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      auth = a0.crossJoin(broadcast(an))
+        .select(col("p"), (col("x") / col("nrm")).as("a")).materialized
+      val h0 = e.join(auth, "p").groupBy(col("s")).agg(sum(col("a")).as("x"))
+      val hn = h0.agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+      hub = h0.crossJoin(broadcast(hn))
+        .select(col("s"), (col("x") / col("nrm")).as("h")).materialized
+      round += 1
+    }
+    auth.select(col("p").as("n"), lit("auth").as("kind"),
+        col("a").as("score"))
+      .unionByName(hub.select(col("s").as("n"), lit("hub").as("kind"),
+        col("h").as("score")))
+  }
+
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")

@@ -1833,6 +1833,19 @@ object GraftQueries {
     graft.ops.Sampling.shuffleShard(t(spark, dir, "documents")
       .select(col("doc_id")), "doc_id", seed = "r7", nShards = 8)
 
+  /** HITS hubs/authorities ([[GraphOps.hits]]): 3 normalized power
+    * iterations over the supplier→part supply graph — hubs are the
+    * broad-catalog suppliers, authorities the widely-supplied parts (the
+    * site→document link-quality signal on a crawl graph). Oracle: the
+    * same 3 iterations unrolled as chained CTEs with identical
+    * sum-then-L2-normalize arithmetic; scores are scale-free doubles
+    * compared under the float-tolerant diff (the q94 discipline). */
+  def q137Hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"))
+    GraphOps.hits(li, "l_suppkey", "l_partkey", iters = 3)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2485,5 +2498,6 @@ object GraftQueries {
     "q133_label_prop" -> (q133LabelProp _),
     "q134_nearest_centroid" -> (q134NearestCentroid _),
     "q135_mmr_rerank" -> (q135MmrRerank _),
-    "q136_shuffle_shard" -> (q136ShuffleShard _))
+    "q136_shuffle_shard" -> (q136ShuffleShard _),
+    "q137_hits" -> (q137Hits _))
 }

@@ -382,6 +382,58 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  private def runHits(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Double], Map[Long, Double]) = {
+    import spark.implicits._
+    val rows = GraphOps.hits(edges.toDF("s", "p"), "s", "p", iters)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    (rows.filter(_._2 == "hub").map(r => r._1 -> r._3).toMap,
+      rows.filter(_._2 == "auth").map(r => r._1 -> r._3).toMap)
+  }
+
+  test("hits: hand bipartite case walks the Fibonacci ladder") {
+    // s1->{p1,p2}, s2->{p2}: the normalized power iteration produces
+    // consecutive Fibonacci ratios — after 3 rounds auth=(8,13)/sqrt(233),
+    // hub=(21,13)/sqrt(610)
+    val (hub, auth) = runHits(Seq((1L, 101L), (1L, 102L), (2L, 102L)), 3)
+    auth(101L) shouldBe (8.0 / math.sqrt(233)) +- 1e-12
+    auth(102L) shouldBe (13.0 / math.sqrt(233)) +- 1e-12
+    hub(1L) shouldBe (21.0 / math.sqrt(610)) +- 1e-12
+    hub(2L) shouldBe (13.0 / math.sqrt(610)) +- 1e-12
+  }
+
+  test("hits matches a plain-Scala mirror on a random bipartite graph; " +
+      "both score vectors end unit-norm") {
+    val rnd = new scala.util.Random(31)
+    val edges = (for {
+      s <- 0L until 20L
+      p <- 100L until 140L
+      if rnd.nextDouble() < 0.2
+    } yield (s, p)).distinct
+    val iters = 3
+    // independent mirror
+    var h = edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    (1 to iters).foreach { _ =>
+      val a0 = edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap
+      val an = math.sqrt(a0.values.map(x => x * x).sum)
+      a = a0.view.mapValues(_ / an).toMap
+      val h0 = edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap
+      val hn = math.sqrt(h0.values.map(x => x * x).sum)
+      h = h0.view.mapValues(_ / hn).toMap
+    }
+    val (hub, auth) = runHits(edges, iters)
+    hub.keySet shouldBe h.keySet
+    auth.keySet shouldBe a.keySet
+    hub.foreach { case (n, v) => v shouldBe h(n) +- 1e-9 }
+    auth.foreach { case (n, v) => v shouldBe a(n) +- 1e-9 }
+    math.sqrt(hub.values.map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+    math.sqrt(auth.values.map(x => x * x).sum) shouldBe 1.0 +- 1e-9
+    an[IllegalArgumentException] should be thrownBy runHits(edges, 0)
+  }
+
   test("labelPropagation: hand graph — two triangles over a bridge " +
       "settle into two communities") {
     // triangles {1,2,3} and {4,5,6}, bridge 3-4; hand-run of the
