@@ -226,6 +226,25 @@ object SparkEntry {
          SELECT p AS n, 'auth' AS kind, a AS score FROM a3
          UNION ALL
          SELECT s AS n, 'hub' AS kind, h AS score FROM h3""",
+    "q138_vec_outliers" -> // identical sum/n centroid, sqrt-sum-of-squares
+      // distance, and E[x^2]-E[x]^2 population z — all double; the z > 2
+      // membership cut is float-wobble-safe (no fixture value near it)
+      """WITH x AS (SELECT vec_id, label,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(range(len(embedding))) AS dim FROM embeddings),
+         c AS (SELECT label AS c_label, dim, sum(v) / count(*) AS m
+               FROM x GROUP BY 1, 2),
+         d AS (SELECT x.vec_id, x.label,
+                 sqrt(sum((x.v - c.m) * (x.v - c.m))) AS dist
+               FROM x JOIN c ON x.label = c.c_label AND x.dim = c.dim
+               GROUP BY 1, 2),
+         st AS (SELECT label, avg(dist) AS mu,
+                  sqrt(avg(dist * dist) - avg(dist) * avg(dist)) AS sd
+                FROM d GROUP BY 1)
+         SELECT d.vec_id, d.label, d.dist,
+           (d.dist - st.mu) / st.sd AS z
+         FROM d JOIN st USING (label)
+         WHERE st.sd > 0 AND (d.dist - st.mu) / st.sd > 2.0""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -49,6 +49,41 @@ object Classify {
         (-col("m.ns")).as("score"))
   }
 
+  /** Per-label embedding OUTLIER audit: each row's L2 distance to its own
+    * label's centroid, z-scored against that label's distance
+    * distribution (population variance), keeping rows with
+    * `z > zThreshold` — the "this vector doesn't belong to its cluster"
+    * flag (corrupt decodes, mislabeled rows, adversarial injections
+    * surface here before they pollute retrieval training).
+    *
+    * Same scale shape as [[nearestCentroid]]: one vecMoments centroid
+    * pass, a label-equi broadcast join (each row meets ONLY its own
+    * centroid — not the class cross), one per-label (mu, sd) partial
+    * aggregate broadcast back, map-only z and filter. Output:
+    * `(idCol, labelCol, dist, z)`. */
+  def centroidOutliers(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, zThreshold: Double): DataFrame = {
+    val m = graft.expressions.SketchExpressions.vecMoments(col(vecCol))
+    val cents = df.groupBy(col(labelCol).as("c_label")).agg(m.as("m"))
+      .select(col("c_label"),
+        transform(col("m.sum"), x => x / col("m.n")).as("c"))
+    val d = df.select(col(idCol), col(labelCol), col(vecCol))
+      .join(broadcast(cents), col(labelCol) === col("c_label"))
+      .select(col(idCol), col(labelCol),
+        graft.functions.VectorFunctions.l2Dist(col(vecCol), col("c"))
+          .as("dist"))
+    val st = d.groupBy(col(labelCol).as("s_label"))
+      .agg(avg(col("dist")).as("mu"),
+        sqrt(avg(col("dist") * col("dist")) - pow(avg(col("dist")), 2))
+          .as("sd"))
+    // sd = 0 (a degenerate identical cluster) has no outliers BY CONTRACT:
+    // the z is NULL (ANSI division would throw), and NULL > t drops the row
+    d.join(broadcast(st), col(labelCol) === col("s_label"))
+      .select(col(idCol), col(labelCol), col("dist"),
+        when(col("sd") > 0, (col("dist") - col("mu")) / col("sd")).as("z"))
+      .filter(col("z") > zThreshold)
+  }
+
   /** Confusion-matrix counts of [[nearestCentroid]]:
     * `(labelCol, predicted, n)` — the corpus-level label-quality audit
     * (off-diagonal rows are the suspect label/cluster mismatches). */

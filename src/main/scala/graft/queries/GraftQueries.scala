@@ -1846,6 +1846,17 @@ object GraftQueries {
     GraphOps.hits(li, "l_suppkey", "l_partkey", iters = 3)
   }
 
+  /** Embedding outlier audit ([[graft.ops.Classify.centroidOutliers]]):
+    * rows whose distance to their OWN label centroid z-scores above 2 —
+    * the corrupt-decode / mislabel flag run before embeddings feed
+    * retrieval training. Oracle: identical sum/n centroid, L2 distance,
+    * and population-variance z in DuckDB positional-unnest SQL (the
+    * q125/q128 arithmetic); the z > 2 cut sits far from any fixture
+    * value, so fold-order wobble cannot flip membership. */
+  def q138VecOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Classify.centroidOutliers(t(spark, dir, "embeddings"),
+      "vec_id", "label", "embedding", zThreshold = 2.0)
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2499,5 +2510,6 @@ object GraftQueries {
     "q134_nearest_centroid" -> (q134NearestCentroid _),
     "q135_mmr_rerank" -> (q135MmrRerank _),
     "q136_shuffle_shard" -> (q136ShuffleShard _),
-    "q137_hits" -> (q137Hits _))
+    "q137_hits" -> (q137Hits _),
+    "q138_vec_outliers" -> (q138VecOutliers _))
 }

@@ -45,6 +45,43 @@ class ClassifySpec extends SparkSpec {
     conf shouldBe Map((1, 1) -> 2L, (2, 1) -> 2L)
   }
 
+  test("centroidOutliers: the planted far vector is flagged with the " +
+      "mirror's exact dist/z; identical clusters flag nothing (sd=0)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 60).map { i =>
+      (i.toLong, 1, Seq(1f + 0.01f * rnd.nextGaussian().toFloat,
+        0.01f * rnd.nextGaussian().toFloat))
+    }
+    val rows = base :+ ((999L, 1, Seq(-1f, 0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Classify.centroidOutliers(df, "vec_id", "label", "embedding",
+        zThreshold = 2.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // mirror: sum/n centroid, l2 dist, population z
+    val n = rows.size
+    val cent = Array(
+      rows.map(_._3(0).toDouble).sum / n, rows.map(_._3(1).toDouble).sum / n)
+    val dists = rows.map { case (id, _, v) =>
+      id -> math.sqrt(math.pow(v(0) - cent(0), 2) +
+        math.pow(v(1) - cent(1), 2)) }.toMap
+    val mu = dists.values.sum / n
+    val sd = math.sqrt(dists.values.map(d => d * d).sum / n - mu * mu)
+    val want = dists.view.filter { case (_, d) => (d - mu) / sd > 2.0 }
+      .map { case (id, d) => id -> (d, (d - mu) / sd) }.toMap
+    got.keySet shouldBe want.keySet
+    got.keySet should contain(999L)
+    got.foreach { case (id, (d, z)) =>
+      d shouldBe want(id)._1 +- 1e-6
+      z shouldBe want(id)._2 +- 1e-6
+    }
+    // a degenerate all-identical cluster has sd = 0 -> NaN z -> no rows
+    val same = (0 until 10).map(i => (i.toLong, 7, Seq(1f, 2f)))
+    Classify.centroidOutliers(same.toDF("vec_id", "label", "embedding"),
+      "vec_id", "label", "embedding", 2.0).count() shouldBe 0L
+  }
+
   test("matches a plain-Scala mirror on seeded clustered vectors") {
     val rnd = new scala.util.Random(7)
     val dim = 8
