@@ -320,4 +320,34 @@ class PlanShapeSpec extends SparkSpec {
         (p should not).include("CartesianProduct")
       }
   }
+
+  test("q132: BPE encode is two hash exchanges total — the chained merge " +
+      "fold is map-only on the vocabulary frame") {
+    val p = plan("q132_bpe_encode")
+    // word groupBy + token groupBy; the 8 merge applications in between
+    // must add NO shuffle (one nested-fold projection)
+    "hashpartitioning\\(".r.findAllIn(p).size shouldBe 2
+    p should include("TakeOrderedAndProject") // the top-20, not a sort
+  }
+
+  test("q134/q138: centroid passes broadcast the class table — vectors " +
+      "never shuffle, argmax/stats are partial aggregates") {
+    val p134 = plan("q134_nearest_centroid")
+    p134 should include("BroadcastNestedLoopJoin") // class-table scan
+    (p134 should not).include("SortMergeJoin")
+    p134 should include("partial_min") // map-side argmax combine
+    val p138 = plan("q138_vec_outliers")
+    p138 should include("BroadcastHashJoin") // label-equi centroid/stats
+    (p138 should not).include("SortMergeJoin")
+  }
+
+  test("q136: shuffle-shard positions come from the range rank — no " +
+      "Window, base offsets broadcast") {
+    val p = plan("q136_shuffle_shard")
+    (p should not).include("Window") // the one-task-per-shard formulation
+    // the range shuffle + zipWithIndex live in the RDD lineage behind the
+    // scanned ExistingRDD; the visible plan is the offset-subtract join
+    p should include("ExistingRDD")
+    p should include("BroadcastHashJoin") // nShards-row offset frame
+  }
 }
