@@ -105,7 +105,15 @@ object Bench {
     // the round's two iterative operators as anchors: BPE merge learning
     // (8 vocab-bounded pair-count rounds) and k-core coreness (h-index
     // fixpoint to convergence on the co-purchase graph)
-    "q127_bpe_merges", "q130_coreness")
+    "q127_bpe_merges", "q130_coreness",
+    // round-7 second-continuation additions (new anchors): the round's
+    // three iterative/corpus-shaped operators — BPE APPLICATION (learn 8
+    // merges, then the two-exchange encode of the whole corpus),
+    // 4-round synchronous label propagation (per round: one edge join +
+    // two partial aggregates), and 3-iteration HITS (two edge joins +
+    // two norm broadcasts per round). q134/q135/q136/q138 are
+    // scan-trivial at sf0.1 — oracled, not anchored
+    "q132_bpe_encode", "q133_label_prop", "q137_hits")
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
