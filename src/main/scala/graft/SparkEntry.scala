@@ -245,6 +245,43 @@ object SparkEntry {
            (d.dist - st.mu) / st.sd AS z
          FROM d JOIN st USING (label)
          WHERE st.sd > 0 AND (d.dist - st.mu) / st.sd > 2.0""",
+    "q139_time_decay" -> // identical integer-micros age (epoch_us vs
+      // unix_micros) and exp/sum arithmetic; float-tolerant compare
+      // absorbs per-libm exp last-ulp differences
+      """WITH t AS (SELECT max(ts) AS tmax FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(value * exp(-CAST(epoch_us(t.tmax) - epoch_us(ts) AS DOUBLE)
+             / (72.0 * 3600.0 * 1000000.0))) AS decayed_sum
+         FROM events, t GROUP BY event_type""",
+    "q140_psi_drift" -> // identical fixed width-25 buckets clamped to
+      // 0..9, add-one smoothing over the FULL bucket domain, natural log
+      """WITH ev AS (SELECT event_type,
+             CAST(least(greatest(floor(value / 25), 0), 9) AS INTEGER)
+               AS bucket,
+             ts < TIMESTAMP '2024-01-16' AS is_ref FROM events),
+         r AS (SELECT event_type, bucket, count(*) AS cr FROM ev
+               WHERE is_ref GROUP BY 1, 2),
+         c AS (SELECT event_type, bucket, count(*) AS cc FROM ev
+               WHERE NOT is_ref GROUP BY 1, 2),
+         dom AS (SELECT DISTINCT event_type, CAST(s AS INTEGER) AS bucket
+                 FROM ev, range(10) AS t(s)),
+         j AS (SELECT dom.event_type, dom.bucket,
+                 COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+               FROM dom
+               LEFT JOIN r ON r.event_type = dom.event_type
+                 AND r.bucket = dom.bucket
+               LEFT JOIN c ON c.event_type = dom.event_type
+                 AND c.bucket = dom.bucket),
+         tt AS (SELECT event_type, sum(cr) AS nr, sum(cc) AS nc
+                FROM j GROUP BY 1)
+         SELECT j.event_type,
+           CAST(max(tt.nr) AS BIGINT) AS n_ref,
+           CAST(max(tt.nc) AS BIGINT) AS n_cur,
+           sum(((cr + 1.0) / (nr + 10.0) - (cc + 1.0) / (nc + 10.0)) *
+             ln(((cr + 1.0) / (nr + 10.0)) /
+                ((cc + 1.0) / (nc + 10.0)))) AS psi
+         FROM j JOIN tt ON tt.event_type = j.event_type
+         GROUP BY j.event_type""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -134,4 +134,28 @@ object EventAnalytics {
       when(m2 - mean * mean > 1e-9,
         (x - mean) / sqrt(m2 - mean * mean)).as("z"): _*)
   }
+
+  /** Exponentially time-decayed value sums per key — the recency
+    * weighting a freshness-aware corpus mix or trending-signal rollup
+    * uses (an event `ageHours` old contributes `value·exp(-age/tau)`,
+    * with age measured against the dataset's own max timestamp so the
+    * result is a pure function of the data, not of wall-clock run time).
+    *
+    * Scale shape: one 1-row max aggregate broadcast back (never a
+    * window-over-everything), then ONE map-side-combinable groupBy —
+    * two light shuffles total. Output: `(keyCol, n, decayed_sum)`. */
+  def timeDecayedSum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tauHours: Double): DataFrame = {
+    require(tauHours > 0, s"tauHours must be positive, got $tauHours")
+    val tmax = df.agg(max(col(tsCol)).as("tmax"))
+    // exact integer micros on both sides of the oracle compare (a
+    // seconds cast would truncate sub-second event times)
+    val age = unix_micros(col("tmax")) - unix_micros(col(tsCol))
+    df.crossJoin(broadcast(tmax))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("double") *
+          exp(-age.cast("double") / lit(tauHours * 3600.0 * 1e6)))
+          .as("decayed_sum"))
+  }
 }

@@ -1857,6 +1857,33 @@ object GraftQueries {
     graft.ops.Classify.centroidOutliers(t(spark, dir, "embeddings"),
       "vec_id", "label", "embedding", zThreshold = 2.0)
 
+  /** Recency-weighted rollup ([[graft.ops.EventAnalytics
+    * .timeDecayedSum]]): per-type event value mass under a 72h
+    * exponential half-life-style decay anchored at the dataset's own max
+    * timestamp — the freshness signal a trending/mixture pass consumes.
+    * One 1-row max broadcast + one combinable groupBy. Oracle: identical
+    * integer-micros age and exp/sum arithmetic in DuckDB (`epoch_us`),
+    * compared float-tolerantly (exp last-ulp may differ per libm). */
+  def q139TimeDecay(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.timeDecayedSum(events(spark, dir),
+      "event_type", "ts", "value", tauHours = 72.0)
+
+  /** Distribution-drift monitor ([[graft.ops.TableStats.psiDrift]]):
+    * population stability index of event values per type between the
+    * first-half (before Jan 16) and second-half snapshots, over 10 fixed
+    * width-25 buckets with add-one smoothing — the ingest-shift gate a
+    * daily 100 TB pipeline runs before accepting a new dump. Oracle:
+    * identical bucket edges, smoothing, and `ln` arithmetic in DuckDB. */
+  def q140PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cut = lit("2024-01-16").cast("timestamp")
+    graft.ops.TableStats.psiDrift(
+      ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+      "event_type",
+      least(greatest(floor(col("value") / 25), lit(0)), lit(9)),
+      nBuckets = 10)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2511,5 +2538,7 @@ object GraftQueries {
     "q135_mmr_rerank" -> (q135MmrRerank _),
     "q136_shuffle_shard" -> (q136ShuffleShard _),
     "q137_hits" -> (q137Hits _),
-    "q138_vec_outliers" -> (q138VecOutliers _))
+    "q138_vec_outliers" -> (q138VecOutliers _),
+    "q139_time_decay" -> (q139TimeDecay _),
+    "q140_psi_drift" -> (q140PsiDrift _))
 }

@@ -194,4 +194,40 @@ class EventAnalyticsSpec extends SparkSpec {
     "Exchange hashpartitioning\\(k".r.findAllIn(plan).length shouldBe 1
     "Window".r.findAllIn(plan).length shouldBe 1
   }
+
+  test("timeDecayedSum matches a driver mirror; the newest event weighs " +
+      "1.0; decay is anchor-relative (shifting all times is a no-op)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = (0 until 300).map { i =>
+      val t = new java.sql.Timestamp(
+        base.getTime + rnd.nextInt(96 * 3600) * 1000L + rnd.nextInt(1000))
+      (if (i % 3 == 0) "a" else "b", t, rnd.nextDouble() * 100)
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val got = EventAnalytics.timeDecayedSum(df, "k", "ts", "v", 24.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val tmaxMs = rows.map(_._2.getTime).max
+    def mirror(k: String): Double = rows.filter(_._1 == k).map { r =>
+      r._3 * math.exp(-((tmaxMs - r._2.getTime) * 1000.0) / (24.0 * 3.6e9))
+    }.sum
+    got("a")._1 shouldBe 100L
+    got("a")._2 shouldBe mirror("a") +- 1e-6
+    got("b")._2 shouldBe mirror("b") +- 1e-6
+    // a single newest event contributes exactly its value
+    val one = Seq(("x", base, 7.5)).toDF("k", "ts", "v")
+    EventAnalytics.timeDecayedSum(one, "k", "ts", "v", 24.0)
+      .head().getDouble(2) shouldBe 7.5 +- 1e-12
+    // shift every timestamp by 10 days: unchanged (anchor-relative)
+    val shifted = rows.map { case (k, t, v) =>
+      (k, new java.sql.Timestamp(t.getTime + 864000000L), v) }
+      .toDF("k", "ts", "v")
+    val got2 = EventAnalytics.timeDecayedSum(shifted, "k", "ts", "v", 24.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got2("a") shouldBe got("a")._2 +- 1e-9
+    an[IllegalArgumentException] should be thrownBy
+      EventAnalytics.timeDecayedSum(df, "k", "ts", "v", 0.0)
+  }
 }

@@ -95,4 +95,47 @@ class TableStatsSpec extends SparkSpec {
         (xs.length.toDouble / graft.queries.GraftQueries.q129Accuracy + 1.0)
     }
   }
+
+  private def psi(ref: Seq[(String, Int)], cur: Seq[(String, Int)],
+      nBuckets: Int): Map[String, (Long, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    TableStats.psiDrift(ref.toDF("k", "b"), cur.toDF("k", "b"),
+        "k", col("b"), nBuckets)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+  }
+
+  test("psiDrift: identical distributions score 0; a full bucket shift " +
+      "matches the hand smoothing math; mirror parity on random data") {
+    val same = Seq.fill(50)(("a", 0)) ++ Seq.fill(30)(("a", 1))
+    val (nr, nc, p0) = psi(same, same, 4)("a")
+    nr shouldBe 80L; nc shouldBe 80L
+    p0 shouldBe 0.0 +- 1e-12
+    // ref all-bucket-0 vs cur all-bucket-1, 2 buckets, 10 rows each:
+    // p=(11/12, 1/12), q=(1/12, 11/12); psi = 2 * (10/12) * ln(11)
+    val shifted = psi(Seq.fill(10)(("a", 0)), Seq.fill(10)(("a", 1)), 2)
+    shifted("a")._3 shouldBe (2 * (10.0 / 12) * math.log(11.0)) +- 1e-12
+    // mirror on random multi-key data, incl. keys missing one side
+    val rnd = new scala.util.Random(9)
+    val ref = (0 until 400).map(_ =>
+      (if (rnd.nextBoolean()) "x" else "y", rnd.nextInt(6)))
+    val cur = (0 until 300).map(_ =>
+      (if (rnd.nextInt(3) == 0) "x" else "y", (rnd.nextInt(6) + 1) % 6))
+    val got = psi(ref, cur, 6)
+    Seq("x", "y").foreach { k =>
+      val cr = (0 until 6).map(b => ref.count(r => r._1 == k && r._2 == b))
+      val cc = (0 until 6).map(b => cur.count(r => r._1 == k && r._2 == b))
+      val (tr, tc) = (cr.sum, cc.sum)
+      val want = (0 until 6).map { b =>
+        val p = (cr(b) + 1.0) / (tr + 6); val q = (cc(b) + 1.0) / (tc + 6)
+        (p - q) * math.log(p / q)
+      }.sum
+      got(k)._1 shouldBe tr.toLong
+      got(k)._2 shouldBe tc.toLong
+      got(k)._3 shouldBe want +- 1e-9
+    }
+    an[IllegalArgumentException] should be thrownBy psi(same, same, 1)
+  }
 }
