@@ -282,6 +282,42 @@ object SparkEntry {
                 ((cc + 1.0) / (nc + 10.0)))) AS psi
          FROM j JOIN tt ON tt.event_type = j.event_type
          GROUP BY j.event_type""",
+    "q141_ranking_metrics" -> // both rankings re-derived by DuckDB's own
+      // list_dot_product (full dims and [1:32] slice — ranks bit-stable,
+      // the q11 precedent) and the recall/MRR/NDCG formulas recomputed
+      // term for term; queries the truncated list misses entirely score 0
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         full0 AS (SELECT q.qid, b.vec_id AS id, row_number() OVER (
+               PARTITION BY q.qid ORDER BY
+                 list_dot_product(qv, CAST(b.embedding AS DOUBLE[])) DESC,
+                 b.vec_id) AS rnk
+             FROM q, embeddings b),
+         fullr AS (SELECT * FROM full0 WHERE rnk <= 10),
+         tr0 AS (SELECT q.qid, b.vec_id AS id, row_number() OVER (
+               PARTITION BY q.qid ORDER BY
+                 list_dot_product(qv[1:32],
+                   CAST(b.embedding AS DOUBLE[])[1:32]) DESC,
+                 b.vec_id) AS rnk
+             FROM q, embeddings b),
+         trr AS (SELECT * FROM tr0 WHERE rnk <= 10),
+         ne AS (SELECT qid, count(*) AS n_exp FROM fullr GROUP BY qid),
+         h AS (SELECT f.qid, count(*) AS n_hit, min(t.rnk) AS first_hit,
+                 sum(1.0 / log2(t.rnk + 1.0)) AS dcg
+               FROM fullr f JOIN trr t ON f.qid = t.qid AND f.id = t.id
+               GROUP BY f.qid),
+         ig AS (SELECT g1.n AS n, sum(1.0 / log2(g2.s + 1.0)) AS idcg
+                FROM generate_series(1, 10) g1(n),
+                     generate_series(1, 10) g2(s)
+                WHERE g2.s <= g1.n GROUP BY g1.n)
+         SELECT ne.qid AS query_id,
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(n_hit, 0) / CAST(least(10, n_exp) AS DOUBLE) AS recall,
+           COALESCE(1.0 / first_hit, 0.0) AS mrr,
+           COALESCE(dcg, 0.0) / ig.idcg AS ndcg
+         FROM ne
+         LEFT JOIN h ON h.qid = ne.qid
+         JOIN ig ON ig.n = least(10, n_exp)""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -1884,6 +1884,27 @@ object GraftQueries {
       nBuckets = 10)
   }
 
+  /** Retrieval eval harness ([[graft.ops.Eval.rankingMetrics]]):
+    * recall@10 / MRR / binary NDCG@10 of a dimension-truncated (first-32)
+    * ranking against the full-64-dim ground truth, for the first 20
+    * query vectors — the quality audit run on every index/quantizer
+    * change, expressed as ONE distributed job (two knnJoins + an
+    * equi-join + two partial aggregates). Oracle: both rankings and all
+    * three metric formulas recomputed exactly in DuckDB (ranks are
+    * bit-stable: left-fold dots, (score desc, id asc) ties). */
+  def q141RankingMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val e32 = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val full = graft.ops.SimilaritySearch.knnJoin(
+      e.filter(col("vec_id") < 20), e, "vec_id", "vec_id", "embedding", 10)
+    val trunc = graft.ops.SimilaritySearch.knnJoin(
+      e32.filter(col("vec_id") < 20), e32, "vec_id", "vec_id",
+      "embedding", 10)
+    graft.ops.Eval.rankingMetrics(full, trunc,
+      "query_id", "vec_id", "rank", k = 10)
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2540,5 +2561,6 @@ object GraftQueries {
     "q137_hits" -> (q137Hits _),
     "q138_vec_outliers" -> (q138VecOutliers _),
     "q139_time_decay" -> (q139TimeDecay _),
-    "q140_psi_drift" -> (q140PsiDrift _))
+    "q140_psi_drift" -> (q140PsiDrift _),
+    "q141_ranking_metrics" -> (q141RankingMetrics _))
 }
