@@ -129,6 +129,34 @@ object TableStats {
     * combinable), the key×bucket domain frame is keys·nBuckets rows,
     * and the final PSI is one short-key aggregate — nothing scans twice,
     * nothing is quadratic. Output: `(keyCol, n_ref, n_cur, psi)`. */
+  /** Join-cardinality scouting WITHOUT running the join: per side one
+    * pass builds a mergeable HLL sketch of the join key (plus a row
+    * count), and inclusion-exclusion over the sketch union estimates the
+    * key overlap — `|A∩B| ≈ est(A) + est(B) − est(A∪B)`. The 100 TB
+    * planning question ("will this join explode? is the dim side's key
+    * set really a subset?") answered for two scans and a 4 KB sketch
+    * merge, before committing to the shuffle. Datasketches HLL (the q77
+    * machinery): sketches union losslessly, so both sides can come from
+    * pre-aggregated per-partition sketches. Output (one row):
+    * `(n_a, n_b, distinct_a, distinct_b, distinct_union,
+    * est_intersection)`. */
+  def joinKeyOverlap(a: DataFrame, b: DataFrame, aKey: String,
+      bKey: String): DataFrame = {
+    val sa = a.agg(count(lit(1)).as("n_a"),
+      hll_sketch_agg(col(aKey)).as("sk_a"))
+    val sb = b.agg(count(lit(1)).as("n_b"),
+      hll_sketch_agg(col(bKey)).as("sk_b"))
+    sa.crossJoin(broadcast(sb))
+      .select(col("n_a"), col("n_b"),
+        hll_sketch_estimate(col("sk_a")).as("distinct_a"),
+        hll_sketch_estimate(col("sk_b")).as("distinct_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("distinct_union"))
+      .withColumn("est_intersection",
+        greatest(lit(0L),
+          col("distinct_a") + col("distinct_b") - col("distinct_union")))
+  }
+
   def psiDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
       bucket: org.apache.spark.sql.Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")

@@ -75,8 +75,10 @@ object GoldenOracles {
       .map(sql => Map("q131_random_projection" -> sql)).getOrElse(Map.empty)
     val mmr = q135For(dir)
       .map(sql => Map("q135_mmr_rerank" -> sql)).getOrElse(Map.empty)
+    val jcard = q142For(dir)
+      .map(sql => Map("q142_join_cardinality" -> sql)).getOrElse(Map.empty)
     if (sfPinned(dir))
-      always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ mmr ++ Map(
+      always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ mmr ++ jcard ++ Map(
         "q20_minhash_pairs" -> q20For(dir),
         // q104 is q20's pipeline re-authored through spark.sql with the
         // registered minhash_sig/sorted_count_common — identical rows by
@@ -88,7 +90,7 @@ object GoldenOracles {
         "q47_semdedup" -> q47For(dir),
         "q48_approx_distinct" -> q48,
         "q77_sketch_rollup" -> q77)
-    else always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ mmr
+    else always ++ cms ++ bpe ++ bpeEnc ++ quant ++ core ++ rproj ++ mmr ++ jcard
   }
 
   /** Self-deriving q20 oracle: recompute banded-minhash and exact-Jaccard
@@ -502,6 +504,50 @@ object GoldenOracles {
                      ORDER BY rel DESC, vec_id LIMIT 1)
              AND abs(mmr0 - $lambda * rel.rel) <= 1e-9))"""
     }.orElse(None) // replay needs a session; no static pin (q130 class)
+
+  /** q142 (join-cardinality scouting): the three cardinalities are
+    * Datasketches HLL estimates — deterministic (register max-merge) but
+    * with no DuckDB twin, so the engine row rides as derived VALUES
+    * (q129's construction) and DuckDB audits every field with its OWN
+    * exact computation: the row counts must match EXACTLY, each distinct
+    * estimate must sit within 5% of the exact cardinality (~3 sigma at
+    * lgK 12), and the inclusion-exclusion intersection within the summed
+    * 5% budgets of its three constituent estimates. A drifted derivation
+    * (or a stale sessionless pin) drops the row and fails the compare. */
+  private def q142For(dir: String): Option[String] =
+    SparkSession.getActiveSession.map { spark =>
+      val r = GraftQueries.q142JoinCardinality(spark, dir).head()
+      val values = (0 until 6).map(r.getLong).mkString("(", ", ", ")")
+      q142With(values)
+    }.orElse(if (sfPinned(dir)) Some(q142Pinned) else None)
+
+  private def q142With(values: String): String =
+    s"""WITH ex AS (SELECT
+           (SELECT count(*) FROM orders) AS n_a,
+           (SELECT count(*) FROM customer) AS n_b,
+           (SELECT count(DISTINCT o_custkey) FROM orders) AS da,
+           (SELECT count(DISTINCT c_custkey) FROM customer) AS db,
+           (SELECT count(DISTINCT k) FROM (
+              SELECT o_custkey AS k FROM orders
+              UNION SELECT c_custkey FROM customer)) AS du),
+         m(n_a0, n_b0, da0, db0, du0, ie0) AS (VALUES $values)
+         SELECT CAST(n_a0 AS BIGINT) AS n_a, CAST(n_b0 AS BIGINT) AS n_b,
+           CAST(da0 AS BIGINT) AS distinct_a,
+           CAST(db0 AS BIGINT) AS distinct_b,
+           CAST(du0 AS BIGINT) AS distinct_union,
+           CAST(ie0 AS BIGINT) AS est_intersection
+         FROM m, ex
+         WHERE n_a0 = ex.n_a AND n_b0 = ex.n_b
+           AND abs(da0 - ex.da) <= 0.05 * ex.da
+           AND abs(db0 - ex.db) <= 0.05 * ex.db
+           AND abs(du0 - ex.du) <= 0.05 * ex.du
+           AND abs(ie0 - (ex.da + ex.db - ex.du))
+               <= 0.05 * (ex.da + ex.db + ex.du)"""
+
+  /** Sessionless fallback, pinned against the sf0.01 orders/customer
+    * fixtures (regenerate via q142For if they change). */
+  private val q142Pinned: String =
+    q142With("(15000, 1500, 1492, 1494, 1488, 1498)")
 
   /** q129 (approximate quantiles): Spark's Greenwald-Khanna
     * `percentile_approx` has no DuckDB twin, and unlike the CMS/BPE

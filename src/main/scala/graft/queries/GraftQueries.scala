@@ -1905,6 +1905,20 @@ object GraftQueries {
       "query_id", "vec_id", "rank", k = 10)
   }
 
+  /** Join-cardinality scouting ([[graft.ops.TableStats.joinKeyOverlap]]):
+    * orders.o_custkey vs customer.c_custkey key-overlap estimate from
+    * two one-pass HLL sketches + inclusion-exclusion — the
+    * "measure before you shuffle" planning probe. Oracle: q48-class
+    * self-auditing golden — the engine row rides as derived VALUES,
+    * DuckDB recomputes the exact row counts (must match exactly) and
+    * exact distinct/union/intersection cardinalities, and error guards
+    * (5% per estimate, summed for the compounded intersection) drop a
+    * drifted row. */
+  def q142JoinCardinality(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TableStats.joinKeyOverlap(
+      t(spark, dir, "orders"), t(spark, dir, "customer"),
+      "o_custkey", "c_custkey")
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2562,5 +2576,6 @@ object GraftQueries {
     "q138_vec_outliers" -> (q138VecOutliers _),
     "q139_time_decay" -> (q139TimeDecay _),
     "q140_psi_drift" -> (q140PsiDrift _),
-    "q141_ranking_metrics" -> (q141RankingMetrics _))
+    "q141_ranking_metrics" -> (q141RankingMetrics _),
+    "q142_join_cardinality" -> (q142JoinCardinality _))
 }

@@ -96,6 +96,27 @@ class TableStatsSpec extends SparkSpec {
     }
   }
 
+  test("joinKeyOverlap: small-cardinality sketches sit in the exact " +
+      "regime — subset, disjoint, and partial overlaps are recovered") {
+    import spark.implicits._
+    def run(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Long, Long, Long) = {
+      val r = TableStats.joinKeyOverlap(
+        a.toDF("k"), b.toDF("k"), "k", "k").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // partial overlap with duplicate rows: keys 0..99 vs 50..149 (x2 rows)
+    val a = (0L until 100L) ++ (0L until 20L)
+    val b = (50L until 150L).flatMap(k => Seq(k, k))
+    run(a, b) shouldBe ((120L, 200L, 100L, 100L, 150L, 50L))
+    // dim-subset shape: every b key exists in a
+    run(0L until 80L, 10L until 30L) shouldBe
+      ((80L, 20L, 80L, 20L, 80L, 20L))
+    // disjoint: intersection clamps at 0
+    run(0L until 40L, 100L until 140L) shouldBe
+      ((40L, 40L, 40L, 40L, 80L, 0L))
+  }
+
   private def psi(ref: Seq[(String, Int)], cur: Seq[(String, Int)],
       nBuckets: Int): Map[String, (Long, Long, Double)] = {
     import spark.implicits._
