@@ -318,6 +318,10 @@ object SparkEntry {
          FROM ne
          LEFT JOIN h ON h.qid = ne.qid
          JOIN ig ON ig.n = least(10, n_exp)""",
+    "q143_substring_search" -> // the ground truth is the full-scan LIKE
+      // itself; the trigram-index path must reproduce it row for row
+      """SELECT doc_id FROM documents
+         WHERE contains(text, 'fast merge')""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -27,6 +27,43 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
+  /** Substring search through a TRIGRAM index (the code-search /
+    * infix-LIKE shape: `WHERE text LIKE '%needle%'` cannot use a token
+    * index, and a full scan per query is the thing a 100 TB corpus
+    * can't afford). Candidate generation: a document qualifies only if
+    * it contains EVERY trigram of the needle — lossless for needles of
+    * ≥ 3 chars (a matching document literally contains each of them),
+    * so the final codegen `contains` verify only REMOVES
+    * coincidental-trigram rows, never adds. Plan: one distinct
+    * (doc, trigram) explode, a semi-ish join against the needle's
+    * trigram list, and a count-equality gate (`n_hits = n_needle_grams`
+    * — the standard postings-intersection-as-groupBy), then the exact
+    * verify on the candidate-bounded row set. Output: `(idCol)` rows
+    * whose `textCol` contains `needle`. */
+  def substringSearch(df: DataFrame, idCol: String, textCol: String,
+      needle: String): DataFrame = {
+    require(needle.length >= 3,
+      s"needle must be >= 3 chars for trigram candidacy, got '$needle'")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grams = needle.sliding(3).toSeq.distinct
+    val docGrams = df
+      .select(col(idCol), explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - 2, lit(0))),
+          i => col(textCol).substr(i, lit(3))))).as("g"))
+    // candidate = doc carrying ALL needle trigrams: broadcast the needle's
+    // gram list, count-equality gate (postings intersection as a groupBy)
+    val cands = docGrams
+      .join(broadcast(grams.toDF("g")), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") === grams.size)
+      .select(col(idCol))
+    // exact verify on the candidate-bounded row set
+    df.join(cands, idCol)
+      .filter(col(textCol).contains(needle))
+      .select(col(idCol))
+  }
+
   /** Build the index over `terms`, an array<string> column of the tokens /
     * n-grams to post (e.g. [[graft.functions.TextFunctions.wordShingles]]).
     * Output: (term, df, postings) for terms whose document frequency lies

@@ -1919,6 +1919,16 @@ object GraftQueries {
       t(spark, dir, "orders"), t(spark, dir, "customer"),
       "o_custkey", "c_custkey")
 
+  /** Trigram substring search ([[graft.ops.InvertedIndex
+    * .substringSearch]]): the infix-LIKE query a token index cannot
+    * serve — documents containing 'fast merge' found via the lossless
+    * all-trigrams candidate gate + exact contains verify on the bounded
+    * candidate set. Oracle: the full-scan LIKE itself (`contains`) —
+    * the index path must reproduce it row for row. */
+  def q143SubstringSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.InvertedIndex.substringSearch(t(spark, dir, "documents"),
+      "doc_id", "text", needle = "fast merge")
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2577,5 +2587,6 @@ object GraftQueries {
     "q139_time_decay" -> (q139TimeDecay _),
     "q140_psi_drift" -> (q140PsiDrift _),
     "q141_ranking_metrics" -> (q141RankingMetrics _),
-    "q142_join_cardinality" -> (q142JoinCardinality _))
+    "q142_join_cardinality" -> (q142JoinCardinality _),
+    "q143_substring_search" -> (q143SubstringSearch _))
 }

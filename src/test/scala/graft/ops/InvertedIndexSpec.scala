@@ -60,4 +60,34 @@ class InvertedIndexSpec extends SparkSpec {
       case f: Filter if f.condition.sql.contains("df") => f }
     filterBelow should not be empty
   }
+
+  test("substringSearch equals the full-scan contains on seeded texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val words = Seq("fast", "merge", "scan", "fas", "tmer", "xmergey")
+    val docs = (0L until 200L).map { i =>
+      i -> (0 until 8).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (needle <- Seq("fast merge", "merge scan", "st m")) {
+      val got = InvertedIndex.substringSearch(df, "doc_id", "text", needle)
+        .collect().map(_.getLong(0)).toSet
+      val want = docs.filter(_._2.contains(needle)).map(_._1).toSet
+      withClue(s"needle '$needle': ") { got shouldBe want }
+      want should not be empty // the fixture must actually exercise hits
+    }
+  }
+
+  test("substringSearch verify stage removes coincidental-trigram docs; " +
+      "short-needle guard") {
+    import spark.implicits._
+    // "abcd xcde" carries every trigram of "abcde" (abc, bcd, cde) but
+    // not the substring itself -- candidate gate alone would return it
+    val df = Seq((1L, "abcd xcde"), (2L, "zzabcdezz"), (3L, "nothing"))
+      .toDF("doc_id", "text")
+    InvertedIndex.substringSearch(df, "doc_id", "text", "abcde")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    an[IllegalArgumentException] should be thrownBy
+      InvertedIndex.substringSearch(df, "doc_id", "text", "ab")
+  }
 }
