@@ -724,6 +724,45 @@ object Bench {
     } catch { case _: Throwable => Seq("x_cross_jaccard" -> -1.0) }
   }
 
+  /** Label-propagation growth (500k -> 2M edges) on a seeded synthetic
+    * ER-ish multigraph at CONSTANT average degree — OPT-IN (`only=x_lpa`),
+    * the §c8 discipline for the round's iterative graph operator: every
+    * LPA round is one edge-sized join + two partial aggregates, so the
+    * 4-round wall should grow ~linearly with edges (the per-node argmax
+    * state is degree-bounded, never corpus-bounded). */
+  private def lpaGrowthBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.GraphOps
+    import org.apache.spark.sql.functions.{abs => fabs, col, lit, pmod, xxhash64}
+    try {
+      Seq(500000, 2000000).map { nEdges =>
+        val nNodes = nEdges / 8 // constant avg degree ~16 (undirected)
+        val edges = spark.range(nEdges.toLong)
+          .select(
+            pmod(fabs(xxhash64(col("id"), lit(1))), lit(nNodes.toLong)).as("u"),
+            pmod(fabs(xxhash64(col("id"), lit(2))), lit(nNodes.toLong)).as("v"))
+          .filter(col("u") =!= col("v"))
+          .repartition(32).persist()
+        val m = edges.count()
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          val t = timed(force(GraphOps.labelPropagation(
+            edges, "u", "v", iters = 4)))
+          System.err.println(f"[bench] x_lpa_${nEdges / 1000}%dk rep$i%d " +
+            f"edges=$m%d wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          t
+        }
+        val tag = s"x_lpa_${nEdges / 1000}k"
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        edges.unpersist()
+        tag -> t
+      }
+    } catch { case _: Throwable => Seq("x_lpa_scaled" -> -1.0) }
+  }
+
   private def scaledFuzzy600Bench(spark: SparkSession,
       recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : Seq[(String, Double)] = {
@@ -1000,6 +1039,11 @@ object Bench {
       if (only.exists(_.contains("x_cross")))
         crossJaccardBench(spark, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only: label-propagation growth (500k -> 2M edges)
+    val lpa =
+      if (only.exists(_.contains("x_lpa")))
+        lpaGrowthBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
     // anchored k=2 fuzzy row: full bench or `only=x_fuzzy_k2`
     val fuzzyK2 =
       if (wantExtra("x_fuzzy_k2"))
@@ -1016,11 +1060,11 @@ object Bench {
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
       vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ fuzzyK2 ++ tfidf
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ fuzzyK2 ++ tfidf
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated
