@@ -38,13 +38,25 @@ object Graft {
     * will NOT recompute the upstream plan. */
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // dropStats on both checkpoint variants: checkpoint PRESERVES the
+    // logical plan's statistics snapshot, and size stats compose
+    // multiplicatively through joins — an iterative fixpoint that
+    // materializes a self-join each round SQUARES sizeInBytes per round
+    // (bits double), until stats computation itself hangs the driver in
+    // billion-bit BigInt math (~25 rounds; bit the q130 h-index fixpoint
+    // live). A bare scan of the checkpointed RDD resets to
+    // defaultSizeInBytes; join strategy for materialized frames is AQE's
+    // job, from real runtime sizes.
     spark.conf.get(MaterializeKey, "local") match {
-      case "local" => df.localCheckpoint(eager = true)
+      case "local" =>
+        org.apache.spark.sql.GraftSqlBridge.dropStats(
+          df.localCheckpoint(eager = true))
       case "reliable" =>
         require(spark.sparkContext.getCheckpointDir.isDefined,
           s"$MaterializeKey=reliable needs SparkContext.setCheckpointDir " +
             "pointed at durable shared storage")
-        df.checkpoint(eager = true)
+        org.apache.spark.sql.GraftSqlBridge.dropStats(
+          df.checkpoint(eager = true))
       case "replicated" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)
         p.count() // eager: parity with the checkpoint variants

@@ -83,4 +83,27 @@ class MaterializeSpec extends SparkSpec {
       finally spark.conf.unset(Graft.MaterializeKey)
     }
   }
+
+  test("materialize resets plan statistics: an iterated self-join keeps " +
+      "CONSTANT sizeInBytes bits instead of doubling per round") {
+    // checkpoint preserves the plan's stats snapshot, and size stats
+    // compose multiplicatively through joins: without the reset, each
+    // materialized self-join round SQUARES sizeInBytes (bits double:
+    // 21, 41, 82, 162, ... measured), and an iterative fixpoint hangs
+    // the driver in billion-bit BigInt stats math around round ~25 —
+    // the q130 h-index fixpoint did exactly that at sf0.1. The reset
+    // pins every round at the defaultSizeInBytes constant.
+    import spark.implicits._
+    var x = (0L until 64L).toDF("id").materialized
+    val bits = (1 to 6).map { _ =>
+      x = x.as("a").join(x.as("b"), col("a.id") === col("b.id"))
+        .select(col("a.id")).materialized
+      x.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    }
+    withClue(s"sizeInBytes bits per round: $bits — growth means the " +
+        "checkpoint stats snapshot is leaking through materialize: ") {
+      bits.distinct.size shouldBe 1
+    }
+    x.count() shouldBe 64L // the frames still compute correctly
+  }
 }
