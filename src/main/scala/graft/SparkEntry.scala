@@ -322,6 +322,26 @@ object SparkEntry {
       // itself; the trigram-index path must reproduce it row for row
       """SELECT doc_id FROM documents
          WHERE contains(text, 'fast merge')""",
+    "q144_incremental_cc" -> // independent FROM-SCRATCH ground truth:
+      // recursive reachability over the UNION of old+new support-2 pair
+      // sets, rep = least(n, min reachable) — the incremental star-edge
+      // path must be bit-identical
+      """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b,
+             l_partkey AS i FROM lineitem),
+         po AS (SELECT x.i AS u, y.i AS v FROM bi x
+                JOIN bi y ON x.b = y.b AND x.i < y.i
+                WHERE x.b % 5 <> 0 GROUP BY 1, 2 HAVING count(*) >= 2),
+         pn AS (SELECT x.i AS u, y.i AS v FROM bi x
+                JOIN bi y ON x.b = y.b AND x.i < y.i
+                WHERE x.b % 5 = 0 GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT u, v FROM po UNION SELECT u, v FROM pn),
+         adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         r(n, m) AS (SELECT u, v FROM adj
+                     UNION
+                     SELECT r.n, adj.v FROM r JOIN adj ON adj.u = r.m
+                     WHERE adj.v <> r.n),
+         reps AS (SELECT n AS id, least(n, min(m)) AS rep FROM r GROUP BY n)
+         SELECT id AS part, rep FROM reps""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)

@@ -655,6 +655,40 @@ object Dedup {
     * that need the CLUSTER id, not just survivor filtering: e.g. the
     * leakage-safe corpus split (q108), where a near-dup cluster must land
     * in one train/val/test bucket atomically or eval leaks into train. */
+  /** INCREMENTAL component maintenance — the dedup-state update a daily
+    * ingest runs: fold a batch of NEW near-dup pairs into an existing
+    * `(id, rep)` component map without recomputing components from the
+    * original pair set. The existing map is replayed as STAR EDGES
+    * (`id — rep`, one row per non-root member): stars preserve exactly
+    * the existing connectivity at component-map size (n rows), not the
+    * original candidate-pair size (m rows, m >> n after a year of
+    * ingests), and a star graph re-converges in O(1) alternating-stars
+    * rounds — the fixpoint only works on what the new batch actually
+    * touches. Representatives stay component MINIMA, so the result is
+    * bit-identical to a from-scratch [[componentMap]] over
+    * (old pairs ∪ new pairs) — spec-proven, and the q144 oracle checks
+    * it against an independent from-scratch reachability.
+    *
+    * Output covers every id in `existing` plus every id in `newPairs`;
+    * ids untouched by any edge keep themselves as rep. */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val star = existing.filter(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
+    val merged = componentMap(
+      star.unionByName(newPairs.select(col("id_a"), col("id_b"))), maxIter)
+    // the existing map's REPS are ids too (componentMap keys only the
+    // non-root members — roots live on the rep side), so the output
+    // domain unions both map columns with the new pairs' endpoints
+    val allIds = existing.select(col("id"))
+      .unionByName(existing.select(col("rep").as("id")))
+      .unionByName(newPairs.select(col("id_a").as("id")))
+      .unionByName(newPairs.select(col("id_b").as("id")))
+      .distinct()
+    allIds.join(merged, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+  }
+
   def componentMap(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val (edges, _) = ccFixpoint(pairs, maxIter)
     val spark = pairs.sparkSession

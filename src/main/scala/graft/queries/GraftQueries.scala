@@ -1929,6 +1929,25 @@ object GraftQueries {
     graft.ops.InvertedIndex.substringSearch(t(spark, dir, "documents"),
       "doc_id", "text", needle = "fast merge")
 
+  /** Incremental dedup-state maintenance ([[Dedup.mergeComponents]]):
+    * yesterday's co-purchase components (orders with key % 5 != 0,
+    * support >= 2) folded together with today's new pairs (key % 5 == 0)
+    * WITHOUT recomputing from the original pair set — the existing map
+    * replays as star edges (component-map-sized, not pair-set-sized).
+    * Oracle: an independent FROM-SCRATCH reachability (DuckDB recursive
+    * CTE over the union of both pair sets, min-label reps) — the
+    * incremental path must be bit-identical to it. */
+  def q144IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    def pairsOf(cond: Column) = GraphOps.coOccurrencePairs(
+        li.filter(cond), "l_orderkey", "l_partkey", minSupport = 2L)
+      .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
+    val existing = Dedup.componentMap(pairsOf(col("l_orderkey") % 5 =!= 0))
+    Dedup.mergeComponents(existing, pairsOf(col("l_orderkey") % 5 === 0))
+      .select(col("id").as("part"), col("rep"))
+  }
+
   /** Delete propagation through incremental index sync
     * ([[graft.index.VectorIndex.refresh]] + the `_deleted` tombstone
     * convention — the CDF delete event the emulation's upsert-only path
@@ -2588,5 +2607,6 @@ object GraftQueries {
     "q140_psi_drift" -> (q140PsiDrift _),
     "q141_ranking_metrics" -> (q141RankingMetrics _),
     "q142_join_cardinality" -> (q142JoinCardinality _),
-    "q143_substring_search" -> (q143SubstringSearch _))
+    "q143_substring_search" -> (q143SubstringSearch _),
+    "q144_incremental_cc" -> (q144IncrementalCc _))
 }

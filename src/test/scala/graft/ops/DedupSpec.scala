@@ -436,4 +436,53 @@ class DedupSpec extends SparkSpec {
     Dedup.dropDuplicates(rows, "id", pairs)
       .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 10L, 20L)
   }
+
+  private def cmap(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.componentMap(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def cmerge(existing: Map[Long, Long],
+      newPairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.mergeComponents(existing.toSeq.toDF("id", "rep"),
+        newPairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("mergeComponents: bridging new pairs merge old components to the " +
+      "global min rep; untouched singletons survive") {
+    // old: {1,2,3} and {10,11}; singleton 99 carried in the map
+    val existing = cmap(Seq((1L, 2L), (2L, 3L), (10L, 11L))) + (99L -> 99L)
+    existing(11L) shouldBe 10L
+    // new pair 3-10 bridges the two components -> everyone reps to 1;
+    // 50-51 is a brand-new component; 99 must survive untouched
+    val got = cmerge(existing, Seq((3L, 10L), (50L, 51L)))
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      50L -> 50L, 51L -> 50L, 99L -> 99L)
+  }
+
+  test("mergeComponents equals from-scratch componentMap on random " +
+      "pair-set splits") {
+    val rnd = new scala.util.Random(37)
+    (1 to 3).foreach { _ =>
+      val all = (0 until 120).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val (oldP, newP) = all.splitAt(all.size / 2)
+      val scratch = cmap(all)
+      val incr = cmerge(cmap(oldP), newP)
+      // from-scratch map covers exactly the edge-touched ids; the
+      // incremental result may also carry old-map ids whose edges all
+      // landed in the new half — restrict to the common domain, where
+      // reps must agree bit for bit
+      scratch.foreach { case (id, rep) => incr(id) shouldBe rep }
+      // and every extra id the incremental map carries must be a
+      // self-rep singleton consistent with scratch (no edges touch it)
+      (incr.keySet -- scratch.keySet).foreach { id =>
+        incr(id) shouldBe id
+      }
+    }
+  }
 }
