@@ -38,24 +38,25 @@ object Graft {
     * will NOT recompute the upstream plan. */
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    // dropStats on both checkpoint variants: checkpoint PRESERVES the
-    // logical plan's statistics snapshot, and size stats compose
-    // multiplicatively through joins — an iterative fixpoint that
-    // materializes a self-join each round SQUARES sizeInBytes per round
-    // (bits double), until stats computation itself hangs the driver in
-    // billion-bit BigInt math (~25 rounds; bit the q130 h-index fixpoint
-    // live). A bare scan of the checkpointed RDD resets to
-    // defaultSizeInBytes; join strategy for materialized frames is AQE's
-    // job, from real runtime sizes.
+    // capStats on both checkpoint variants: checkpoint PRESERVES the
+    // logical plan's statistics snapshot. Small frames must KEEP their
+    // real sizes (that's what lets Catalyst broadcast a materialized
+    // candidate frame — dropping stats outright regressed the dedup
+    // joins 3-5x, measured), but size stats compose multiplicatively
+    // through joins, so an iterative fixpoint that materializes a
+    // self-join each round SQUARES sizeInBytes (bits double) until stats
+    // computation itself hangs the driver in billion-bit BigInt math
+    // (~25 rounds; bit the q130 h-index fixpoint live). The cap keeps
+    // real sizes below it and clamps the blowup above it.
     spark.conf.get(MaterializeKey, "local") match {
       case "local" =>
-        org.apache.spark.sql.GraftSqlBridge.dropStats(
+        org.apache.spark.sql.GraftSqlBridge.capStats(
           df.localCheckpoint(eager = true))
       case "reliable" =>
         require(spark.sparkContext.getCheckpointDir.isDefined,
           s"$MaterializeKey=reliable needs SparkContext.setCheckpointDir " +
             "pointed at durable shared storage")
-        org.apache.spark.sql.GraftSqlBridge.dropStats(
+        org.apache.spark.sql.GraftSqlBridge.capStats(
           df.checkpoint(eager = true))
       case "replicated" =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK_2)

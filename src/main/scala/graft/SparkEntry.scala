@@ -322,26 +322,26 @@ object SparkEntry {
       // itself; the trigram-index path must reproduce it row for row
       """SELECT doc_id FROM documents
          WHERE contains(text, 'fast merge')""",
-    "q144_incremental_cc" -> // independent FROM-SCRATCH ground truth:
-      // recursive reachability over the UNION of old+new support-2 pair
-      // sets, rep = least(n, min reachable) — the incremental star-edge
-      // path must be bit-identical
-      """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b,
-             l_partkey AS i FROM lineitem),
-         po AS (SELECT x.i AS u, y.i AS v FROM bi x
-                JOIN bi y ON x.b = y.b AND x.i < y.i
-                WHERE x.b % 5 <> 0 GROUP BY 1, 2 HAVING count(*) >= 2),
-         pn AS (SELECT x.i AS u, y.i AS v FROM bi x
-                JOIN bi y ON x.b = y.b AND x.i < y.i
-                WHERE x.b % 5 = 0 GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT u, v FROM po UNION SELECT u, v FROM pn),
-         adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-         r(n, m) AS (SELECT u, v FROM adj
-                     UNION
-                     SELECT r.n, adj.v FROM r JOIN adj ON adj.u = r.m
-                     WHERE adj.v <> r.n),
-         reps AS (SELECT n AS id, least(n, min(m)) AS rep FROM r GROUP BY n)
-         SELECT id AS part, rep FROM reps""",
+    // q144: independent FROM-SCRATCH ground truth — recursive
+    // reachability over the UNION of old+new support-2 pair sets,
+    // rep = least(n, min reachable); the incremental star-edge path must
+    // be bit-identical. q146 drains the SAME pairs through streaming
+    // micro-batches; mergeComponents is batching-insensitive (the state
+    // is a pure function of the union), so the oracle is shared verbatim
+    "q144_incremental_cc" -> ccScratchSql,
+    "q146_stream_cc" -> ccScratchSql,
+    "q145_skyline" -> // the literal NOT EXISTS strict-dominance query
+      // on the same customer slice; ties (identical value+date) are
+      // mutually non-dominating and kept on both sides
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+             CAST(epoch_us(o_orderdate) AS BIGINT) AS order_ts
+           FROM orders WHERE o_custkey % 100 = 0)
+         SELECT o_orderkey, o_totalprice, order_ts FROM o a
+         WHERE NOT EXISTS (SELECT 1 FROM o b
+           WHERE b.o_totalprice >= a.o_totalprice
+             AND b.order_ts >= a.order_ts
+             AND (b.o_totalprice > a.o_totalprice
+                  OR b.order_ts > a.order_ts))""",
     "q113_tfidf_neighbors" -> // sparse TF-IDF cosine top-3 per doc via the
       // posting-list self-join, df band LIVE at 0.8 (prunes the head
       // term); double math, float-cast emit and rank (the q41 rule)
@@ -1840,4 +1840,23 @@ object SparkEntry {
     * everywhere). Populated by [[graft.queries.GoldenOracles]]. */
   private def goldenOracles(dir: String): Map[String, String] =
     graft.queries.GoldenOracles.forDir(dir)
+
+  /** Shared q144/q146 ground truth (see the map entries). */
+  private val ccScratchSql: String =
+    """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b,
+           l_partkey AS i FROM lineitem),
+       po AS (SELECT x.i AS u, y.i AS v FROM bi x
+              JOIN bi y ON x.b = y.b AND x.i < y.i
+              WHERE x.b % 5 <> 0 GROUP BY 1, 2 HAVING count(*) >= 2),
+       pn AS (SELECT x.i AS u, y.i AS v FROM bi x
+              JOIN bi y ON x.b = y.b AND x.i < y.i
+              WHERE x.b % 5 = 0 GROUP BY 1, 2 HAVING count(*) >= 2),
+       e AS (SELECT u, v FROM po UNION SELECT u, v FROM pn),
+       adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       r(n, m) AS (SELECT u, v FROM adj
+                   UNION
+                   SELECT r.n, adj.v FROM r JOIN adj ON adj.u = r.m
+                   WHERE adj.v <> r.n),
+       reps AS (SELECT n AS id, least(n, min(m)) AS rep FROM r GROUP BY n)
+       SELECT id AS part, rep FROM reps"""
 }

@@ -1938,13 +1938,57 @@ object GraftQueries {
     * CTE over the union of both pair sets, min-label reps) — the
     * incremental path must be bit-identical to it. */
   def q144IncrementalCc(spark: SparkSession, dir: String): DataFrame = {
+    val existing = Dedup.componentMap(ccPairsOf(spark, dir,
+      col("l_orderkey") % 5 =!= 0))
+    Dedup.mergeComponents(existing,
+        ccPairsOf(spark, dir, col("l_orderkey") % 5 === 0))
+      .select(col("id").as("part"), col("rep"))
+  }
+
+  /** Shared q144/q146 pair construction: support-2 co-purchase pairs of
+    * the order-key slice selected by `cond`. */
+  private def ccPairsOf(spark: SparkSession, dir: String,
+      cond: Column): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    def pairsOf(cond: Column) = GraphOps.coOccurrencePairs(
-        li.filter(cond), "l_orderkey", "l_partkey", minSupport = 2L)
+    GraphOps.coOccurrencePairs(li.filter(cond), "l_orderkey", "l_partkey",
+        minSupport = 2L)
       .select(col("item_a").as("id_a"), col("item_b").as("id_b"))
-    val existing = Dedup.componentMap(pairsOf(col("l_orderkey") % 5 =!= 0))
-    Dedup.mergeComponents(existing, pairsOf(col("l_orderkey") % 5 === 0))
+  }
+
+  /** Skyline / Pareto-frontier selection ([[graft.ops.Skyline
+    * .paretoMax2]]): the orders of the audited customer slice that are
+    * not strictly dominated on (value, recency) — the multi-criteria
+    * pick no single ORDER BY expresses. Partition-local frontiers (the
+    * exact frontier-of-frontiers composition) + one x-distinct sweep.
+    * Oracle: the literal NOT EXISTS dominance query over the same
+    * slice. */
+  def q145Skyline(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.paretoMax2(
+      t(spark, dir, "orders").filter(col("o_custkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          unix_micros(col("o_orderdate")).as("order_ts")),
+      "o_totalprice", "order_ts")
+
+  /** Streaming incremental dedup state ([[graft.streaming.StreamingCc
+    * .drainComponentMap]]): the q144 pair batches arrive as TWO
+    * micro-batches of a file stream (maxFilesPerTrigger=1), each folded
+    * into the running component map via star-edge replay — the drained
+    * state must be bit-identical to the from-scratch components, so the
+    * oracle is q144's verbatim (the q124-shares-q118 precedent,
+    * justified by mergeComponents' batching-insensitivity). */
+  def q146StreamCc(spark: SparkSession, dir: String): DataFrame = {
+    val oldP = ccPairsOf(spark, dir, col("l_orderkey") % 5 =!= 0)
+    val newP = ccPairsOf(spark, dir, col("l_orderkey") % 5 === 0)
+    val staged = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_ccpairs_${spark.sparkContext.applicationId}")
+    if (!staged.exists()) {
+      oldP.coalesce(1).write.mode("append").parquet(staged.toString)
+      newP.coalesce(1).write.mode("append").parquet(staged.toString)
+    }
+    val stream = spark.readStream.schema(oldP.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    graft.streaming.StreamingCc.drainComponentMap(stream)
       .select(col("id").as("part"), col("rep"))
   }
 
@@ -2608,5 +2652,7 @@ object GraftQueries {
     "q141_ranking_metrics" -> (q141RankingMetrics _),
     "q142_join_cardinality" -> (q142JoinCardinality _),
     "q143_substring_search" -> (q143SubstringSearch _),
-    "q144_incremental_cc" -> (q144IncrementalCc _))
+    "q144_incremental_cc" -> (q144IncrementalCc _),
+    "q145_skyline" -> (q145Skyline _),
+    "q146_stream_cc" -> (q146StreamCc _))
 }

@@ -9,22 +9,44 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Rebuild `df` as a bare scan of its (already computed) internal RDD,
-    * DISCARDING the logical-plan statistics snapshot `checkpoint`/
-    * `localCheckpoint` preserve. The preserved snapshot is the bug: size
-    * stats compose MULTIPLICATIVELY through joins, so an iterative
-    * fixpoint that materializes `f(x) = g(x join x)` each round squares
-    * `sizeInBytes` per round — the BigInt's bit count DOUBLES, and
-    * around round ~25 the driver disappears into billion-bit Toom-Cook
-    * multiplications inside `SizeInBytesOnlyStatsPlanVisitor` (observed:
-    * q130's h-index fixpoint at sf0.1 hung the bench for hours in
-    * exactly that stack). A fresh `LogicalRDD` falls back to
-    * `defaultSizeInBytes` — constant per round; AQE re-plans joins from
-    * REAL runtime sizes anyway, which is where materialized-frame join
-    * strategy belongs. */
-  def dropStats(df: DataFrame): DataFrame = {
+  /** CAP the statistics snapshot `checkpoint`/`localCheckpoint` preserve
+    * on the returned `LogicalRDD`. The preserved snapshot is load-bearing
+    * AND dangerous:
+    *
+    *  - load-bearing: a small materialized frame's real size is what
+    *    lets Catalyst broadcast it (dropping stats entirely regressed
+    *    the dedup candidate joins 3-5x — measured);
+    *  - dangerous: size stats compose MULTIPLICATIVELY through joins, so
+    *    an iterative fixpoint that materializes a self-join each round
+    *    SQUARES sizeInBytes — the BigInt's bit count doubles per round,
+    *    and around round ~25 the driver disappears into billion-bit
+    *    Toom-Cook multiplications inside SizeInBytesOnlyStatsPlanVisitor
+    *    (observed live: q130's h-index fixpoint at sf0.1).
+    *
+    * Values at or under the cap pass through untouched (broadcast
+    * decisions keep their real sizes); anything above clamps to the cap,
+    * so per-round stats bits stay bounded forever. The cap defaults to
+    * Long.MaxValue — the same "huge/unknown" every un-stat'd plan gets. */
+  def capStats(df: DataFrame,
+      cap: BigInt = BigInt(Long.MaxValue)): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
-    ds.sparkSession.internalCreateDataFrame(
-      ds.queryExecution.toRdd, ds.schema)
+    ds.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        val st = l.stats
+        val needsCap = st.sizeInBytes > cap ||
+          st.rowCount.exists(_ > cap)
+        if (!needsCap) df
+        else {
+          val capped = st.copy(
+            sizeInBytes = st.sizeInBytes.min(cap),
+            rowCount = st.rowCount.map(_.min(cap)))
+          // constraints carried over — only the runaway sizes change
+          val nl = new execution.LogicalRDD(l.output, l.rdd,
+            l.outputPartitioning, l.outputOrdering, l.isStreaming,
+            l.stream)(ds.sparkSession, Some(capped), Some(l.constraints))
+          classic.Dataset.ofRows(ds.sparkSession, nl)
+        }
+      case _ => df
+    }
   }
 }

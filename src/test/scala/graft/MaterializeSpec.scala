@@ -84,25 +84,34 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
-  test("materialize resets plan statistics: an iterated self-join keeps " +
-      "CONSTANT sizeInBytes bits instead of doubling per round") {
+  test("materialize caps plan statistics: an iterated self-join keeps " +
+      "BOUNDED sizeInBytes bits instead of doubling per round, while " +
+      "small real sizes pass through for broadcast decisions") {
     // checkpoint preserves the plan's stats snapshot, and size stats
-    // compose multiplicatively through joins: without the reset, each
+    // compose multiplicatively through joins: uncapped, each
     // materialized self-join round SQUARES sizeInBytes (bits double:
     // 21, 41, 82, 162, ... measured), and an iterative fixpoint hangs
     // the driver in billion-bit BigInt stats math around round ~25 —
-    // the q130 h-index fixpoint did exactly that at sf0.1. The reset
-    // pins every round at the defaultSizeInBytes constant.
+    // the q130 h-index fixpoint did exactly that at sf0.1. The cap
+    // bounds every round at Long.MaxValue (64 bits) but leaves small
+    // frames' REAL sizes intact — those are what auto-broadcast the
+    // dedup candidate frames (dropping stats outright cost 3-5x there).
     import spark.implicits._
-    var x = (0L until 64L).toDF("id").materialized
-    val bits = (1 to 6).map { _ =>
+    val base = (0L until 64L).toDF("id").materialized
+    // a small materialized frame keeps its real (broadcastable) size
+    base.queryExecution.optimizedPlan.stats.sizeInBytes should be <
+      BigInt(10L * 1024 * 1024)
+    var x = base
+    val bits = (1 to 10).map { _ =>
       x = x.as("a").join(x.as("b"), col("a.id") === col("b.id"))
         .select(col("a.id")).materialized
       x.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
     }
-    withClue(s"sizeInBytes bits per round: $bits — growth means the " +
-        "checkpoint stats snapshot is leaking through materialize: ") {
-      bits.distinct.size shouldBe 1
+    withClue(s"sizeInBytes bits per round: $bits — unbounded growth " +
+        "means the checkpoint stats snapshot is leaking uncapped: ") {
+      bits.max should be <= 64
+      // and the sequence stabilizes at the cap instead of growing
+      bits.takeRight(3).distinct.size shouldBe 1
     }
     x.count() shouldBe 64L // the frames still compute correctly
   }

@@ -422,4 +422,35 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     spark.table("cms_stream_spec").head().getSeq[Long](0) shouldBe batchSk
   }
+
+  test("StreamingCc: multi-batch drained component map equals the " +
+      "from-scratch batch componentMap, regardless of batch slicing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    val all = (0 until 150).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val scratch = graft.ops.Dedup.componentMap(all.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (nBatches <- Seq(1, 3, 5)) {
+      val stream = MemoryStream[(Long, Long)]
+      val pairs = stream.toDF().select($"_1".as("id_a"), $"_2".as("id_b"))
+      val (q, stateFn) = StreamingCc.start(pairs, triggered = false)
+      all.grouped(math.max(1, all.size / nBatches)).foreach { g =>
+        stream.addData(g: _*)
+        q.processAllAvailable() // one real micro-batch per group
+      }
+      q.stop()
+      val state = stateFn()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // scratch keys every non-root member; the drained state also
+      // carries roots as self-reps — agree on the shared domain, and
+      // every extra id must be a self-rep root
+      scratch.foreach { case (id, rep) => state(id) shouldBe rep }
+      (state.keySet -- scratch.keySet).foreach { id =>
+        state(id) shouldBe id
+      }
+    }
+  }
 }
