@@ -203,10 +203,19 @@ object Bench {
     * and time exact top-k vs IVF cell-pruned search on the same corpus.
     * The IVF build uses the distributed-KMeans path (the 100 TB default);
     * build runs once, searches get the full rep treatment. */
-  private def scaledVectorBench(spark: SparkSession, sfDir: String, reps: Int)
+  private def scaledVectorBench(spark: SparkSession, sfDir: String, reps: Int,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : (Seq[(String, Double)], Seq[(String, Double)]) = {
     import org.apache.spark.sql.functions._
     import graft.ops.SimilaritySearch
+    // per-ROW machine probes (r7 gap: one pair for the whole multi-minute
+    // block could not adjudicate mid-block contention row by row)
+    def probed[A](tag: String)(f: => A): A = {
+      val pb = probeOnce(spark)
+      val r = f
+      recordProbe(tag, (pb, probeOnce(spark)))
+      r
+    }
     try {
       var pqModel: SimilaritySearch.PqModel = null
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -219,9 +228,9 @@ object Bench {
       val qv = base.orderBy("vec_id").select("embedding")
         .head().getSeq[Float](0).toArray
 
-      val exact = (1 to reps).map(_ => timed {
+      val exact = probed(s"x_vec_topk_${n / 1000}k")((1 to reps).map(_ => timed {
         force(SimilaritySearch.topK(scaled, "vec_id", "embedding", qv, 10))
-      })
+      }))
 
       // untimed warmup for the build path (parity with the per-query
       // warmups): a tiny fit absorbs class-loading/codegen cold-start once
@@ -233,72 +242,72 @@ object Bench {
       }
       var indexedP: DataFrame = null
       var cents: Array[Array[Float]] = null
-      val build = timed {
+      val build = probed("x_ivf_build")(timed {
         val (ix, cs) = SimilaritySearch.ivfBuildKMeans(scaled, "vec_id",
           "embedding", nCells = 32, totalHint = Some(n))
         indexedP = ix.persist(); cents = cs
         indexedP.count()
-      }
+      })
 
-      val probe = (1 to reps).map(_ => timed {
+      val probe = probed("x_ivf_probe")((1 to reps).map(_ => timed {
         force(SimilaritySearch.ivfSearch(indexedP, cents, "vec_id", "embedding",
           qv, 10, nProbe = 4))
-      })
+      }))
 
       // multi-query knn over the 200k corpus, window vs aggregator path:
       // the aggregator's map-side partial top-k shrinks the shuffle from
       // O(corpus * queries) to O(k * partitions * queries)
       val queries = base.filter(col("vec_id") < 32)
-      val knnWin = (1 to reps).map(_ => timed {
+      val knnWin = probed("x_knn_window_32q")((1 to reps).map(_ => timed {
         force(SimilaritySearch.knnJoin(queries, scaled, "vec_id", "vec_id",
           "embedding", k = 10))
-      })
-      val knnAgg = (1 to reps).map(_ => timed {
+      }))
+      val knnAgg = probed("x_knn_agg_32q")((1 to reps).map(_ => timed {
         force(SimilaritySearch.knnJoin(queries, scaled, "vec_id", "vec_id",
           "embedding", k = 10, viaAggregator = true))
-      })
+      }))
       // IVF-routed batch retrieval: route each query to its 4 of 32 cells
       // before scoring — the exact paths above score the full 32q x 200k
       // grid, this one ~1/8 of it
-      val knnIvf = (1 to reps).map(_ => timed {
+      val knnIvf = probed("x_knn_ivf_32q")((1 to reps).map(_ => timed {
         force(SimilaritySearch.knnJoinIvf(queries, indexedP, cents,
           "vec_id", "vec_id", "embedding", k = 10, nProbe = 4))
-      })
+      }))
       // PQ on the same 200k corpus: one-time train+encode (like the IVF
       // build row), then the ADC+exact-refine search per rep — the
       // compressed-scan path whose corpus side reads 16 B/row, not 256 B
       var encodedP: DataFrame = null
-      val pqBuild = timed {
+      val pqBuild = probed("x_pq_build")(timed {
         val model = SimilaritySearch.pqTrain(scaled, "embedding",
           m = 16, ksub = 32)
         encodedP = SimilaritySearch.pqEncode(scaled, "embedding", model)
           .select(col("vec_id"), col("pq_code")).persist()
         encodedP.count()
         pqModel = model
-      }
-      val pqSearchT = (1 to reps).map(_ => timed {
+      })
+      val pqSearchT = probed("x_pq_search")((1 to reps).map(_ => timed {
         force(SimilaritySearch.pqSearch(encodedP, pqModel, "vec_id",
           qv, 10, refine = 16, exactSource = Some((scaled, "embedding"))))
-      })
+      }))
       // IVFADC: cell-pruned ADC scan (probe nProbe of 32 cells, ADC only
       // their codes, exact refine) — should beat the plain full-corpus ADC
       // scan above by ~nCells/nProbe on the scan stage
       val ivfpqEncoded = SimilaritySearch.pqEncode(indexedP, "embedding", pqModel)
         .select(col("vec_id"), col("cell"), col("pq_code")).persist()
       ivfpqEncoded.count()
-      val ivfpqT = (1 to reps).map(_ => timed {
+      val ivfpqT = probed("x_ivfpq_search")((1 to reps).map(_ => timed {
         force(SimilaritySearch.ivfPqSearch(ivfpqEncoded, cents, pqModel,
           "vec_id", qv, 10, nProbe = 4, refine = 16,
           exactSource = Some((scaled, "embedding"))))
-      })
+      }))
       // batch IVFADC: the 32-query retrieval routed through cells AND
       // scored on codes in one codegen pass (vs the exact knn rows above
       // that score the full 32q x 200k grid on raw vectors)
-      val knnIvfPq = (1 to reps).map(_ => timed {
+      val knnIvfPq = probed("x_knn_ivfpq_32q")((1 to reps).map(_ => timed {
         force(SimilaritySearch.knnJoinIvfPq(queries, ivfpqEncoded, cents,
           pqModel, "vec_id", "vec_id", "embedding", k = 10, nProbe = 4,
           refine = 16, exactSource = Some((scaled, "embedding"))))
-      })
+      }))
       // SQ8 on the same 200k corpus: one-pass min/max train + byte-grid
       // encode (like the PQ build row), then the fused-multiply-add ADC
       // scan + shallow refine — the 64 B/row middle point between the raw
@@ -306,52 +315,52 @@ object Bench {
       import graft.ops.ScalarQuantization
       var sqEncodedP: DataFrame = null
       var sqModel: ScalarQuantization.SqModel = null
-      val sqBuild = timed {
+      val sqBuild = probed("x_sq_build")(timed {
         val model = ScalarQuantization.sqTrain(scaled, "embedding")
         sqEncodedP = ScalarQuantization.sqEncode(scaled, "embedding", model)
           .select(col("vec_id"), col("sq_code")).persist()
         sqEncodedP.count()
         sqModel = model
-      }
-      val sqSearchT = (1 to reps).map(_ => timed {
+      })
+      val sqSearchT = probed("x_sq_search")((1 to reps).map(_ => timed {
         force(ScalarQuantization.sqSearch(sqEncodedP, sqModel, "vec_id",
           qv, 10, refine = 2, exactSource = Some((scaled, "embedding"))))
-      })
+      }))
       // IVF-SQ: cell-pruned FMA scan (probe nProbe of 32 cells, byte codes
       // only, shallow refine) — the scalar sibling of the IVFADC row
       val ivfsqEncoded = ScalarQuantization
         .sqEncode(indexedP, "embedding", sqModel)
         .select(col("vec_id"), col("cell"), col("sq_code")).persist()
       ivfsqEncoded.count()
-      val ivfsqT = (1 to reps).map(_ => timed {
+      val ivfsqT = probed("x_ivfsq_search")((1 to reps).map(_ => timed {
         force(ScalarQuantization.ivfSqSearch(ivfsqEncoded, cents, sqModel,
           "vec_id", qv, 10, nProbe = 4, refine = 2,
           exactSource = Some((scaled, "embedding"))))
-      })
+      }))
       // batch IVF-SQ: the 32-query retrieval with executor-side factors
       // and the shallow SQ refine (vs the PQ row's refine=16)
-      val knnIvfSq = (1 to reps).map(_ => timed {
+      val knnIvfSq = probed("x_knn_ivfsq_32q")((1 to reps).map(_ => timed {
         force(SimilaritySearch.knnJoinIvfSq(queries, ivfsqEncoded, cents,
           sqModel, "vec_id", "vec_id", "embedding", k = 10, nProbe = 4,
           refine = 2, exactSource = Some((scaled, "embedding"))))
-      })
+      }))
       // late-interaction MaxSim over the same 200k corpus as a CHUNK
       // corpus (doc = the 100-replica cluster, `vec_id div 100`): the
       // exact doc-level group-max scores every chunk; the IVF-routed row
       // prunes to nProbe 4 of 32 cells per chunk BEFORE the group-max —
       // the multi-vector serving shape q111 oracles at full probe
       val docd = indexedP.withColumn("doc_id", expr("vec_id div 100"))
-      val maxsimExact = (1 to reps).map(_ => timed {
+      val maxsimExact = probed("x_maxsim_200k")((1 to reps).map(_ => timed {
         import graft.functions.VectorFunctions.{cosineUnit, vecLit}
         force(scaled.withColumn("doc_id", expr("vec_id div 100"))
           .withColumn("score", cosineUnit(col("embedding"), vecLit(qv)))
           .groupBy(col("doc_id")).agg(max(col("score")).as("score"))
           .orderBy(desc("score"), col("doc_id")).limit(10))
-      })
-      val maxsimIvf = (1 to reps).map(_ => timed {
+      }))
+      val maxsimIvf = probed("x_maxsim_ivf_200k")((1 to reps).map(_ => timed {
         force(SimilaritySearch.maxSimSearch(docd, cents, "doc_id",
           "embedding", qv, 10, nProbe = 4))
-      })
+      }))
       // continuous retrieval at the operating point (nProbe 4 of 32) over
       // the same 200k corpus: a MemoryStream of query vectors drained
       // AvailableNow through the stream-static cell join + vec_topk state
@@ -379,8 +388,8 @@ object Bench {
           q.awaitTermination()
         }}
       }
-      val sr32 = streamRate(32)
-      val sr512 = streamRate(512)
+      val sr32 = probed("x_stream_retrieval_32q")(streamRate(32))
+      val sr512 = probed("x_stream_retrieval_512q")(streamRate(512))
       scaled.unpersist(); indexedP.unpersist(); encodedP.unpersist()
       ivfpqEncoded.unpersist(); sqEncodedP.unpersist(); ivfsqEncoded.unpersist()
       val mins = Seq(s"x_vec_topk_${n / 1000}k" -> exact.min,
@@ -474,15 +483,18 @@ object Bench {
         recordProbe(tag, (pb, probeOnce(spark)))
         t
       }
-      val mh = minOf2("x_dedup_minhash") { force(Dedup.minhashPairs(scaled,
+      // probe tags carry the row suffix so bench_full.json's per-row
+      // probes join the emitted row names (r7: the suffixless tags left
+      // exactly the heavyweight rows unadjudicable on a contended tail)
+      val mh = minOf2(s"x_dedup_minhash_${n}k") { force(Dedup.minhashPairs(scaled,
         "doc_id", "text", n = 1, numHashes = 48, bands = 6, threshold = 0.9)) }
-      val sh = minOf2("x_dedup_simhash") { force(Dedup.simhashPairs(scaled,
+      val sh = minOf2(s"x_dedup_simhash_${n}k") { force(Dedup.simhashPairs(scaled,
         "doc_id", "text", maxHamming = 6)) }
       scaled.unpersist()
       val synth = DedupStress.syntheticDocs(spark, 50000)
         .repartition(32).persist()
       val sn = synth.count() / 1000
-      val jac = minOf2("x_dedup_jaccard") { force(Dedup.ngramJaccardPairs(
+      val jac = minOf2(s"x_dedup_jaccard_${sn}k") { force(Dedup.ngramJaccardPairs(
         synth, "doc_id", "text", n = 1, threshold = 0.9)) }
       // CC collapse at 50k: the rows above time pair GENERATION; this
       // times the cluster collapse those pairs feed — alternating
@@ -498,7 +510,7 @@ object Bench {
       // survivor anti-join; the split shows WHICH half moves when the
       // full-suite reading drifts off the isolated anchor
       var ccWall = -1.0; var ajWall = -1.0
-      val collapse = minOf2("x_dedup_collapse") {
+      val collapse = minOf2(s"x_dedup_collapse_${sn}k") {
         val t0 = System.nanoTime()
         val (victims, rounds) = Dedup.ccAlternatingStars(pairs50, 20)
         ccRounds = rounds
@@ -763,6 +775,172 @@ object Bench {
     } catch { case _: Throwable => Seq("x_lpa_scaled" -> -1.0) }
   }
 
+  /** k-core coreness growth (500k -> 2M edges) on the seeded synthetic
+    * multigraph (the x_lpa graph shape, constant avg degree ~16) PLUS an
+    * isolated instrumented rep of the q130 fixture graph — OPT-IN
+    * (`only=x_kcore`). Logs rounds taken and the per-round frontier
+    * (changed-estimate count, free via the Observation metric riding the
+    * materialize pass): the scale claim is that rounds track degeneracy
+    * depth (not corpus size) and the frontier collapses geometrically, so
+    * 4x edges should cost well under 4x wall. */
+  private def kcoreGrowthBench(spark: SparkSession, sfDir: String,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.GraphOps
+    import org.apache.spark.sql.functions.{abs => fabs, col, lit, pmod, xxhash64}
+    def frontierStr(fs: Seq[Long]): String =
+      fs.take(12).mkString(",") + (if (fs.size > 12) ",..." else "")
+    try {
+      // (a) the q130 fixture graph, isolated + instrumented: the anchor
+      // for the headline row (which cannot log telemetry from inside the
+      // oracle-shaped query)
+      val fixRow = {
+        val edges = GraphOps.coOccurrencePairs(
+          spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          "l_orderkey", "l_partkey").persist()
+        val m = edges.count()
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          var rounds = -1; var fs = Seq.empty[Long]
+          val t = timed {
+            val (res, r, f) = GraphOps.corenessWithStats(edges,
+              "item_a", "item_b")
+            rounds = r; fs = f
+            force(res)
+          }
+          System.err.println(f"[bench] x_kcore_fixture rep$i%d edges=$m%d " +
+            f"wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs " +
+            s"rounds=$rounds frontier=${frontierStr(fs)}")
+          t
+        }
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe("x_kcore_fixture", (pb, probeOnce(spark)))
+        edges.unpersist()
+        Seq("x_kcore_fixture" -> t)
+      }
+      // (b) growth: same synthetic graph family as x_lpa
+      val grown = Seq(500000, 2000000).map { nEdges =>
+        val nNodes = nEdges / 8
+        val edges = spark.range(nEdges.toLong)
+          .select(
+            pmod(fabs(xxhash64(col("id"), lit(1))), lit(nNodes.toLong)).as("u"),
+            pmod(fabs(xxhash64(col("id"), lit(2))), lit(nNodes.toLong)).as("v"))
+          .filter(col("u") =!= col("v"))
+          .repartition(32).persist()
+        val m = edges.count()
+        val tag = s"x_kcore_${nEdges / 1000}k"
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          var rounds = -1; var fs = Seq.empty[Long]
+          val t = timed {
+            val (res, r, f) = GraphOps.corenessWithStats(edges, "u", "v")
+            rounds = r; fs = f
+            force(res)
+          }
+          System.err.println(f"[bench] $tag%s rep$i%d edges=$m%d " +
+            f"wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs " +
+            s"rounds=$rounds frontier=${frontierStr(fs)}")
+          t
+        }
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        edges.unpersist()
+        tag -> t
+      }
+      fixRow ++ grown
+    } catch { case _: Throwable => Seq("x_kcore_scaled" -> -1.0) }
+  }
+
+  /** Incremental-CC fold cost vs corpus size — OPT-IN (`only=x_inc_cc`):
+    * folds an IDENTICAL 2k-pair batch into a 200k-id and an 800k-id
+    * component map (cluster-of-4 structure, batch touches ~1k clusters).
+    * The operator's whole scale claim is that per-batch work tracks the
+    * DELTA (new pairs + touched-component mass, constant here), not the
+    * corpus: the 4x-corpus wall should grow only by the map's scan term
+    * (untouched rows pass through a broadcast anti-join unshuffled).
+    * Logs the touched-member count so the artifact shows the delta really
+    * was constant across the two corpus sizes. */
+  private def incCcBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{col, lit}
+    try {
+      Seq(200000, 800000).map { nIds =>
+        // existing map: clusters of 4 (rep = id - id%4), WITH self-rows
+        val existing = spark.range(nIds.toLong)
+          .select(col("id"), (col("id") - col("id") % 4).as("rep"))
+          .repartition(32).persist()
+        existing.count()
+        // batch: 2k pairs bridging neighboring clusters at the id-space
+        // head — the same batch (same touched mass) at BOTH corpus sizes
+        val batch = spark.range(2000)
+          .select((col("id") * 8).as("id_a"), (col("id") * 8 + 4).as("id_b"))
+        val touchedMembers = existing
+          .join(org.apache.spark.sql.functions.broadcast(
+            batch.select(col("id_a").as("r"))
+              .unionAll(batch.select(col("id_b").as("r"))).distinct()),
+            col("rep") === col("r"), "leftsemi").count()
+        val tag = s"x_inc_cc_${nIds / 1000}k"
+        def one(i: Int): Double = {
+          val g0 = gcMillis()
+          val t = timed(force(Dedup.mergeComponents(existing, batch)))
+          System.err.println(f"[bench] $tag%s rep$i%d corpus=$nIds%d " +
+            f"touchedMembers=$touchedMembers%d wall=$t%.1fs " +
+            f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          t
+        }
+        val pb = probeOnce(spark)
+        val t = math.min(one(1), one(2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        existing.unpersist()
+        tag -> t
+      }
+    } catch { case _: Throwable => Seq("x_inc_cc_scaled" -> -1.0) }
+  }
+
+  /** Skyline at scale — OPT-IN (`only=x_skyline`): the 2-D Pareto
+    * frontier of 4M synthetic (x, y) points (hash-derived uniform
+    * doubles; expected frontier ~ln n). Logs the stage-2 input size (the
+    * union of the 64 hash-group local frontiers): the frontier-of-
+    * frontiers composition's scale claim is that stage 2 sees a few
+    * hundred rows regardless of corpus, so the whole operator is one
+    * parallel local sweep + a trivial global pass. */
+  private def skylineBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.Skyline
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    try {
+      val n = 4000000L
+      val pts = spark.range(n)
+        .select(col("id"),
+          (xxhash64(col("id"), lit(1)).cast("double") / lit(9.223372036854776e18))
+            .as("x"),
+          (xxhash64(col("id"), lit(2)).cast("double") / lit(9.223372036854776e18))
+            .as("y"))
+        .repartition(32).persist()
+      pts.count()
+      val stage2In = Skyline.localFrontiers(pts, "x", "y").count()
+      val tag = "x_skyline_4m"
+      def one(i: Int): Double = {
+        val g0 = gcMillis()
+        val t = timed(force(Skyline.paretoMax2(pts, "x", "y")))
+        System.err.println(f"[bench] $tag%s rep$i%d n=$n%d " +
+          f"stage2Input=$stage2In%d wall=$t%.1fs " +
+          f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+        t
+      }
+      val pb = probeOnce(spark)
+      val t = math.min(one(1), one(2))
+      recordProbe(tag, (pb, probeOnce(spark)))
+      pts.unpersist()
+      Seq(tag -> t)
+    } catch { case _: Throwable => Seq("x_skyline_4m" -> -1.0) }
+  }
+
   private def scaledFuzzy600Bench(spark: SparkSession,
       recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
       : Seq[(String, Double)] = {
@@ -998,9 +1176,10 @@ object Bench {
     // "x_ingest", "x_dedup") — so a contended-run row can be re-anchored
     // alone without paying for the whole suite
     def wantExtra(tag: String) = only.forall(_.contains(tag))
-    // the vector/ingest blocks get one bracketing probe pair per block
-    // (their rows are multi-rep mins over a shared prepared corpus); the
-    // dedup block records one pair per row (single-timing heavyweights)
+    // every extras row records its OWN bracketing probe pair under the
+    // emitted row name (r7 gap: block-level pairs under "x_vec"/"x_ingest"
+    // left per-row probes null in bench_full.json — exactly the rows a
+    // contended tail corrupted with no way to self-adjudicate)
     def probedBlock[A](tag: String, want: Boolean, empty: A)(f: => A): A =
       if (!want) empty
       else {
@@ -1009,11 +1188,11 @@ object Bench {
         probes(tag) = (pb, probeOnce(spark))
         r
       }
-    val (vecMin, vecMed) = probedBlock("x_vec", wantExtra("x_vec"),
-      (Seq.empty[(String, Double)], Seq.empty[(String, Double)])) {
-      scaledVectorBench(spark, sfDir, reps)
-    }
-    val ingestBench = probedBlock("x_ingest", wantExtra("x_ingest"),
+    val (vecMin, vecMed) =
+      if (wantExtra("x_vec"))
+        scaledVectorBench(spark, sfDir, reps, (tag, p) => probes(tag) = p)
+      else (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
+    val ingestBench = probedBlock("x_ingest_embed_index", wantExtra("x_ingest"),
       Seq.empty[(String, Double)]) { ingestEmbedIndexBench(spark) }
     val dedupScaled =
       if (wantExtra("x_dedup"))
@@ -1044,6 +1223,21 @@ object Bench {
       if (only.exists(_.contains("x_lpa")))
         lpaGrowthBench(spark, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only: k-core growth (500k -> 2M edges) + instrumented fixture
+    val kcore =
+      if (only.exists(_.contains("x_kcore")))
+        kcoreGrowthBench(spark, sfDir, (tag, p) => probes(tag) = p)
+      else Seq.empty
+    // OPT-IN only: incremental-CC fold cost vs corpus size
+    val incCc =
+      if (only.exists(_.contains("x_inc_cc")))
+        incCcBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
+    // OPT-IN only: skyline over 4M synthetic points
+    val skyline =
+      if (only.exists(_.contains("x_skyline")))
+        skylineBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
     // anchored k=2 fuzzy row: full bench or `only=x_fuzzy_k2`
     val fuzzyK2 =
       if (wantExtra("x_fuzzy_k2"))
@@ -1060,11 +1254,11 @@ object Bench {
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
       vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ lpa ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ skyline ++ fuzzyK2 ++ tfidf
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ lpa ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ skyline ++ fuzzyK2 ++ tfidf
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated

@@ -647,6 +647,76 @@ object Dedup {
     (edges.select($"u".as("id")), rounds)
   }
 
+  /** INCREMENTAL component maintenance — the dedup-state update a daily
+    * ingest runs: fold a batch of NEW near-dup pairs into an existing
+    * `(id, rep)` component map without recomputing components from the
+    * original pair set. Work scales with the DELTA, not the corpus: the
+    * fixpoint input is the new pairs plus the star edges (`id — rep`) of
+    * only the components the batch TOUCHES — a component is touched iff
+    * a new-pair endpoint is one of its members or its rep. Untouched
+    * member rows pass through via a broadcast anti-join (map-only, never
+    * shuffled), so the only shuffles are delta-sized (the fixpoint, one
+    * delta-domain distinct) plus one map-side-combined distinct over the
+    * rep column (#components rows, not #members). A star graph
+    * re-converges in O(1) alternating-stars rounds, so per-batch cost
+    * tracks new pairs + touched-component mass. Representatives stay
+    * component MINIMA, so the result is bit-identical to a from-scratch
+    * [[componentMap]] over (old pairs ∪ new pairs) — spec-proven, and the
+    * q144 oracle checks it against an independent from-scratch
+    * reachability.
+    *
+    * Contract: `existing` is a proper map (unique per id, rep = component
+    * min; root/singleton self-rows optional), and the BATCH is small
+    * relative to the map — its endpoint set and the touched reps are
+    * broadcast. For corpus-scale "batches" run [[componentMap]] from
+    * scratch instead. Output covers every id in `existing` (both columns)
+    * plus every id in `newPairs`; ids untouched by any edge keep
+    * themselves as rep. */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val np = newPairs.select(col("id_a"), col("id_b"))
+    val newIds = np.select(col("id_a").as("nid"))
+      .unionByName(np.select(col("id_b").as("nid"))).distinct()
+    // touched components: any new endpoint among the members (id side) or
+    // the roots (rep side). Two broadcast SEMI joins, not one OR-join —
+    // an OR condition would plan as a nested loop over n·delta
+    val touchedReps = existing
+      .join(broadcast(newIds), col("id") === col("nid"), "leftsemi")
+      .select(col("rep"))
+      .unionByName(existing
+        .join(broadcast(newIds), col("rep") === col("nid"), "leftsemi")
+        .select(col("rep")))
+      .distinct()
+    val touched = existing.join(broadcast(touchedReps), "rep")
+      .select(col("id"), col("rep"))
+    val star = touched.filter(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
+    val merged = componentMap(star.unionByName(np), maxIter)
+    // delta domain: touched members + touched roots + new endpoints. A
+    // touched member ABSENT from `merged` is the merged component's new
+    // root, and that root is provably its own OLD root too (the merged
+    // component's min is <= every old min it absorbed), so coalesce-self
+    // is exact
+    val deltaIds = touched.select(col("id"))
+      .unionByName(touchedReps.select(col("rep").as("id")))
+      .unionByName(newIds.select(col("nid").as("id")))
+      .distinct()
+    val deltaRows = deltaIds.join(merged, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    // untouched members pass through UNSHUFFLED; untouched roots (present
+    // only in the rep column when `existing` came from componentMap) are
+    // re-emitted as self-rows from the rep-distinct — members with
+    // rep != id are never rep VALUES in a proper min-map, so the three
+    // legs are disjoint and the output stays unique per id
+    val untouchedMembers = existing.filter(col("id") =!= col("rep"))
+      .join(broadcast(touchedReps), Seq("rep"), "left_anti")
+      .select(col("id"), col("rep"))
+    val untouchedRootSelf = existing.select(col("rep")).distinct()
+      .join(broadcast(touchedReps), Seq("rep"), "left_anti")
+      .select(col("rep").as("id"), col("rep"))
+    deltaRows.unionByName(untouchedMembers).unionByName(untouchedRootSelf)
+  }
+
   /** Connected-component MAP from the alternating-stars fixpoint: one row
     * `(id, rep)` per NON-representative member, `rep` = the component's
     * minimum id ([[ccFixpoint]]'s edge set is exactly this map).
@@ -655,40 +725,6 @@ object Dedup {
     * that need the CLUSTER id, not just survivor filtering: e.g. the
     * leakage-safe corpus split (q108), where a near-dup cluster must land
     * in one train/val/test bucket atomically or eval leaks into train. */
-  /** INCREMENTAL component maintenance — the dedup-state update a daily
-    * ingest runs: fold a batch of NEW near-dup pairs into an existing
-    * `(id, rep)` component map without recomputing components from the
-    * original pair set. The existing map is replayed as STAR EDGES
-    * (`id — rep`, one row per non-root member): stars preserve exactly
-    * the existing connectivity at component-map size (n rows), not the
-    * original candidate-pair size (m rows, m >> n after a year of
-    * ingests), and a star graph re-converges in O(1) alternating-stars
-    * rounds — the fixpoint only works on what the new batch actually
-    * touches. Representatives stay component MINIMA, so the result is
-    * bit-identical to a from-scratch [[componentMap]] over
-    * (old pairs ∪ new pairs) — spec-proven, and the q144 oracle checks
-    * it against an independent from-scratch reachability.
-    *
-    * Output covers every id in `existing` plus every id in `newPairs`;
-    * ids untouched by any edge keep themselves as rep. */
-  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    val star = existing.filter(col("id") =!= col("rep"))
-      .select(col("id").as("id_a"), col("rep").as("id_b"))
-    val merged = componentMap(
-      star.unionByName(newPairs.select(col("id_a"), col("id_b"))), maxIter)
-    // the existing map's REPS are ids too (componentMap keys only the
-    // non-root members — roots live on the rep side), so the output
-    // domain unions both map columns with the new pairs' endpoints
-    val allIds = existing.select(col("id"))
-      .unionByName(existing.select(col("rep").as("id")))
-      .unionByName(newPairs.select(col("id_a").as("id")))
-      .unionByName(newPairs.select(col("id_b").as("id")))
-      .distinct()
-    allIds.join(merged, Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
-  }
-
   def componentMap(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val (edges, _) = ccFixpoint(pairs, maxIter)
     val spark = pairs.sparkSession

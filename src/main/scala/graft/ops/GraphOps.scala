@@ -333,24 +333,6 @@ object GraphOps {
     (e, deg, tri)
   }
 
-  /** Coreness (k-core decomposition): for every node the largest k such
-    * that it survives in the k-core — the standard "how embedded is this
-    * node" signal (spam rings and boilerplate clusters sit in dense
-    * cores; the periphery is singleton-ish). Computed by the
-    * locality-based h-index fixpoint (Montresor, De Pellegrini & Miorandi
-    * 2011; Lü et al. 2016): every node starts at its degree and
-    * repeatedly sets its estimate to the h-index of its neighbors'
-    * estimates — the estimates decrease monotonically and converge
-    * EXACTLY to coreness, with no global peeling order to serialize.
-    *
-    * Each round is one O(m) estimate join + a per-node h-index window
-    * (rank neighbors by estimate desc, h = max(min(rank, est)) — the
-    * window is degree-bounded per node, never global) + an O(n) change
-    * count; the frame is materialized per round (the PageRank lazy-chain
-    * discipline). Rounds needed track the graph's degeneracy ordering
-    * depth — small on real corpus graphs; `maxIter` caps it and
-    * convergence is checked, not assumed (non-convergence throws rather
-    * than returning upper bounds silently). Output: `(n, coreness)`. */
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007, LPA) over the undirected graph, made fully deterministic:
     * labels initialize to the node id, and every round EVERY node adopts
@@ -433,8 +415,38 @@ object GraphOps {
         col("h").as("score")))
   }
 
+  /** Coreness (k-core decomposition): for every node the largest k such
+    * that it survives in the k-core — the standard "how embedded is this
+    * node" signal (spam rings and boilerplate clusters sit in dense
+    * cores; the periphery is singleton-ish). Computed by the
+    * locality-based h-index fixpoint (Montresor, De Pellegrini & Miorandi
+    * 2011; Lü et al. 2016): every node starts at its degree and
+    * repeatedly sets its estimate to the h-index of its neighbors'
+    * estimates — the estimates decrease monotonically and converge
+    * EXACTLY to coreness, with no global peeling order to serialize.
+    *
+    * Each round is one O(m) estimate join + a per-node h-index window
+    * (rank neighbors by estimate desc, h = max(min(rank, est)) — the
+    * window is degree-bounded per node, never global) + an O(n) change
+    * count; the frame is materialized per round (the PageRank lazy-chain
+    * discipline). Rounds needed track the graph's degeneracy ordering
+    * depth — small on real corpus graphs; `maxIter` caps it and
+    * convergence is checked, not assumed (non-convergence throws rather
+    * than returning upper bounds silently). Output: `(n, coreness)`. */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    corenessWithStats(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[coreness]] plus its fixpoint telemetry: `(result, rounds taken,
+    * frontier size per round)` — frontier = how many nodes' estimates
+    * CHANGED that round. The telemetry is free: the change count rides
+    * the per-round materialize action as a
+    * [[org.apache.spark.sql.Observation]] metric (CollectMetricsExec
+    * accumulators on the same pass), so convergence costs ZERO extra
+    * actions — the old formulation paid a separate `isEmpty` job per
+    * round, ~20% of the round constant on late (tiny-frontier) rounds. */
+  def corenessWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): (DataFrame, Int, Seq[Long]) = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -456,6 +468,7 @@ object GraphOps {
     var active = est.select(col("n"))
     var round = 0
     var converged = false
+    val frontiers = Seq.newBuilder[Long]
     while (round < maxIter && !converged) {
       val touched =
         if (round == 0) est.select(col("n"))
@@ -469,19 +482,27 @@ object GraphOps {
       val h = nb.withColumn("rn", row_number().over(w))
         .groupBy(col("n"))
         .agg(max(least(col("rn").cast("long"), col("ne"))).as("h"))
+      val obs = org.apache.spark.sql.Observation(s"coreness_r$round")
       val updated = est.join(h, Seq("n"), "left")
         .select(col("n"),
           coalesce(least(col("est"), col("h")), col("est")).as("est"),
           (col("h").isNotNull && col("h") < col("est")).as("chg"))
+        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("nchg"))
         .materialized
+      val nChanged = obs.get("nchg") match {
+        case null => 0L // empty frame: sum over zero rows
+        case x: java.lang.Number => x.longValue()
+      }
+      frontiers += nChanged
       active = updated.filter(col("chg")).select(col("n"))
-      converged = active.isEmpty
+      converged = nChanged == 0L
       est = updated.select(col("n"), col("est"))
       round += 1
     }
     require(converged,
       s"coreness: h-index fixpoint did not converge within $maxIter " +
         "rounds — raise maxIter (estimates are only upper bounds here)")
-    est.select(col("n"), col("est").as("coreness"))
+    (est.select(col("n"), col("est").as("coreness")), round,
+      frontiers.result())
   }
 }

@@ -62,7 +62,11 @@ object SimilaritySearch {
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
     val n = cands.length
     val used = new Array[Boolean](n)
-    val maxSim = new Array[Double](n)
+    // -Inf, not 0: a candidate whose similarity to every selected pick is
+    // negative must keep that (negative) max, or its mmr score is clamped
+    // and the greedy order diverges from the MMR definition. rank==1
+    // never reads it (nothing selected yet).
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val out = Seq.newBuilder[(Int, Long, Double, Double)]
     var rank = 1
     while (rank <= math.min(k, n)) {

@@ -33,20 +33,27 @@ object Skyline {
     * (numeric). Returns the full original rows of the frontier. */
   def paretoMax2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    // stage-1 groups come from a row-DETERMINISTIC hash of the dimension
-    // values, not spark_partition_id(): the pid is not stable across the
-    // semi join's two evaluations of the frame (AQE re-coalesces each
-    // execution independently), and the composition law holds for ANY
-    // grouping — a value hash also makes the result provably independent
-    // of input partitioning
-    val local = frontier(
-      clean.withColumn("__grp", pmod(xxhash64(col(xCol), col(yCol)),
-        lit(64L))),
-      Seq("__grp"), xCol, yCol).drop("__grp")
+    val local = localFrontiers(clean, xCol, yCol)
     // using-column joins front-load the join keys; restore input order
     frontier(local, Seq.empty, xCol, yCol)
       .select(clean.columns.map(col): _*)
   }
+
+  /** Stage 1 of [[paretoMax2]]: the union of the 64 hash-group local
+    * frontiers — the stage-2 input whose smallness IS the composition's
+    * scale claim (package-visible so the x_skyline bench row can log it).
+    * Stage-1 groups come from a row-DETERMINISTIC hash of the dimension
+    * values, not `spark_partition_id()`: the pid is not stable across the
+    * semi join's two evaluations of the frame (AQE re-coalesces each
+    * execution independently), and the composition law holds for ANY
+    * grouping — a value hash also makes the result provably independent
+    * of input partitioning. */
+  private[graft] def localFrontiers(clean: DataFrame, xCol: String,
+      yCol: String): DataFrame =
+    frontier(
+      clean.withColumn("__grp", pmod(xxhash64(col(xCol), col(yCol)),
+        lit(64L))),
+      Seq("__grp"), xCol, yCol).drop("__grp")
 
   /** One sweep: per-(parts, x) max y, running max over strictly larger x
     * within `parts`, semi-join the surviving (x, y) combinations back. */

@@ -114,21 +114,6 @@ object TableStats {
         (col("col.q") / col("n") -
           pow(col("col.s") / col("n"), 2)).as("variance"))
 
-  /** Population-stability-index drift between a reference and a current
-    * snapshot, per key: `PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)` over a FIXED
-    * bucket domain `0..nBuckets-1` (callers pre-bucket with explicit
-    * width math — fixed edges are what make the metric reproducible and
-    * engine-portable; quantile edges would drift with the data). Add-one
-    * (Laplace) smoothing makes empty buckets well-defined instead of
-    * ±∞: `p_b = (c_b + 1)/(n + nBuckets)` on BOTH sides — deterministic,
-    * mirrored exactly in SQL. The monitoring gate a 100 TB/day ingest
-    * runs between yesterday's and today's distributions (PSI > 0.2 is
-    * the conventional "investigate" line).
-    *
-    * Scale shape: one (key, bucket) count per side (map-side
-    * combinable), the key×bucket domain frame is keys·nBuckets rows,
-    * and the final PSI is one short-key aggregate — nothing scans twice,
-    * nothing is quadratic. Output: `(keyCol, n_ref, n_cur, psi)`. */
   /** Join-cardinality scouting WITHOUT running the join: per side one
     * pass builds a mergeable HLL sketch of the join key (plus a row
     * count), and inclusion-exclusion over the sketch union estimates the
@@ -157,6 +142,21 @@ object TableStats {
           col("distinct_a") + col("distinct_b") - col("distinct_union")))
   }
 
+  /** Population-stability-index drift between a reference and a current
+    * snapshot, per key: `PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)` over a FIXED
+    * bucket domain `0..nBuckets-1` (callers pre-bucket with explicit
+    * width math — fixed edges are what make the metric reproducible and
+    * engine-portable; quantile edges would drift with the data). Add-one
+    * (Laplace) smoothing makes empty buckets well-defined instead of
+    * ±∞: `p_b = (c_b + 1)/(n + nBuckets)` on BOTH sides — deterministic,
+    * mirrored exactly in SQL. The monitoring gate a 100 TB/day ingest
+    * runs between yesterday's and today's distributions (PSI > 0.2 is
+    * the conventional "investigate" line).
+    *
+    * Scale shape: one (key, bucket) count per side (map-side
+    * combinable), the key×bucket domain frame is keys·nBuckets rows,
+    * and the final PSI is one short-key aggregate — nothing scans twice,
+    * nothing is quadratic. Output: `(keyCol, n_ref, n_cur, psi)`. */
   def psiDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
       bucket: org.apache.spark.sql.Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")

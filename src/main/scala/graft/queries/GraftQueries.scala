@@ -1967,7 +1967,7 @@ object GraftQueries {
     graft.ops.Skyline.paretoMax2(
       t(spark, dir, "orders").filter(col("o_custkey") % 100 === 0)
         .select(col("o_orderkey"), col("o_totalprice"),
-          unix_micros(col("o_orderdate")).as("order_ts")),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("order_ts")),
       "o_totalprice", "order_ts")
 
   /** Streaming incremental dedup state ([[graft.streaming.StreamingCc

@@ -31,7 +31,10 @@ object StreamingCc {
       : (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame) = {
     val spark = pairStream.sparkSession
     import spark.implicits._
-    var state = Seq.empty[(Long, Long)].toDF("id", "rep")
+    // @volatile: written on the micro-batch thread, read through the
+    // accessor from the caller thread — continuous mode has no other
+    // happens-before edge between the two.
+    @volatile var state = Seq.empty[(Long, Long)].toDF("id", "rep")
     val writer = pairStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

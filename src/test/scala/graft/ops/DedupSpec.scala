@@ -463,6 +463,43 @@ class DedupSpec extends SparkSpec {
       50L -> 50L, 51L -> 50L, 99L -> 99L)
   }
 
+  test("mergeComponents: new pair hitting a ROOT id (present only in the " +
+      "rep column) still merges its component") {
+    import spark.implicits._
+    // componentMap-style existing: no self-rows, root 1 absent as an id
+    val got = cmerge(Map(2L -> 1L, 3L -> 1L), Seq((1L, 0L)))
+    got shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+  }
+
+  test("mergeComponents: output is unique per id (delta rows vs " +
+      "untouched pass-through never overlap), self-rows tolerated") {
+    import spark.implicits._
+    // existing WITH explicit self-rows (the StreamingCc state shape):
+    // {1,2} touched by the batch, {10,11} and singleton 99 untouched
+    val existing = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (99L, 99L)).toDF("id", "rep")
+    val out = Dedup.mergeComponents(existing, Seq((2L, 5L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out.map(_._1).distinct.length shouldBe out.length
+    out.toMap shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 10L,
+      11L -> 10L, 99L -> 99L)
+  }
+
+  test("mergeComponents: untouched components never enter the fixpoint " +
+      "(delta-sized incremental work)") {
+    import spark.implicits._
+    // a big untouched component plus a tiny touched one: the fold must
+    // leave the big one bit-identical (pass-through correctness; the
+    // delta-shuffle SIZE claim is measured by the x_inc_cc bench row)
+    val big = (1L to 500L).map(i => (i, 0L)).toMap
+    val existing = big + (1000L -> 1000L) + (1001L -> 1000L)
+    val got = cmerge(existing, Seq((1001L, 2000L)))
+    // got additionally carries the root self-row (0 -> 0)
+    got.filter(k => k._1 >= 1L && k._1 <= 500L) shouldBe big
+    got(0L) shouldBe 0L
+    got(2000L) shouldBe 1000L
+  }
+
   test("mergeComponents equals from-scratch componentMap on random " +
       "pair-set splits") {
     val rnd = new scala.util.Random(37)
