@@ -901,6 +901,47 @@ object Bench {
     } catch { case _: Throwable => Seq("x_inc_cc_scaled" -> -1.0) }
   }
 
+  /** Jaccard self-join alone in a fresh JVM — OPT-IN (`only=x_jac`):
+    * the x_dedup block always runs this row AFTER the 10x minhash join
+    * (heapStart 1.2–5.4 GB), so its in-suite reading carries whatever
+    * old-gen/codegen residue that join leaves. This block is the same
+    * row (same synthetic corpus, same 256 shuffle partitions, same
+    * minOf2 discipline) with nothing before it — the reading that
+    * separates "the code path got slower" from "the JVM it runs in got
+    * dirtier". Logs candidates/doc so a data-path change is visible. */
+  private def jaccardSoloBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.Dedup
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try {
+      val synth = DedupStress.syntheticDocs(spark, 50000)
+        .repartition(32).persist()
+      val sn = synth.count() / 1000
+      val cands = Dedup.prefixCandidates(
+        Dedup.shingleSets(synth, "doc_id", "text", 1), 0.9).count()
+      val tag = s"x_jac_solo_${sn}k"
+      def one(i: Int): Double = {
+        val g0 = gcMillis(); val h0 = heapUsedMb()
+        val t = timed(force(Dedup.ngramJaccardPairs(synth, "doc_id", "text",
+          n = 1, threshold = 0.9)))
+        System.err.println(f"[bench] $tag%s rep$i%d wall=$t%.1fs " +
+          f"cands/doc=${cands.toDouble / (sn * 1000)}%.3f " +
+          f"gc=${(gcMillis() - g0) / 1000.0}%.1fs heapStart=${h0}%dMB")
+        t
+      }
+      val pb = probeOnce(spark)
+      val t = math.min(one(1), one(2))
+      recordProbe(tag, (pb, probeOnce(spark)))
+      synth.unpersist()
+      Seq(tag -> t)
+    } catch { case _: Throwable => Seq("x_jac_solo" -> -1.0)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    }
+  }
+
   /** Skyline at scale — OPT-IN (`only=x_skyline`): the 2-D Pareto
     * frontier of 4M synthetic (x, y) points (hash-derived uniform
     * doubles; expected frontier ~ln n). Logs the stage-2 input size (the
@@ -1233,6 +1274,11 @@ object Bench {
       if (only.exists(_.contains("x_inc_cc")))
         incCcBench(spark, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only: the jaccard row alone in a fresh JVM (drift adjudication)
+    val jacSolo =
+      if (only.exists(_.contains("x_jac_solo")))
+        jaccardSoloBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
     // OPT-IN only: skyline over 4M synthetic points
     val skyline =
       if (only.exists(_.contains("x_skyline")))
@@ -1254,11 +1300,11 @@ object Bench {
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
       vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ skyline ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ skyline ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated
