@@ -181,6 +181,37 @@ object Bench {
   private def probeOnce(spark: SparkSession): (Double, Double) =
     (cpuSentinelOnce(spark), parSentinelOnce())
 
+  /** Per-row self-adjudication numbers (gc seconds, heap floor,
+    * candidates/doc, fixpoint round walls). Rounds 4-8 printed these to
+    * stderr, which the shipped artifact never carried — every contested
+    * drift row stayed contested for exactly that reason (VERDICT r8 #2).
+    * Emitted as `row_stats` in bench_full.json. */
+  private val rowStats = scala.collection.mutable.LinkedHashMap[
+    String, scala.collection.mutable.LinkedHashMap[String, Double]]()
+  private def recordStat(tag: String, key: String, v: Double): Unit =
+    synchronized {
+      rowStats.getOrElseUpdate(tag,
+        scala.collection.mutable.LinkedHashMap[String, Double]()) += (key -> v)
+    }
+
+  /** Job-constant probe: 10 sequential TINY two-stage jobs (a 10k-row
+    * 8-partition shuffle — all scheduler/listener/codegen constant, no
+    * data). Short-stage fixpoint rows (q130, the 50k dedup family) read
+    * 1.3-3.5x their isolated anchors in a hot suite JVM (§c12/§c21/r8
+    * q130); this probe, run at suite start, middle and end, turns that
+    * "job-constant inflation" from a recurring per-row argument into a
+    * measured curve in the artifact. Returns seconds per job. */
+  private def jobConstProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    timed {
+      (1 to 10).foreach { _ =>
+        spark.range(0, 10000, 1, 8)
+          .groupBy((col("id") % 8).as("k")).agg(count(lit(1)).as("n"))
+          .select(sum(col("n"))).head()
+      }
+    } / 10
+  }
+
   /** Machine sentinels — fixed workloads whose cost depends only on the
     * machine, never on engine code: (a) a pure-CPU xxhash64 fold over
     * `spark.range`, (b) a fixed-fanout shuffle. Baseline values live in
@@ -471,8 +502,12 @@ object Bench {
         def one(i: Int): Double = {
           val g0 = gcMillis(); val h0 = heapUsedMb()
           val t = timed(f)
+          val gs = (gcMillis() - g0) / 1000.0
           System.err.println(f"[bench] $tag%s rep$i%d wall=$t%.1fs " +
-            f"gc=${(gcMillis() - g0) / 1000.0}%.1fs heapStart=${h0}%dMB")
+            f"gc=$gs%.1fs heapStart=${h0}%dMB")
+          recordStat(tag, s"wall$i", t)
+          recordStat(tag, s"gc$i", gs)
+          recordStat(tag, s"heapStart${i}_mb", h0.toDouble)
           t
         }
         // single-timing heavyweights are the rows the §c5 bursts hit
@@ -483,6 +518,17 @@ object Bench {
         recordProbe(tag, (pb, probeOnce(spark)))
         t
       }
+      // candidates/doc measured IN the artifact (not stderr): the first
+      // question on any drift row is "did the data path grow" — these
+      // lines answer it without a separate stress run
+      val mhCands = Dedup.minhashCandidates(
+        Dedup.shingleSets(scaled, "doc_id", "text", 1), 48, 6).count()
+      recordStat(s"x_dedup_minhash_${n}k", "cands_per_doc",
+        mhCands.toDouble / (n * 1000))
+      val shCands = Dedup.simhashCandidates(scaled, "doc_id", "text", 6)
+        .count()
+      recordStat(s"x_dedup_simhash_${n}k", "cands_per_doc",
+        shCands.toDouble / (n * 1000))
       // probe tags carry the row suffix so bench_full.json's per-row
       // probes join the emitted row names (r7: the suffixless tags left
       // exactly the heavyweight rows unadjudicable on a contended tail)
@@ -494,6 +540,10 @@ object Bench {
       val synth = DedupStress.syntheticDocs(spark, 50000)
         .repartition(32).persist()
       val sn = synth.count() / 1000
+      val jacCands = Dedup.prefixCandidates(
+        Dedup.shingleSets(synth, "doc_id", "text", 1), 0.9).count()
+      recordStat(s"x_dedup_jaccard_${sn}k", "cands_per_doc",
+        jacCands.toDouble / (sn * 1000))
       val jac = minOf2(s"x_dedup_jaccard_${sn}k") { force(Dedup.ngramJaccardPairs(
         synth, "doc_id", "text", n = 1, threshold = 0.9)) }
       // CC collapse at 50k: the rows above time pair GENERATION; this
@@ -524,6 +574,9 @@ object Bench {
       // size — the O(log^2 n) contract the bench row exists to watch
       System.err.println(f"[bench] x_dedup_collapse_${sn}k rounds=$ccRounds " +
         f"cc=$ccWall%.2fs antijoin=$ajWall%.2fs (last rep)")
+      recordStat(s"x_dedup_collapse_${sn}k", "cc_rounds", ccRounds.toDouble)
+      recordStat(s"x_dedup_collapse_${sn}k", "cc_wall_last", ccWall)
+      recordStat(s"x_dedup_collapse_${sn}k", "antijoin_wall_last", ajWall)
       pairs50.unpersist()
       synth.unpersist()
       Seq(s"x_dedup_minhash_${n}k" -> mh, s"x_dedup_simhash_${n}k" -> sh,
@@ -790,6 +843,13 @@ object Bench {
     import org.apache.spark.sql.functions.{abs => fabs, col, lit, pmod, xxhash64}
     def frontierStr(fs: Seq[Long]): String =
       fs.take(12).mkString(",") + (if (fs.size > 12) ",..." else "")
+    // persisted frames tracked for the finally: the catch-all -1 path
+    // otherwise leaks cached blocks into subsequent bench sections
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // force the DISTRIBUTED loop: this block anchors the scale path; at
+    // these sizes the engine default would take the bounded-local pass
+    // (which the headline q130 row now measures)
+    spark.conf.set("spark.graft.coreness.localEdgeThreshold", "0")
     try {
       // (a) the q130 fixture graph, isolated + instrumented: the anchor
       // for the headline row (which cannot log telemetry from inside the
@@ -798,6 +858,7 @@ object Bench {
         val edges = GraphOps.coOccurrencePairs(
           spark.read.parquet(s"$sfDir/lineitem.parquet"),
           "l_orderkey", "l_partkey").persist()
+        persisted += edges
         val m = edges.count()
         def one(i: Int): Double = {
           val g0 = gcMillis()
@@ -811,6 +872,9 @@ object Bench {
           System.err.println(f"[bench] x_kcore_fixture rep$i%d edges=$m%d " +
             f"wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs " +
             s"rounds=$rounds frontier=${frontierStr(fs)}")
+          recordStat("x_kcore_fixture", s"wall$i", t)
+          recordStat("x_kcore_fixture", s"gc$i", (gcMillis() - g0) / 1000.0)
+          recordStat("x_kcore_fixture", "rounds", rounds.toDouble)
           t
         }
         val pb = probeOnce(spark)
@@ -828,6 +892,7 @@ object Bench {
             pmod(fabs(xxhash64(col("id"), lit(2))), lit(nNodes.toLong)).as("v"))
           .filter(col("u") =!= col("v"))
           .repartition(32).persist()
+        persisted += edges
         val m = edges.count()
         val tag = s"x_kcore_${nEdges / 1000}k"
         def one(i: Int): Double = {
@@ -841,6 +906,8 @@ object Bench {
           System.err.println(f"[bench] $tag%s rep$i%d edges=$m%d " +
             f"wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs " +
             s"rounds=$rounds frontier=${frontierStr(fs)}")
+          recordStat(tag, s"wall$i", t)
+          recordStat(tag, "rounds", rounds.toDouble)
           t
         }
         val pb = probeOnce(spark)
@@ -850,7 +917,11 @@ object Bench {
         tag -> t
       }
       fixRow ++ grown
-    } catch { case _: Throwable => Seq("x_kcore_scaled" -> -1.0) }
+    } catch { case _: Throwable => Seq("x_kcore_scaled" -> -1.0)
+    } finally {
+      spark.conf.unset("spark.graft.coreness.localEdgeThreshold")
+      persisted.foreach(_.unpersist())
+    }
   }
 
   /** Incremental-CC fold cost vs corpus size — OPT-IN (`only=x_inc_cc`):
@@ -867,12 +938,14 @@ object Bench {
       : Seq[(String, Double)] = {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions.{col, lit}
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       Seq(200000, 800000).map { nIds =>
         // existing map: clusters of 4 (rep = id - id%4), WITH self-rows
         val existing = spark.range(nIds.toLong)
           .select(col("id"), (col("id") - col("id") % 4).as("rep"))
           .repartition(32).persist()
+        persisted += existing
         existing.count()
         // batch: 2k pairs bridging neighboring clusters at the id-space
         // head — the same batch (same touched mass) at BOTH corpus sizes
@@ -898,10 +971,11 @@ object Bench {
         existing.unpersist()
         tag -> t
       }
-    } catch { case _: Throwable => Seq("x_inc_cc_scaled" -> -1.0) }
+    } catch { case _: Throwable => Seq("x_inc_cc_scaled" -> -1.0)
+    } finally persisted.foreach(_.unpersist())
   }
 
-  /** Jaccard self-join alone in a fresh JVM — OPT-IN (`only=x_jac`):
+  /** Jaccard self-join alone in a fresh JVM — OPT-IN (`only=x_jac_solo`):
     * the x_dedup block always runs this row AFTER the 10x minhash join
     * (heapStart 1.2–5.4 GB), so its in-suite reading carries whatever
     * old-gen/codegen residue that join leaves. This block is the same
@@ -915,9 +989,11 @@ object Bench {
     import graft.ops.Dedup
     val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "256")
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       val synth = DedupStress.syntheticDocs(spark, 50000)
         .repartition(32).persist()
+      persisted += synth
       val sn = synth.count() / 1000
       val cands = Dedup.prefixCandidates(
         Dedup.shingleSets(synth, "doc_id", "text", 1), 0.9).count()
@@ -938,6 +1014,7 @@ object Bench {
       Seq(tag -> t)
     } catch { case _: Throwable => Seq("x_jac_solo" -> -1.0)
     } finally {
+      persisted.foreach(_.unpersist())
       spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
     }
   }
@@ -954,6 +1031,7 @@ object Bench {
       : Seq[(String, Double)] = {
     import graft.ops.Skyline
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       val n = 4000000L
       val pts = spark.range(n)
@@ -963,6 +1041,7 @@ object Bench {
           (xxhash64(col("id"), lit(2)).cast("double") / lit(9.223372036854776e18))
             .as("y"))
         .repartition(32).persist()
+      persisted += pts
       pts.count()
       val stage2In = Skyline.localFrontiers(pts, "x", "y").count()
       val tag = "x_skyline_4m"
@@ -979,7 +1058,8 @@ object Bench {
       recordProbe(tag, (pb, probeOnce(spark)))
       pts.unpersist()
       Seq(tag -> t)
-    } catch { case _: Throwable => Seq("x_skyline_4m" -> -1.0) }
+    } catch { case _: Throwable => Seq("x_skyline_4m" -> -1.0)
+    } finally persisted.foreach(_.unpersist())
   }
 
   private def scaledFuzzy600Bench(spark: SparkSession,
@@ -1183,8 +1263,59 @@ object Bench {
       probes(name) = (pb, probeOnce(spark))
       times
     }
+    recordStat("jobconst", "start_per_job", jobConstProbe(spark))
+    val wantBisect = only.forall(_.contains("x_q130_bisect"))
+    // q130's fixpoint telemetry (rounds, per-round frontier + wall) from
+    // the LAST rep of a block — the in-JSON form of the §c17 stderr lines
+    def recordCoreness(tag: String): Unit =
+      graft.ops.GraphOps.lastCorenessTelemetry.foreach { t =>
+        recordStat(tag, "rounds", t.rounds.toDouble)
+        recordStat(tag, "frontier_sum", t.frontiers.map(math.max(_, 0L)).sum.toDouble)
+        t.roundWallsSec.zipWithIndex.foreach { case (wv, i) =>
+          recordStat(tag, f"w$i%02d", wv) }
+        t.frontiers.zipWithIndex.foreach { case (fv, i) =>
+          recordStat(tag, f"f$i%02d", fv.toDouble) }
+      }
+    // The r8 in-suite bisect (VERDICT r9 task 1): q130 quadrupled in-suite
+    // (44 -> 178 s median, probes in band) in the round that switched its
+    // convergence action to an Observation metric. Hypothesis: `get`
+    // waits on the ASYNC ExecutionListenerBus, so in a hot suite every
+    // round blocks behind the whole session's listener backlog — invisible
+    // isolated (empty queue). These rows run the SAME query at the SAME
+    // suite position under each convergence formulation, with per-round
+    // walls in row_stats, so the artifact adjudicates the mechanism.
+    def corenessBisect(): Seq[(String, Seq[Double])] =
+      Seq("count" -> "dist", "observe" -> "observe",
+          "isempty" -> "isempty").map { case (m, suffix) =>
+        val name = s"q130_coreness_$suffix"
+        spark.conf.set("spark.graft.coreness.convergence", m)
+        // all three rows force the DISTRIBUTED loop (the default q130 row
+        // above takes the bounded-local path at fixture scale) — the
+        // bisect compares convergence formulations, not regimes
+        spark.conf.set("spark.graft.coreness.localEdgeThreshold", "0")
+        try {
+          val pb = probeOnce(spark)
+          val times = (1 to 2).map { _ =>
+            val t = try timed(force(SparkEntry.queries("q130_coreness")(spark, sfDir)))
+              catch { case _: Throwable => -1.0 }
+            recordCoreness(name)
+            t
+          }
+          probes(name) = (pb, probeOnce(spark))
+          name -> times
+        } finally {
+          spark.conf.unset("spark.graft.coreness.convergence")
+          spark.conf.unset("spark.graft.coreness.localEdgeThreshold")
+        }
+      }
     val firstPass: Seq[(String, Seq[Double])] =
-      queries.map(name => name -> repBlock(name))
+      queries.flatMap { name =>
+        val base = Seq(name -> repBlock(name))
+        if (name == "q130_coreness") {
+          recordCoreness(name)
+          if (wantBisect) base ++ corenessBisect() else base
+        } else base
+      }
     // Block retry (round-6): a rep block bracketed by an out-of-band probe
     // ran under contention — its min is as suspect as its median (the
     // uniformly-slow-block case the rep-retry cannot see). Re-run such
@@ -1198,7 +1329,10 @@ object Bench {
     // (the first live full run did exactly that).
     val blockRetried = scala.collection.mutable.LinkedHashSet[String]()
     val toRetry: Set[String] = firstPass.collect {
-      case (name, times) if times.forall(_ >= 0) && {
+      // bisect rows (q130_coreness_observe/_isempty) are not registry
+      // queries — repBlock can't re-run them, so they never retry
+      case (name, times) if SparkEntry.queries.contains(name) &&
+        times.forall(_ >= 0) && {
         val (pb, pa) = probes(name)
         !probeInBand(pb) || !probeInBand(pa)
       } => name -> times.min
@@ -1235,6 +1369,7 @@ object Bench {
       else (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
     val ingestBench = probedBlock("x_ingest_embed_index", wantExtra("x_ingest"),
       Seq.empty[(String, Double)]) { ingestEmbedIndexBench(spark) }
+    recordStat("jobconst", "mid_per_job", jobConstProbe(spark))
     val dedupScaled =
       if (wantExtra("x_dedup"))
         scaledDedupBench(spark, sfDir, (tag, p) => probes(tag) = p)
@@ -1295,6 +1430,7 @@ object Bench {
       if (wantExtra("x_tfidf"))
         tfidfBench(spark, (tag, p) => probes(tag) = p)
       else Seq.empty
+    recordStat("jobconst", "end_per_job", jobConstProbe(spark))
     val sentAfter = sentinels(spark, reps)
 
     val mins = runs.map { case (n, ts) =>
@@ -1336,13 +1472,19 @@ object Bench {
       "\"" + n + "\":" + jsonMap(Seq("cpu_b" -> cb, "par_b" -> rb,
         "cpu_a" -> ca, "par_a" -> ra))
     }.mkString("{", ",", "}")
+    // per-row self-adjudication (gc/heap/candidates/fixpoint walls +
+    // the jobconst inflation curve) — file artifact only, never stdout-
+    // budgeted; the drift-row protocol reads THESE instead of stderr
+    val rowStatsJson = rowStats.map { case (n, m) =>
+      "\"" + n + "\":" + jsonMap(m.toSeq)
+    }.mkString("{", ",", "}")
     // Full artifact: the ~12 KB detailed line has NEVER fit the driver's
     // 2000-char stdout tail window (BENCH_r01..r06 all carry
     // "parsed": null) — so the detail goes to a file the judge can read
     // directly, AND to stdout for manual runs. Field order puts probes
     // BEFORE the query maps so whatever slice of this line survives in
     // the tail window ends with queries_median + sentinel (VERDICT r6 #1).
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps%d,"retried":$retriedJson%s,"block_retried":$blockRetriedJson%s,"probes":$probesJson%s,"queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps%d,"retried":$retriedJson%s,"block_retried":$blockRetriedJson%s,"probes":$probesJson%s,"row_stats":$rowStatsJson%s,"queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (fullJson + "\n").getBytes("UTF-8"))

@@ -666,17 +666,37 @@ object Dedup {
     * reachability.
     *
     * Contract: `existing` is a proper map (unique per id, rep = component
-    * min; root/singleton self-rows optional), and the BATCH is small
-    * relative to the map — its endpoint set and the touched reps are
-    * broadcast. For corpus-scale "batches" run [[componentMap]] from
-    * scratch instead. Output covers every id in `existing` (both columns)
-    * plus every id in `newPairs`; ids untouched by any edge keep
-    * themselves as rep. */
+    * min; root/singleton self-rows optional). The delta path broadcasts
+    * the batch's endpoint set and the touched reps, so it assumes the
+    * batch is small relative to the map — and GUARDS that assumption:
+    * when the endpoint set exceeds `maxBroadcastIds` (a streaming
+    * backlog drained as one corpus-sized batch under
+    * `Trigger.AvailableNow`, say) it falls back to the from-scratch
+    * [[componentMap]] over the map's star edges plus the batch — same
+    * bit-identical result, shuffle-sized instead of broadcast-sized.
+    * Output covers every id in `existing` (both columns) plus every id
+    * in `newPairs`; ids untouched by any edge keep themselves as rep. */
   def mergeComponents(existing: DataFrame, newPairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, maxBroadcastIds: Long = 4000000L): DataFrame = {
     val np = newPairs.select(col("id_a"), col("id_b"))
     val newIds = np.select(col("id_a").as("nid"))
       .unionByName(np.select(col("id_b").as("nid"))).distinct()
+      .materialized // counted for the guard, then reused by 3 joins
+    if (newIds.count() > maxBroadcastIds) {
+      // corpus-sized batch: the broadcast hints below would blow the
+      // driver; rebuild from the star edges — the map IS its own
+      // connectivity certificate, so this is exact, not a recompute of
+      // pair history
+      val star = existing.filter(col("id") =!= col("rep"))
+        .select(col("id").as("id_a"), col("rep").as("id_b"))
+      val merged = componentMap(star.unionByName(np), maxIter)
+      val allIds = existing.select(col("id"))
+        .unionByName(existing.select(col("rep").as("id")))
+        .unionByName(newIds.select(col("nid").as("id")))
+        .distinct()
+      return allIds.join(merged, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    }
     // touched components: any new endpoint among the members (id side) or
     // the roots (rep side). Two broadcast SEMI joins, not one OR-join —
     // an OR condition would plan as a nested loop over n·delta
@@ -810,6 +830,10 @@ object Dedup {
       // than the symmetric test (counts on materialized data are cheap)
       val ssCnt = ss.count()
       converged = ssCnt == curCnt && ss.except(cur).isEmpty
+      // the previous round's edge set is dead once the except above ran —
+      // free its blocks instead of letting 15+ rounds of them pile up in
+      // the block manager for the session's lifetime
+      org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(cur)
       cur = ss
       curCnt = ssCnt
       i += 1
@@ -852,6 +876,8 @@ object Dedup {
         .materialized
       val changed = merged.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
+      // previous round's labels are dead once the change test ran
+      org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(labels)
       labels = merged
       converged = changed == 0
       i += 1

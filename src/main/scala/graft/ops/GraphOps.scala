@@ -367,10 +367,13 @@ object GraphOps {
         .join(labels.select(col("n").as("v"), col("lab")), "v")
         .groupBy(col("u").as("n"), col("lab"))
         .agg(count(lit(1)).as("c"))
-      labels = cnt.groupBy(col("n"))
+      val next = cnt.groupBy(col("n"))
         .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab"))).as("m"))
         .select(col("n"), col("m.lab").as("lab"))
         .materialized
+      // previous round's labels are dead once `next` materialized
+      org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(labels)
+      labels = next
       round += 1
     }
     labels.select(col("n"), col("lab").as("label"))
@@ -401,12 +404,16 @@ object GraphOps {
     while (round < iters) {
       val a0 = e.join(hub, "s").groupBy(col("p")).agg(sum(col("h")).as("x"))
       val an = a0.agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-      auth = a0.crossJoin(broadcast(an))
+      val auth2 = a0.crossJoin(broadcast(an))
         .select(col("p"), (col("x") / col("nrm")).as("a")).materialized
+      org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(auth)
+      auth = auth2
       val h0 = e.join(auth, "p").groupBy(col("s")).agg(sum(col("a")).as("x"))
       val hn = h0.agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-      hub = h0.crossJoin(broadcast(hn))
+      val hub2 = h0.crossJoin(broadcast(hn))
         .select(col("s"), (col("x") / col("nrm")).as("h")).materialized
+      org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(hub)
+      hub = hub2
       round += 1
     }
     auth.select(col("p").as("n"), lit("auth").as("kind"),
@@ -437,72 +444,390 @@ object GraphOps {
       maxIter: Int = 50): DataFrame =
     corenessWithStats(edges, srcCol, dstCol, maxIter)._1
 
+  /** Per-run fixpoint telemetry [[corenessWithStats]] leaves behind for
+    * harness logging: convergence mode, rounds, per-round frontier and
+    * per-round wall seconds. Written once per run on the calling thread. */
+  final case class CorenessTelemetry(mode: String, rounds: Int,
+      frontiers: Seq[Long], roundWallsSec: Seq[Double])
+
+  @volatile private[graft] var lastCorenessTelemetry
+      : Option[CorenessTelemetry] = None
+
+  /** Convergence-action mode for the coreness fixpoint
+    * (`spark.graft.coreness.convergence`):
+    *   - `count` (default): one `count()` job per round over the
+    *     just-materialized round frame — the blocks are local, so the job
+    *     is milliseconds, and it never touches the listener bus;
+    *   - `observe`: the round-8 formulation — an
+    *     [[org.apache.spark.sql.Observation]] metric riding the
+    *     materialize pass. "Zero extra actions" on paper, but `get`
+    *     waits on the ASYNC ExecutionListenerBus: in a long-lived session
+    *     with listener backlog every round blocks behind the queue (the
+    *     round-8 in-suite 4x regression — 44 -> 178 s with in-band
+    *     machine probes), and a dropped event (queue-full) would hang the
+    *     fixpoint forever. Kept behind this flag for the bisect row; the
+    *     wait is bounded here (30 s, then fall back to a count job);
+    *   - `isempty`: the round-7 formulation (a separate `isEmpty` job per
+    *     round; frontier sizes are not measured — recorded as -1). */
+  private val ConvergenceKey = "spark.graft.coreness.convergence"
+
+  /** Frontier size at or below which the fixpoint switches to the
+    * small-frontier tail regime (`spark.graft.coreness.tailThreshold`,
+    * default 0 = DISABLED): broadcast joins instead of shuffle joins, and
+    * a small DELTA overlay instead of re-materializing the full O(n)
+    * estimate frame every round. Measured on the 1.2M-edge fixture
+    * (round 9): the tail regime read 40.6 s vs 31.4 s for the plain loop
+    * — at bench scales the per-round floor is job/stage scheduling and
+    * the localCheckpoint round trip (~0.6 s either way), which the tail's
+    * guard counts and broadcast exchanges only ADD to, while the O(n)
+    * rewrite it avoids is trivial at n ≤ a few hundred thousand. The
+    * regime exists for huge-n graphs (hundreds of millions of estimate
+    * rows) where the per-round O(n) rewrite dominates; enable it there.
+    * Revisit trigger: round telemetry showing the updated-frame
+    * materialize at >~30% of tiny-frontier round walls. Spec-covered in
+    * every regime (GraphOpsSpec cross-regime agreement). */
+  private val TailThresholdKey = "spark.graft.coreness.tailThreshold"
+
+  /** Undirected-edge count at or below which coreness runs as ONE bounded
+    * executor task (`spark.graft.coreness.localEdgeThreshold`, default
+    * 4M ≈ 64 MB of edge longs): the broadcast-join argument applied to a
+    * whole fixpoint. The q130 fixture graph (19.5k nodes / 1.2M edges)
+    * measured 53.6 s through the distributed loop — 38 rounds of pure
+    * scheduling constant (per-round walls 0.5–1.9 s while the per-round
+    * DATA work is sub-millisecond at late-round frontiers of 30–300
+    * nodes) — vs well under a second for the identical h-index fixpoint
+    * over int arrays in a single task. Same algorithm, same synchronous
+    * round semantics, bit-identical result (the fixpoint is unique);
+    * rounds/frontier telemetry rides back on accumulators. Graphs above
+    * the bound take the distributed loop, whose own partition count is
+    * sized to the DATA (min 8, ~300k adjacency rows per partition, capped
+    * at the session setting) instead of inheriting a 32–256-partition
+    * session default that turns tiny rounds into task-scheduling noise. */
+  private val LocalEdgeThresholdKey =
+    "spark.graft.coreness.localEdgeThreshold"
+
   /** [[coreness]] plus its fixpoint telemetry: `(result, rounds taken,
     * frontier size per round)` — frontier = how many nodes' estimates
-    * CHANGED that round. The telemetry is free: the change count rides
-    * the per-round materialize action as a
-    * [[org.apache.spark.sql.Observation]] metric (CollectMetricsExec
-    * accumulators on the same pass), so convergence costs ZERO extra
-    * actions — the old formulation paid a separate `isEmpty` job per
-    * round, ~20% of the round constant on late (tiny-frontier) rounds. */
+    * CHANGED that round. Also records per-round walls in
+    * [[lastCorenessTelemetry]] for harness logs.
+    *
+    * Execution regimes, all exact (the fixpoint is unique, and a skipped
+    * or overlaid node reproduces identical h from identical inputs):
+    *   - bounded-local: graphs under [[LocalEdgeThresholdKey]] run the
+    *     whole fixpoint as ONE executor task over CSR int arrays;
+    *   - distributed, per round: shuffle joins over the changed set's
+    *     neighborhood, full estimate frame re-materialized, exchanges
+    *     sized to the data (not the session partition default);
+    *   - distributed small-frontier tail (opt-in, [[TailThresholdKey]]):
+    *     the active set, its neighborhood and the new h values move as
+    *     BROADCASTS — `adj` and `est` are only ever streamed map-side —
+    *     and changes accumulate in a small overlay delta (merged by
+    *     `min(est)`: estimates decrease monotonically) that never
+    *     rewrites the O(n) state; the delta folds back into the base
+    *     frame if it outgrows 4x the threshold.
+    * Stale round frames are unpersisted one round after replacement
+    * (their blocks otherwise pile up in the block manager for the
+    * session's lifetime — measured as cross-suite inflation). */
   def corenessWithStats(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): (DataFrame, Int, Seq[Long]) = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     val spark = edges.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized
+    val mode = spark.conf.get(ConvergenceKey, "count")
+    val tailThresh = spark.conf.get(TailThresholdKey, "0").toLong
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") < col("v")).distinct()
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .materialized
+    val adjCnt = adj.count() // cheap: blocks are local after materialize
+    val localThresh = spark.conf.get(LocalEdgeThresholdKey, "4000000").toLong
+    if (mode == "count" && adjCnt / 2 <= localThresh) {
+      val r = corenessLocal(adj, maxIter)
+      unpersistMaterialized(adj)
+      lastCorenessTelemetry =
+        Some(CorenessTelemetry("local", r._2, r._3, Nil))
+      return r
+    }
+    // distributed loop: size the loop's exchanges to the DATA — a tiny
+    // round otherwise pays a full session-partition-count task wave per
+    // stage (measured 1.7x on the 2.4M-row fixture: 53.6 -> 32.1 s)
+    val sessPart = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopPart = math.max(8L, math.min(sessPart.toLong, adjCnt / 300000L + 1))
+    val confScoped = loopPart < sessPart.toLong
+    if (confScoped)
+      spark.conf.set("spark.sql.shuffle.partitions", loopPart.toString)
+    try {
     var est = adj.groupBy(col("u").as("n"))
       .agg(count(lit(1)).as("est")).materialized
-    // frontier-driven rounds: a node's h-index can only change if a
-    // NEIGHBOR's estimate changed last round, so each round recomputes
-    // only the changed set's neighborhood — the whole graph in round 1,
-    // then rapidly shrinking frontiers (the late rounds that dominated
-    // the full-recompute formulation touch a few hundred nodes, not 2M
-    // adjacency rows). Skipping an untouched node is exact: identical
-    // inputs reproduce identical h.
+    var delta: DataFrame = null // small (n, est) overlay, tail regime only
     var active = est.select(col("n"))
+    // the frame to free once the CURRENT round's replacement materializes
+    // (starts at the initial degree frame — dead after round 0)
+    var stale: DataFrame = est
+    val tailFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var prevChanged = Long.MaxValue
     var round = 0
     var converged = false
     val frontiers = Seq.newBuilder[Long]
+    val walls = Seq.newBuilder[Double]
+    def overlay(base: DataFrame, d: DataFrame): DataFrame =
+      base.join(broadcast(d.select(col("n"), col("est").as("__d"))),
+          Seq("n"), "left")
+        .select(col("n"), coalesce(col("__d"), col("est")).as("est"))
     while (round < maxIter && !converged) {
-      val touched =
-        if (round == 0) est.select(col("n"))
-        else adj.join(active.withColumnRenamed("n", "v"), "v")
-          .select(col("u").as("n")).distinct()
-      val nb = adj.join(touched, adj("u") === touched("n")).drop(touched("n"))
-        .join(est.select(col("n").as("v"), col("est")), "v")
-        .select(col("u").as("n"), col("est").as("ne"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("n")).orderBy(col("ne").desc)
-      val h = nb.withColumn("rn", row_number().over(w))
-        .groupBy(col("n"))
-        .agg(max(least(col("rn").cast("long"), col("ne"))).as("h"))
-      val obs = org.apache.spark.sql.Observation(s"coreness_r$round")
-      val updated = est.join(h, Seq("n"), "left")
-        .select(col("n"),
-          coalesce(least(col("est"), col("h")), col("est")).as("est"),
-          (col("h").isNotNull && col("h") < col("est")).as("chg"))
-        .observe(obs, sum(when(col("chg"), 1L).otherwise(0L)).as("nchg"))
-        .materialized
-      val nChanged = obs.get("nchg") match {
-        case null => 0L // empty frame: sum over zero rows
-        case x: java.lang.Number => x.longValue()
+      val t0 = System.nanoTime()
+      // tail candidacy: the frontier must be small AND its 1-hop
+      // neighborhood and that neighborhood's incident edge list must be
+      // broadcast-sized — a frontier size alone does not bound either (one
+      // hub in the active set pulls its whole neighborhood in), so both
+      // are COUNTED before any broadcast hint is planted; hub-heavy
+      // rounds fall back to the shuffle path
+      var touchedT: DataFrame = null
+      var tail = false
+      if (mode == "count" && round > 0 && prevChanged <= tailThresh) {
+        touchedT = adj
+          .join(broadcast(active.withColumnRenamed("n", "v")), "v")
+          .select(col("u").as("n")).distinct().materialized
+        tailFrames += touchedT
+        if (touchedT.count() <= 4 * tailThresh)
+          tail = adj.join(broadcast(touchedT),
+            adj("u") === touchedT("n")).count() <=
+            math.min(32 * tailThresh, adjCnt / 16)
       }
-      frontiers += nChanged
-      active = updated.filter(col("chg")).select(col("n"))
-      converged = nChanged == 0L
-      est = updated.select(col("n"), col("est"))
+      if (!tail) {
+        if (delta != null) { // fold the overlay before a full round
+          val folded = overlay(est, delta).materialized
+          if (stale != null) unpersistMaterialized(stale)
+          est = folded; stale = folded; delta = null
+        }
+        val touched =
+          if (round == 0) est.select(col("n"))
+          else if (touchedT != null) touchedT
+          else adj.join(active.withColumnRenamed("n", "v"), "v")
+            .select(col("u").as("n")).distinct()
+        val nb = adj.join(touched, adj("u") === touched("n"))
+          .drop(touched("n"))
+          .join(est.select(col("n").as("v"), col("est")), "v")
+          .select(col("u").as("n"), col("est").as("ne"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("n")).orderBy(col("ne").desc)
+        val h = nb.withColumn("rn", row_number().over(w))
+          .groupBy(col("n"))
+          .agg(max(least(col("rn").cast("long"), col("ne"))).as("h"))
+        val obs =
+          if (mode == "observe")
+            org.apache.spark.sql.Observation(s"coreness_r${round}_" +
+              java.util.UUID.randomUUID().toString.take(8))
+          else null
+        var updated = est.join(h, Seq("n"), "left")
+          .select(col("n"),
+            coalesce(least(col("est"), col("h")), col("est")).as("est"),
+            (col("h").isNotNull && col("h") < col("est")).as("chg"))
+        if (obs != null)
+          updated = updated.observe(obs,
+            sum(when(col("chg"), 1L).otherwise(0L)).as("nchg"))
+        updated = updated.materialized
+        val nChanged = mode match {
+          case "observe" =>
+            // bounded wait: the metric arrives via the async
+            // ExecutionListenerBus; a dropped event must degrade to a
+            // count job, not hang the fixpoint (ADVICE r8)
+            org.apache.spark.sql.GraftSqlBridge
+              .observationResultWithin(obs, 30000L)
+              .flatMap(_.get("nchg")) match {
+              case Some(x: java.lang.Number) => x.longValue()
+              case _ => updated.filter(col("chg")).count()
+            }
+          case "isempty" => // r7 parity: convergence only, no frontier
+            if (updated.filter(col("chg")).isEmpty) 0L else -1L
+          case _ => updated.filter(col("chg")).count()
+        }
+        frontiers += nChanged
+        active = updated.filter(col("chg")).select(col("n"))
+        converged = nChanged == 0L
+        prevChanged = if (nChanged < 0) Long.MaxValue else nChanged
+        est = updated.select(col("n"), col("est"))
+        if (stale != null) unpersistMaterialized(stale)
+        stale = updated
+      } else {
+        // ---- small-frontier tail round: broadcasts + delta overlay ----
+        val touched = touchedT
+        val estAll = if (delta == null) est else overlay(est, delta)
+        val nbT = adj.join(broadcast(touched), adj("u") === touched("n"))
+          .select(adj("u").as("tn"), adj("v"))
+        // neighbors' estimates: stream the O(n) est frame ONCE map-side
+        // against the broadcast neighborhood — no shuffle of est or adj
+        val nb = estAll.select(col("n").as("v"), col("est").as("ne"))
+          .join(broadcast(nbT), "v")
+          .select(col("tn").as("n"), col("ne"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("n")).orderBy(col("ne").desc)
+        val h = nb.withColumn("rn", row_number().over(w))
+          .groupBy(col("n"))
+          .agg(max(least(col("rn").cast("long"), col("ne"))).as("h"))
+        val cur = estAll.join(broadcast(touched), Seq("n"))
+          .select(col("n"), col("est"))
+        val changes = cur.join(h, Seq("n"))
+          .filter(col("h") < col("est"))
+          .select(col("n"), col("h").as("est"))
+          .materialized
+        tailFrames += changes
+        val nChanged = changes.count()
+        frontiers += nChanged
+        active = changes.select(col("n"))
+        converged = nChanged == 0L
+        prevChanged = nChanged
+        if (nChanged > 0) {
+          delta =
+            if (delta == null) changes
+            else {
+              val merged = delta.unionByName(changes)
+                .groupBy(col("n")).agg(min(col("est")).as("est"))
+                .materialized
+              tailFrames += merged
+              merged
+            }
+          if ((delta ne changes) && delta.count() > 4 * tailThresh) {
+            val folded = overlay(est, delta).materialized
+            if (stale != null) unpersistMaterialized(stale)
+            est = folded; stale = folded; delta = null
+          }
+        }
+      }
+      walls += (System.nanoTime() - t0) / 1e9
       round += 1
     }
     require(converged,
       s"coreness: h-index fixpoint did not converge within $maxIter " +
         "rounds — raise maxIter (estimates are only upper bounds here)")
-    (est.select(col("n"), col("est").as("coreness")), round,
-      frontiers.result())
+    val result = if (delta == null) est else overlay(est, delta)
+    // adj feeds nothing downstream of the final estimates; tail frames
+    // are dead once the final delta (still referenced by `result`) is
+    // excluded
+    unpersistMaterialized(adj)
+    tailFrames.filter(_ ne delta).foreach(unpersistMaterialized)
+    val fs = frontiers.result()
+    lastCorenessTelemetry =
+      Some(CorenessTelemetry(mode, round, fs, walls.result()))
+    (result.select(col("n"), col("est").as("coreness")), round, fs)
+    } finally {
+      if (confScoped)
+        spark.conf.set("spark.sql.shuffle.partitions", sessPart)
+    }
+  }
+
+  /** The bounded-local coreness pass (see [[LocalEdgeThresholdKey]]): the
+    * SAME synchronous h-index fixpoint as the distributed loop, over
+    * CSR int arrays in one executor task — not the textbook min-degree
+    * peel, deliberately: the q130 oracle replays peeling, and engine vs
+    * oracle staying DIFFERENT algorithms is what makes their agreement
+    * evidence. Input is the materialized both-directions adjacency;
+    * output (n, coreness) is materialized (the accumulator-borne
+    * telemetry needs the job run before this returns). */
+  private def corenessLocal(adj: DataFrame, maxIter: Int)
+      : (DataFrame, Int, Seq[Long]) = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    val roundsAcc = spark.sparkContext.longAccumulator("coreness_rounds")
+    val frontAcc =
+      spark.sparkContext.collectionAccumulator[Long]("coreness_frontiers")
+    val pipeline = adj.select(col("u"), col("v")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        // single pass into primitive builders (no boxed tuple array):
+        // bounded by the conf'd edge threshold
+        val idx = new java.util.HashMap[Long, Integer]()
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def id(x: Long): Int = {
+          val got = idx.get(x)
+          if (got != null) got.intValue
+          else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+        }
+        val ub = new scala.collection.mutable.ArrayBuilder.ofInt
+        val vb = new scala.collection.mutable.ArrayBuilder.ofInt
+        while (it.hasNext) {
+          val e = it.next(); ub += id(e._1); vb += id(e._2)
+        }
+        val us = ub.result(); val vs = vb.result()
+        val m = us.length
+        val n = ids.length
+        val deg = new Array[Int](n)
+        var i = 0
+        while (i < m) { deg(us(i)) += 1; i += 1 }
+        // CSR over the directed rows (both directions are present)
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val nbr = new Array[Int](m)
+        val cur = off.clone()
+        i = 0
+        while (i < m) {
+          nbr(cur(us(i))) = vs(i); cur(us(i)) += 1; i += 1
+        }
+        val est = deg.clone()
+        var recompute = Array.fill(n)(true)
+        val maxDeg = if (n == 0) 0 else deg.max
+        val cnt = new Array[Int](maxDeg + 2)
+        var rounds = 0
+        var frontier = if (n == 0) 0 else n
+        while (frontier > 0) {
+          if (rounds >= maxIter)
+            throw new IllegalStateException(
+              s"coreness (local): fixpoint did not converge within " +
+                s"$maxIter rounds — raise maxIter")
+          val prev = est.clone() // synchronous: round reads prior state
+          val next = new Array[Boolean](n)
+          var changed = 0L
+          var u = 0
+          while (u < n) {
+            if (recompute(u) && est(u) > 0) {
+              val d = deg(u)
+              var j = off(u)
+              while (j < off(u + 1)) { // bucket-count neighbor estimates
+                val b = math.min(prev(nbr(j)), d)
+                cnt(b) += 1; j += 1
+              }
+              var s = 0; var h = d
+              while (h > 0 && s + cnt(h) < h) { s += cnt(h); h -= 1 }
+              java.util.Arrays.fill(cnt, 0, d + 1, 0)
+              if (h < prev(u)) {
+                est(u) = h
+                changed += 1
+                j = off(u)
+                while (j < off(u + 1)) { next(nbr(j)) = true; j += 1 }
+              }
+            }
+            u += 1
+          }
+          frontAcc.add(changed)
+          rounds += 1
+          recompute = next
+          frontier = if (changed > 0) 1 else 0
+        }
+        roundsAcc.add(rounds.toLong)
+        ids.indices.iterator.map(i2 => (ids(i2), est(i2).toLong))
+      }
+      .toDF("n", "coreness")
+    // non-convergence must surface as the same IllegalArgumentException
+    // contract the distributed loop's require() raises, not as a
+    // SparkException-wrapped task failure
+    val result = try pipeline.materialized catch {
+      case e: Throwable if {
+        var c: Throwable = e; var hit = false
+        while (c != null && !hit) {
+          hit = c.getMessage != null &&
+            c.getMessage.contains("did not converge")
+          c = c.getCause
+        }
+        hit
+      } =>
+        throw new IllegalArgumentException(
+          s"requirement failed: coreness: h-index fixpoint did not " +
+            s"converge within $maxIter rounds — raise maxIter " +
+            "(estimates are only upper bounds here)")
+    }
+    import scala.jdk.CollectionConverters._
+    (result, roundsAcc.value.toInt, frontAcc.value.asScala.toSeq)
   }
 }

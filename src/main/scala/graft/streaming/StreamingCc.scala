@@ -19,6 +19,12 @@ import org.apache.spark.sql.streaming.Trigger
   * [[graft.ops.Dedup.componentMap]] over the same pairs no matter how the
   * stream sliced them into micro-batches — which is exactly what the
   * q146 oracle (and the multi-batch spec) check.
+  *
+  * Batch-size safety: `Trigger.AvailableNow` can drain an entire backlog
+  * as ONE corpus-sized batch; `mergeComponents` guards its own broadcast
+  * assumption (endpoint set over `maxBroadcastIds` falls back to the
+  * shuffle-sized from-scratch rebuild), so no size contract leaks to
+  * this caller.
   */
 object StreamingCc {
 

@@ -9,6 +9,39 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** [[Observation]] result with a BOUNDED wait. `Observation.get` blocks
+    * forever on the async ExecutionListenerBus — a dropped event
+    * (queue-full under load) would hang the caller; `getOrEmpty` is
+    * `private[sql]`, hence this bridge. Polls until the metrics row
+    * lands or `timeoutMs` elapses; `None` on timeout. */
+  def observationResultWithin(obs: Observation,
+      timeoutMs: Long): Option[Map[String, Any]] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var m = obs.getOrEmpty
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(5); m = obs.getOrEmpty
+    }
+    if (m.isEmpty) None else Some(m.toMap)
+  }
+
+  /** Free the storage behind a [[graft.Graft.materialize]]d frame once an
+    * iterative fixpoint has replaced it. `localCheckpoint`/`checkpoint`
+    * return a `LogicalRDD` whose blocks live in the block manager until
+    * GC + ContextCleaner get around to them — a 38-round fixpoint that
+    * materializes per round otherwise leaves 38 generations of dead
+    * blocks accumulating, and across a long-lived session (a bench
+    * suite, a streaming driver) that turns into old-gen churn and
+    * block-manager pressure charged to whatever runs NEXT. No-op for
+    * frames that are not materialize-backed; `persist`-backed frames
+    * (the `replicated` strategy) unpersist through the Dataset API. */
+  def unpersistMaterialized(df: DataFrame): Unit = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ds.unpersist(blocking = false)
+    }
+  }
+
   /** CAP the statistics snapshot `checkpoint`/`localCheckpoint` preserve
     * on the returned `LogicalRDD`. The preserved snapshot is load-bearing
     * AND dangerous:

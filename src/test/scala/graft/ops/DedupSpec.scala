@@ -500,6 +500,23 @@ class DedupSpec extends SparkSpec {
     got(2000L) shouldBe 1000L
   }
 
+  test("mergeComponents: corpus-sized batch takes the from-scratch " +
+      "fallback (maxBroadcastIds guard) with an identical result") {
+    import spark.implicits._
+    val existing = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (99L, 99L)).toDF("id", "rep")
+    val batch = Seq((2L, 5L), (5L, 11L), (200L, 201L)).toDF("id_a", "id_b")
+    val expected = Dedup.mergeComponents(existing, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxBroadcastIds = 0 forces every batch down the fallback path
+    val viaFallback = Dedup.mergeComponents(existing, batch,
+        maxBroadcastIds = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaFallback shouldBe expected
+    expected shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L,
+      11L -> 1L, 99L -> 99L, 200L -> 200L, 201L -> 200L)
+  }
+
   test("mergeComponents equals from-scratch componentMap on random " +
       "pair-set splits") {
     val rnd = new scala.util.Random(37)

@@ -358,6 +358,52 @@ class GraphOpsSpec extends SparkSpec {
       run(k4 ++ Seq((4L, 5L), (5L, 6L)), maxIter = 1)
   }
 
+  test("coreness: every execution regime (local pass, distributed full, " +
+      "distributed tail, observe, isempty) agrees on the same graph") {
+    import spark.implicits._
+    // a 700-node random blob (converges in a few big-frontier rounds) +
+    // a 22-node path hung off node 0: the path's coreness-1 wave settles
+    // ONE node per round — ~22 deterministic tiny-frontier rounds, the
+    // broadcast-tail regime's exact target (nbT a few rows vs
+    // adjCnt/16 ≈ several hundred, so the graph-relative guard passes)
+    val rnd = new scala.util.Random(29)
+    val blob = (0 until 2800).map(_ =>
+      (rnd.nextInt(700).toLong, rnd.nextInt(700).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val path = (0 until 22).map(i =>
+      (if (i == 0) 0L else 10000L + i - 1, 10000L + i))
+    val edges = blob ++ path
+    def run(): Map[Long, Long] =
+      GraphOps.coreness(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = run() // local pass (default thresholds at this size)
+    def withConf(kvs: (String, String)*)(f: => Map[Long, Long])
+        : Map[Long, Long] =
+      try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+      finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+    // distributed, full path only (tail disabled)
+    withConf("spark.graft.coreness.localEdgeThreshold" -> "0",
+      "spark.graft.coreness.tailThreshold" -> "0")(run()) shouldBe expected
+    // distributed with the broadcast tail engaged on the path rounds
+    withConf("spark.graft.coreness.localEdgeThreshold" -> "0",
+      "spark.graft.coreness.tailThreshold" -> "100000")(run()) shouldBe
+      expected
+    // r8 observe formulation and r7 isempty formulation (bisect modes)
+    withConf("spark.graft.coreness.localEdgeThreshold" -> "0",
+      "spark.graft.coreness.convergence" -> "observe")(run()) shouldBe
+      expected
+    withConf("spark.graft.coreness.localEdgeThreshold" -> "0",
+      "spark.graft.coreness.convergence" -> "isempty")(run()) shouldBe
+      expected
+    // the path's settle really trickles: the local pass's frontier
+    // telemetry must show a run of tiny rounds once the blob has settled
+    // (the wave moves one node per round while the blob still converges,
+    // so only the post-blob stretch counts as tiny)
+    run() shouldBe expected // refresh telemetry from the default path
+    val fs = GraphOps.lastCorenessTelemetry.get.frontiers
+    fs.count(f => f > 0 && f <= 4) should be >= 8
+  }
+
   /** Plain-Scala synchronous LPA mirror: every node adopts its neighbors'
     * most frequent label, ties to the smallest label, all nodes at once. */
   private def lpaMirror(edges: Seq[(Long, Long)],
