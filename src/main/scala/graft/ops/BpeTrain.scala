@@ -94,9 +94,13 @@ object BpeTrain {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += ((rank, l, r, c))
-        vocab = vocab
+        val next = vocab
           .withColumn("syms", mergeAdjacent($"syms", l, r))
           .materialized
+        // previous round's vocab is dead once the rewrite materialized
+        // (the iterative stale-state rule GraphOps/Dedup follow)
+        org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(vocab)
+        vocab = next
         rank += 1
       }
     }
