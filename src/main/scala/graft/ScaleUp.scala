@@ -34,10 +34,23 @@ object ScaleUp {
       spark.read.parquet(s"$srcDir/$name.parquet")
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
+    // single FILE per table (driver-testdata parity): the DuckDB oracle
+    // views point at `<dir>/<name>.parquet` as a file, and Spark splits
+    // a single parquet file by row groups anyway
     def write(df: DataFrame, name: String): Unit = {
-      df.repartition(16).write.mode("overwrite")
-        .parquet(s"$dstDir/$name.parquet")
-      println(s"[scaleup] $name -> $dstDir")
+      val tmp = s"$dstDir/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dstDir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+      println(s"[scaleup] $name -> $dstDir/$name.parquet")
     }
     // shift LONG key columns by rep * stride; everything else rides along
     def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
