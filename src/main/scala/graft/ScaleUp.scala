@@ -79,19 +79,20 @@ object ScaleUp {
       "l_suppkey" -> sK), "lineitem")
     write(replicate(events, "event_id" -> eK, "user_id" -> uK), "events")
     write(replicate(emb, "vec_id" -> vK), "embeddings")
-    // documents: per-replica perturbation so the corpus scales as a
-    // NEAR-dup corpus (replica 0 byte-identical to the source)
+    // documents: per-replica PER-TOKEN perturbation (replica 0
+    // byte-identical to the source) — the DedupStress.replicateDocs
+    // discipline. A suffix on every token keeps minhash/simhash
+    // signatures distinct across replicas; a whole-document suffix
+    // would leave most signatures identical, exploding one band bucket
+    // into a single-task quadratic enumeration (measured: q104 at sf1
+    // ran one task at ~2 cores for 15+ min before this fix)
     val docsScaled = docs.crossJoin(reps)
       .withColumn("doc_id", col("doc_id") + col("rep") * dK)
       .withColumn("text",
         when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" r"),
-            col("rep").cast("string"))))
-      .withColumn("n_chars",
-        col("n_chars") +
-          when(col("rep") === 0, lit(0L))
-            .otherwise(length(concat(lit(" r"),
-              col("rep").cast("string"))).cast("long")))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1zq"), col("rep")))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("rep")
     write(docsScaled, "documents")
     spark.stop()

@@ -11,16 +11,35 @@ object Verify {
     // what correctness actually runs through — not a bare builder
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale-gate sizing (sf1 runs): shuffle partitions sized to the DATA,
+    // not the core count — the 50k-doc minhash/jaccard verifies move
+    // ~40M candidate rows with ~1 KB payloads and need the 256-partition
+    // sizing the bench's dedup block documents; AQE coalesces the small
+    // queries back down, so a high default costs the rest nothing
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     new java.io.File(outDir).mkdirs()
     // iteration aid: SPARK_GRAFT_VERIFY_ONLY=q67,q80 dumps just the named
-    // query prefixes (driver runs with it unset → full surface)
+    // query prefixes (driver runs with it unset → full surface);
+    // SPARK_GRAFT_VERIFY_SKIP excludes by prefix (the sf1 scale gate
+    // skips the fixture-artifact quadratic queries documented in
+    // NOTES_r9 §7 — the driver's sf0.01 gate never sets either)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    def selected(name: String) = only.forall(_.exists(name.startsWith))
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val skip = sys.env.get("SPARK_GRAFT_VERIFY_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def selected(name: String) = only.forall(_.exists(name.startsWith)) &&
+      !skip.exists(name.startsWith)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
