@@ -846,10 +846,18 @@ object Bench {
     // persisted frames tracked for the finally: the catch-all -1 path
     // otherwise leaks cached blocks into subsequent bench sections
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    // force the DISTRIBUTED loop: this block anchors the scale path; at
-    // these sizes the engine default would take the bounded-local pass
-    // (which the headline q130 row now measures)
+    // force the DISTRIBUTED shuffle loop: these anchored rows measure the
+    // scale path's loop formulation; at these sizes the engine default
+    // would take the bounded-local pass (which the headline q130 row
+    // measures) or, from round 9, the block-relaxation regime (which the
+    // x_kcore_block_* rows below measure)
     spark.conf.set("spark.graft.coreness.localEdgeThreshold", "0")
+    spark.conf.set("spark.graft.coreness.distributed", "loop")
+    def blockRegime[T](f: => T): T = {
+      spark.conf.set("spark.graft.coreness.distributed", "block")
+      try f
+      finally spark.conf.set("spark.graft.coreness.distributed", "loop")
+    }
     try {
       // (a) the q130 fixture graph, isolated + instrumented: the anchor
       // for the headline row (which cannot log telemetry from inside the
@@ -880,8 +888,32 @@ object Bench {
         val pb = probeOnce(spark)
         val t = math.min(one(1), one(2))
         recordProbe("x_kcore_fixture", (pb, probeOnce(spark)))
+        // same fixture through the block-relaxation regime (round 9):
+        // the superstep count and per-superstep frontier land in
+        // row_stats, so the loop-vs-block comparison ships in-artifact
+        val tb = blockRegime {
+          val pbB = probeOnce(spark)
+          def oneB(i: Int): Double = {
+            var rounds = -1; var fs = Seq.empty[Long]
+            val t2 = timed {
+              val (res, r, f) = GraphOps.corenessWithStats(edges,
+                "item_a", "item_b")
+              rounds = r; fs = f
+              force(res)
+            }
+            System.err.println(f"[bench] x_kcore_block_fixture rep$i%d " +
+              f"wall=$t2%.1fs supersteps=$rounds " +
+              s"frontier=${frontierStr(fs)}")
+            recordStat("x_kcore_block_fixture", s"wall$i", t2)
+            recordStat("x_kcore_block_fixture", "supersteps", rounds.toDouble)
+            t2
+          }
+          val r = math.min(oneB(1), oneB(2))
+          recordProbe("x_kcore_block_fixture", (pbB, probeOnce(spark)))
+          r
+        }
         edges.unpersist()
-        Seq("x_kcore_fixture" -> t)
+        Seq("x_kcore_fixture" -> t, "x_kcore_block_fixture" -> tb)
       }
       // (b) growth: same synthetic graph family as x_lpa
       val grown = Seq(500000, 2000000).map { nEdges =>
@@ -913,13 +945,31 @@ object Bench {
         val pb = probeOnce(spark)
         val t = math.min(one(1), one(2))
         recordProbe(tag, (pb, probeOnce(spark)))
+        val tagB = s"x_kcore_block_${nEdges / 1000}k"
+        val tb = blockRegime {
+          def oneB(i: Int): Double = {
+            var rounds = -1; var fs = Seq.empty[Long]
+            val t2 = timed {
+              val (res, r, f) = GraphOps.corenessWithStats(edges, "u", "v")
+              rounds = r; fs = f
+              force(res)
+            }
+            System.err.println(f"[bench] $tagB%s rep$i%d wall=$t2%.1fs " +
+              s"supersteps=$rounds frontier=${frontierStr(fs)}")
+            recordStat(tagB, s"wall$i", t2)
+            recordStat(tagB, "supersteps", rounds.toDouble)
+            t2
+          }
+          math.min(oneB(1), oneB(2))
+        }
         edges.unpersist()
-        tag -> t
+        Seq(tag -> t, tagB -> tb)
       }
-      fixRow ++ grown
+      fixRow ++ grown.flatten
     } catch { case _: Throwable => Seq("x_kcore_scaled" -> -1.0)
     } finally {
       spark.conf.unset("spark.graft.coreness.localEdgeThreshold")
+      spark.conf.unset("spark.graft.coreness.distributed")
       persisted.foreach(_.unpersist())
     }
   }
@@ -1289,10 +1339,12 @@ object Bench {
           "isempty" -> "isempty").map { case (m, suffix) =>
         val name = s"q130_coreness_$suffix"
         spark.conf.set("spark.graft.coreness.convergence", m)
-        // all three rows force the DISTRIBUTED loop (the default q130 row
-        // above takes the bounded-local path at fixture scale) — the
-        // bisect compares convergence formulations, not regimes
+        // all three rows force the DISTRIBUTED shuffle loop (the default
+        // q130 row above takes the bounded-local path at fixture scale,
+        // and round 9's block regime would otherwise claim the `count`
+        // row) — the bisect compares convergence formulations, not regimes
         spark.conf.set("spark.graft.coreness.localEdgeThreshold", "0")
+        spark.conf.set("spark.graft.coreness.distributed", "loop")
         try {
           val pb = probeOnce(spark)
           val times = (1 to 2).map { _ =>
@@ -1306,6 +1358,7 @@ object Bench {
         } finally {
           spark.conf.unset("spark.graft.coreness.convergence")
           spark.conf.unset("spark.graft.coreness.localEdgeThreshold")
+          spark.conf.unset("spark.graft.coreness.distributed")
         }
       }
     val firstPass: Seq[(String, Seq[Double])] =

@@ -506,6 +506,47 @@ object GraphOps {
   private val LocalEdgeThresholdKey =
     "spark.graft.coreness.localEdgeThreshold"
 
+  /** Distributed execution regime above [[LocalEdgeThresholdKey]]
+    * (`spark.graft.coreness.distributed`):
+    *   - `block` (default): partition-local chaotic relaxation. The
+    *     adjacency is hash-partitioned by source node ONCE into CSR
+    *     blocks; each superstep broadcasts the O(n) estimate vector,
+    *     every block runs its owned nodes to a LOCAL h-index fixpoint
+    *     (live values for in-block neighbors, the broadcast for external
+    *     ones), and only the changed (node, est) pairs come back.
+    *     Asynchronous/uncoordinated h-index updates converge to exactly
+    *     coreness (Montresor, De Pellegrini, Miorandi, "Distributed
+    *     k-Core Decomposition", IEEE TPDS 2013): estimates are monotone
+    *     non-increasing and the operator's largest fixpoint is unique, so
+    *     any fair update schedule — including block-local multi-round
+    *     relaxation against stale external values — lands on the same
+    *     integers, bit for bit. Convergence is a superstep in which NO
+    *     owned node changes under the freshest broadcast. Measured on the
+    *     sf1 co-purchase graph (195k nodes / 12M directed adjacency rows):
+    *     the synchronous loop needs 38 global rounds at a ~2.6 s/round
+    *     scheduling+shuffle floor (~106 s); block relaxation converges in
+    *     a handful of supersteps whose only per-step data motion is a
+    *     ~2 MB broadcast and a shrinking change set.
+    *   - `loop`: the per-round shuffle-join fixpoint (kept for bisect
+    *     parity rows and for graphs whose NODE count exceeds
+    *     [[BlockNodeThresholdKey]], where an O(n) driver vector and
+    *     per-superstep broadcast stop being "small state").
+    * The `observe` / `isempty` convergence modes always take the loop —
+    * they exist to reproduce the r7/r8 formulations exactly. */
+  private val DistributedModeKey = "spark.graft.coreness.distributed"
+
+  /** Node-count bound for the block regime
+    * (`spark.graft.coreness.blockNodeThreshold`, default 8M): the block
+    * regime holds one (id, est) pair per node on the driver and ships it
+    * as a per-superstep broadcast (~12 bytes/node — 8M ≈ 96 MB, the same
+    * order as Spark's default broadcast comfort zone). k-core STATE is
+    * O(n) no matter how many edges the graph has, which is why a 100 TB
+    * edge set with a bounded node set still fits this regime; graphs with
+    * more nodes fall back to the shuffle loop, whose state never leaves
+    * the cluster. */
+  private val BlockNodeThresholdKey =
+    "spark.graft.coreness.blockNodeThreshold"
+
   /** [[coreness]] plus its fixpoint telemetry: `(result, rounds taken,
     * frontier size per round)` — frontier = how many nodes' estimates
     * CHANGED that round. Also records per-round walls in
@@ -549,6 +590,17 @@ object GraphOps {
       lastCorenessTelemetry =
         Some(CorenessTelemetry("local", r._2, r._3, Nil))
       return r
+    }
+    if (mode == "count" &&
+        spark.conf.get(DistributedModeKey, "block") == "block") {
+      val nodeThresh =
+        spark.conf.get(BlockNodeThresholdKey, "8000000").toLong
+      corenessBlockLocal(adj, adjCnt, nodeThresh, maxIter) match {
+        case Some(r) =>
+          unpersistMaterialized(adj)
+          return r
+        case None => // node count above the bound — shuffle loop below
+      }
     }
     // distributed loop: size the loop's exchanges to the DATA — a tiny
     // round otherwise pays a full session-partition-count task wave per
@@ -829,5 +881,188 @@ object GraphOps {
     }
     import scala.jdk.CollectionConverters._
     (result, roundsAcc.value.toInt, frontAcc.value.asScala.toSeq)
+  }
+
+  /** One hash-partition of the adjacency in CSR form for the block
+    * regime: `ownIds` are the global ids whose source rows hashed into
+    * this partition (hash-partitioned by source, and the adjacency
+    * carries both directions, so every node is owned by exactly one
+    * block). `nbrRef(j) >= 0` indexes an owned node; `nbrRef(j) < 0`
+    * encodes external-neighbor index `-(nbrRef(j) + 1)` into `extIds`. */
+  private final class CoreBlock(
+      val ownIds: Array[Long], val deg: Array[Int], val off: Array[Int],
+      val nbrRef: Array[Int], val extIds: Array[Long]) extends Serializable
+
+  private def buildCoreBlock(it: Iterator[(Long, Long)]): CoreBlock = {
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def ownId(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { idx.put(x, ids.length); ids += x; ids.length - 1 }
+    }
+    val ub = new scala.collection.mutable.ArrayBuilder.ofInt
+    val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+    while (it.hasNext) { val e = it.next(); ub += ownId(e._1); vb += e._2 }
+    val us = ub.result(); val vg = vb.result()
+    val n = ids.length; val m = us.length
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < m) { deg(us(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    // classify neighbors only AFTER the ownership set is complete
+    val nbrRef = new Array[Int](m)
+    val eIdx = new java.util.HashMap[Long, Integer]()
+    val eIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cur = off.clone()
+    i = 0
+    while (i < m) {
+      val own = idx.get(vg(i))
+      val ref =
+        if (own != null) own.intValue
+        else {
+          val got = eIdx.get(vg(i))
+          val e =
+            if (got != null) got.intValue
+            else { eIdx.put(vg(i), eIds.length); eIds += vg(i); eIds.length - 1 }
+          -(e + 1)
+        }
+      nbrRef(cur(us(i))) = ref; cur(us(i)) += 1; i += 1
+    }
+    new CoreBlock(ids.toArray, deg, off, nbrRef, eIds.toArray)
+  }
+
+  /** Run one block's owned nodes to their LOCAL h-index fixpoint against
+    * the broadcast estimate snapshot (live values for in-block neighbors,
+    * frozen broadcast values for external ones) and emit the owned nodes
+    * whose estimate dropped. The same bucket-count h-index inner loop as
+    * [[corenessLocal]]; estimates only decrease, so local rounds are
+    * bounded by the block's degree sum. */
+  private def relaxBlock(b: CoreBlock, ids: Array[Long],
+      vals: Array[Int]): Iterator[(Long, Int)] = {
+    val n = b.ownIds.length
+    if (n == 0) return Iterator.empty
+    def look(id: Long): Int =
+      vals(java.util.Arrays.binarySearch(ids, id))
+    val cur = new Array[Int](n)
+    var i = 0
+    while (i < n) { cur(i) = look(b.ownIds(i)); i += 1 }
+    val start = cur.clone()
+    val ext = new Array[Int](b.extIds.length)
+    i = 0; while (i < ext.length) { ext(i) = look(b.extIds(i)); i += 1 }
+    var maxDeg = 0
+    var degSum = 0L
+    i = 0
+    while (i < n) {
+      if (b.deg(i) > maxDeg) maxDeg = b.deg(i); degSum += b.deg(i); i += 1
+    }
+    val cnt = new Array[Int](maxDeg + 2)
+    var recompute = Array.fill(n)(true)
+    var changedRound = 1L
+    var guard = 0L
+    while (changedRound > 0) {
+      if (guard > degSum + 2)
+        throw new IllegalStateException("coreness (block): local " +
+          "relaxation exceeded its monotone-decrease bound — bug")
+      guard += 1
+      val prev = cur.clone() // synchronous local round
+      val next = new Array[Boolean](n)
+      changedRound = 0
+      var u = 0
+      while (u < n) {
+        if (recompute(u) && cur(u) > 0) {
+          val d = b.deg(u)
+          var j = b.off(u)
+          while (j < b.off(u + 1)) {
+            val r = b.nbrRef(j)
+            val ne = if (r >= 0) prev(r) else ext(-r - 1)
+            cnt(math.min(ne, d)) += 1; j += 1
+          }
+          var s = 0; var h = d
+          while (h > 0 && s + cnt(h) < h) { s += cnt(h); h -= 1 }
+          java.util.Arrays.fill(cnt, 0, d + 1, 0)
+          if (h < prev(u)) {
+            cur(u) = h; changedRound += 1
+            j = b.off(u)
+            while (j < b.off(u + 1)) {
+              val r = b.nbrRef(j); if (r >= 0) next(r) = true; j += 1
+            }
+          }
+        }
+        u += 1
+      }
+      recompute = next
+    }
+    (0 until n).iterator.filter(k => cur(k) != start(k))
+      .map(k => (b.ownIds(k), cur(k)))
+  }
+
+  /** The block-relaxation distributed regime (see [[DistributedModeKey]]):
+    * adjacency hash-partitioned ONCE into persisted CSR blocks, then
+    * supersteps of broadcast-estimates → per-block local fixpoint →
+    * collect the changed pairs (bounded by n, and shrinking). Returns
+    * None when the node count exceeds `nodeThresh` — the caller falls
+    * back to the shuffle loop whose state never concentrates. Sets
+    * [[lastCorenessTelemetry]] (mode "block", rounds = supersteps,
+    * frontier = changed nodes per superstep). */
+  private def corenessBlockLocal(adj: DataFrame, adjCnt: Long,
+      nodeThresh: Long, maxIter: Int)
+      : Option[(DataFrame, Int, Seq[Long])] = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = math.max(8L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      adjCnt / 1500000L + 1)).toInt
+    val blocks = adj.select(col("u"), col("v"))
+      .repartition(p, col("u")).as[(Long, Long)].rdd
+      .mapPartitions(it => Iterator.single(buildCoreBlock(it)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodeCnt = blocks.map(_.ownIds.length.toLong).fold(0L)(_ + _)
+      if (nodeCnt > nodeThresh) return None
+      val pairs = blocks
+        .flatMap(b => b.ownIds.iterator.zip(b.deg.iterator)).collect()
+      java.util.Arrays.sort(pairs, java.util.Comparator.comparingLong(
+        (t: (Long, Int)) => t._1))
+      val ids = pairs.map(_._1)
+      val vals = pairs.map(_._2)
+      val bcIds = sc.broadcast(ids)
+      var supersteps = 0
+      var converged = nodeCnt == 0L
+      val frontiers = Seq.newBuilder[Long]
+      val walls = Seq.newBuilder[Double]
+      if (converged) frontiers += 0L
+      while (!converged) {
+        if (supersteps >= maxIter) {
+          bcIds.destroy()
+          throw new IllegalArgumentException(
+            s"requirement failed: coreness: h-index fixpoint did not " +
+              s"converge within $maxIter rounds — raise maxIter " +
+              "(estimates are only upper bounds here)")
+        }
+        val t0 = System.nanoTime()
+        val bcVals = sc.broadcast(vals)
+        val changes = blocks
+          .flatMap(b => relaxBlock(b, bcIds.value, bcVals.value)).collect()
+        bcVals.destroy()
+        changes.foreach { case (id, e) =>
+          vals(java.util.Arrays.binarySearch(ids, id)) = e
+        }
+        frontiers += changes.length.toLong
+        converged = changes.isEmpty
+        supersteps += 1
+        walls += (System.nanoTime() - t0) / 1e9
+      }
+      bcIds.destroy()
+      val result = spark
+        .createDataset(ids.indices.map(i => (ids(i), vals(i).toLong)))
+        .toDF("n", "coreness").materialized
+      val fs = frontiers.result()
+      lastCorenessTelemetry =
+        Some(CorenessTelemetry("block", supersteps, fs, walls.result()))
+      Some((result, supersteps, fs))
+    } finally blocks.unpersist(false)
   }
 }

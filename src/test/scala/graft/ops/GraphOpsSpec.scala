@@ -356,6 +356,12 @@ class GraphOpsSpec extends SparkSpec {
     // upper bounds
     an[IllegalArgumentException] should be thrownBy
       run(k4 ++ Seq((4L, 5L), (5L, 6L)), maxIter = 1)
+    // same loud-failure contract from the block-relaxation regime (node
+    // 4's drop to 3 means superstep 0 always reports changes)
+    spark.conf.set("spark.graft.coreness.localEdgeThreshold", "0")
+    try an[IllegalArgumentException] should be thrownBy
+      run(k4 ++ Seq((4L, 5L), (5L, 6L)), maxIter = 1)
+    finally spark.conf.unset("spark.graft.coreness.localEdgeThreshold")
   }
 
   test("coreness: every execution regime (local pass, distributed full, " +
@@ -381,11 +387,30 @@ class GraphOpsSpec extends SparkSpec {
         : Map[Long, Long] =
       try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
       finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
-    // distributed, full path only (tail disabled)
+    val syncRounds = GraphOps.lastCorenessTelemetry.get.rounds
+    // block-relaxation regime (the round-9 distributed default)
+    withConf("spark.graft.coreness.localEdgeThreshold" -> "0")(run()) shouldBe
+      expected
+    GraphOps.lastCorenessTelemetry.get.mode shouldBe "block"
+    // each superstep makes at least one synchronous round of progress
+    // (round 0 of every block's local fixpoint IS the sync update), so
+    // supersteps never exceed the sync loop's rounds; this graph's path
+    // appendage is the adversarial case — the one-node-per-round wave
+    // crosses block boundaries on most hops, so the collapse is modest
+    // here (wide parallel waves collapse much harder, see the bench rows)
+    GraphOps.lastCorenessTelemetry.get.rounds should be <= syncRounds
+    // block with a node threshold of 0 must fall back to the shuffle loop
     withConf("spark.graft.coreness.localEdgeThreshold" -> "0",
+      "spark.graft.coreness.blockNodeThreshold" -> "0")(run()) shouldBe
+      expected
+    GraphOps.lastCorenessTelemetry.get.mode shouldBe "count"
+    // distributed shuffle loop, full path only (tail disabled)
+    withConf("spark.graft.coreness.localEdgeThreshold" -> "0",
+      "spark.graft.coreness.distributed" -> "loop",
       "spark.graft.coreness.tailThreshold" -> "0")(run()) shouldBe expected
-    // distributed with the broadcast tail engaged on the path rounds
+    // distributed loop with the broadcast tail engaged on the path rounds
     withConf("spark.graft.coreness.localEdgeThreshold" -> "0",
+      "spark.graft.coreness.distributed" -> "loop",
       "spark.graft.coreness.tailThreshold" -> "100000")(run()) shouldBe
       expected
     // r8 observe formulation and r7 isempty formulation (bisect modes)
