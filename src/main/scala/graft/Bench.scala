@@ -248,6 +248,10 @@ object Bench {
       r
     }
     try {
+      // headline-suite garbage (iterative graph rows run just before this
+      // block) stays "used" until a collection happens to run; pin the
+      // block's starting heap to the live set (see minOf2's per-rep note)
+      System.gc()
       var pqModel: SimilaritySearch.PqModel = null
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val scaled = base
@@ -273,6 +277,7 @@ object Bench {
       }
       var indexedP: DataFrame = null
       var cents: Array[Array[Float]] = null
+      System.gc() // single-timing row: same live-set pinning as minOf2
       val build = probed("x_ivf_build")(timed {
         val (ix, cs) = SimilaritySearch.ivfBuildKMeans(scaled, "vec_id",
           "embedding", nCells = 32, totalHint = Some(n))
@@ -500,6 +505,15 @@ object Bench {
       // a high heap floor, the mechanism is accumulated old-gen churn.
       def minOf2(tag: String)(f: => Unit): Double = {
         def one(i: Int): Double = {
+          // per-rep GC (round 10): heapStart here was GC-timing luck —
+          // bench1 vs bench_full r9 ran the IDENTICAL suite and read
+          // 3.5 GB vs 17.8-35.8 GB at these rows, and the high-heap run
+          // was the one 1.5x over anchor with flat gc/jobconst/cands
+          // (mechanism: a ballooned committed heap squeezes the page
+          // cache these 40M-candidate shuffles live in). A full GC in
+          // the untimed gap pins heapStart to the live set, so the rep
+          // measures the algorithm, not the collector's mood.
+          System.gc()
           val g0 = gcMillis(); val h0 = heapUsedMb()
           val t = timed(f)
           val gs = (gcMillis() - g0) / 1000.0
@@ -1314,7 +1328,17 @@ object Bench {
       times
     }
     recordStat("jobconst", "start_per_job", jobConstProbe(spark))
-    val wantBisect = only.forall(_.contains("x_q130_bisect"))
+    // OPT-IN since round 10 (VERDICT r9 task 2): the three forced-loop
+    // bisect rows answered their question (the r8 observe penalty was the
+    // listener-bus backlog) and cost ~90 s of every default run — worse,
+    // the ~180 s of forced-loop supersteps they insert AHEAD of the 50k
+    // dedup block leave tens of GB of uncollected round-frame garbage on
+    // the heap (bench_full r9: heapStart at the dedup block 17.8-35.8 GB
+    // vs bench1's 2.9-6.2 GB), the prime suspect for the r9 minhash /
+    // ivf_build drift in the artifact of record. `only=x_q130_bisect`
+    // re-runs them; the default suite keeps the q130 default-regime row
+    // plus the opt-in x_kcore forced-loop fixture anchor.
+    val wantBisect = only.exists(_.contains("x_q130_bisect"))
     // q130's fixpoint telemetry (rounds, per-round frontier + wall) from
     // the LAST rep of a block — the in-JSON form of the §c17 stderr lines
     def recordCoreness(tag: String): Unit =
@@ -1545,18 +1569,49 @@ object Bench {
     println(fullJson)
     // Final COMPACT line, guaranteed to sit whole inside the last 2000
     // chars of stdout even with sbt's "[success] Total time" footer after
-    // it: per-query MEDIANS at 2 decimals (the robust stat the driver
-    // grades round-over-round), no probes, no sentinel (both live on the
-    // detailed line above and in bench_full.json). ~1.7 KB at 72 rows.
-    def compactLine(dp: Int): String = {
-      val m = meds.map { case (k, v) => "\"" + k + s"""":${s"%.${dp}f".format(v)}""" }
-        .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m%s,"queries_kind":"median","detail":"bench_full.json","sf":"$sfDir%s"}"""
+    // it: per-query MEDIANS (the robust stat the driver grades
+    // round-over-round), no probes, no sentinel (both live on the
+    // detailed line above and in bench_full.json).
+    //
+    // The budget is ENFORCED since round 10: BENCH_r09 proved the old
+    // "drop a decimal" fallback insufficient — compactLine(1) at 87 rows
+    // was ~2070 chars, so the tail window chopped q01-q04 and the driver
+    // recorded parsed:null on the round's artifact of record. Now: try 2
+    // then 1 decimals (trailing zeros stripped); if still over, elide
+    // x_ extras LONGEST NAME FIRST (max chars recovered per row lost;
+    // registry q-rows are never dropped) and say how many were elided —
+    // the full map always lives in bench_full.json.
+    def fmtV(v: Double, dp: Int): String = {
+      val s = s"%.${dp}f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
     }
-    // 1900-char budget: the line + sbt's "[success] Total time" footer must
-    // both fit the 2000-char window; drop a decimal if rows ever overflow it
-    val line2 = compactLine(2)
-    println(if (line2.length <= 1900) line2 else compactLine(1))
+    def compactLine(dp: Int, rows: Seq[(String, Double)], omit: Int): String = {
+      val m = rows.map { case (k, v) => "\"" + k + "\":" + fmtV(v, dp) }
+        .mkString("{", ",", "}")
+      val om = if (omit > 0) s""","omit":$omit""" else ""
+      val sfShort = sfDir.split('/').last
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m%s,"kind":"med","detail":"bench_full.json"$om%s,"sf":"$sfShort%s"}"""
+    }
+    val budget = 1880
+    val line2 = compactLine(2, meds, 0)
+    val line1 = compactLine(1, meds, 0)
+    val out =
+      if (line2.length <= budget) line2
+      else if (line1.length <= budget) line1
+      else {
+        val byLen = meds.filter(_._1.startsWith("x_")).sortBy(-_._1.length)
+        var drop = 0
+        var l = line1
+        while (l.length > budget && drop < byLen.length) {
+          drop += 1
+          val kept = byLen.drop(drop).map(_._1).toSet
+          l = compactLine(1, meds.filter(r =>
+            !r._1.startsWith("x_") || kept(r._1)), drop)
+        }
+        l
+      }
+    println(out)
     spark.stop()
   }
 }
