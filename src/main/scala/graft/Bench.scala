@@ -824,21 +824,30 @@ object Bench {
           .filter(col("u") =!= col("v"))
           .repartition(32).persist()
         val m = edges.count()
-        def one(i: Int): Double = {
+        def one(tag: String, i: Int): Double = {
           val g0 = gcMillis()
           val t = timed(force(GraphOps.labelPropagation(
             edges, "u", "v", iters = 4)))
-          System.err.println(f"[bench] x_lpa_${nEdges / 1000}%dk rep$i%d " +
+          System.err.println(f"[bench] $tag%s rep$i%d " +
             f"edges=$m%d wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs")
           t
         }
+        // block-superstep default (round 10) + the forced shuffle loop at
+        // the same suite position: the growth claim is now measured for
+        // BOTH regimes, and the pair adjudicates the block collapse
         val tag = s"x_lpa_${nEdges / 1000}k"
         val pb = probeOnce(spark)
-        val t = math.min(one(1), one(2))
+        val t = math.min(one(tag, 1), one(tag, 2))
         recordProbe(tag, (pb, probeOnce(spark)))
+        val tagLoop = s"x_lpa_loop_${nEdges / 1000}k"
+        spark.conf.set("spark.graft.lpa.distributed", "loop")
+        val tLoop =
+          try math.min(one(tagLoop, 1), one(tagLoop, 2))
+          finally spark.conf.unset("spark.graft.lpa.distributed")
+        recordProbe(tagLoop, (probeOnce(spark), probeOnce(spark)))
         edges.unpersist()
-        tag -> t
-      }
+        Seq(tag -> t, tagLoop -> tLoop)
+      }.flatten
     } catch { case _: Throwable => Seq("x_lpa_scaled" -> -1.0) }
   }
 

@@ -223,9 +223,9 @@ object SparkEntry {
          h3r AS (SELECT s, sum(a) AS x FROM e JOIN a3 USING (p) GROUP BY s),
          h3 AS (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h3r) AS h
                 FROM h3r)
-         SELECT p AS n, 'auth' AS kind, a AS score FROM a3
+         SELECT p AS n, 'auth' AS kind, CAST(a AS FLOAT) AS score FROM a3
          UNION ALL
-         SELECT s AS n, 'hub' AS kind, h AS score FROM h3""",
+         SELECT s AS n, 'hub' AS kind, CAST(h AS FLOAT) AS score FROM h3""",
     "q138_vec_outliers" -> // identical sum/n centroid, sqrt-sum-of-squares
       // distance, and E[x^2]-E[x]^2 population z — all double; the z > 2
       // membership cut is float-wobble-safe (no fixture value near it)
@@ -1829,10 +1829,100 @@ object SparkEntry {
     // different sf the claim is probabilistic, so omit the oracle (driver
     // records a rows-only check) rather than alarm on an expected ANN miss.
     if (graft.queries.GoldenOracles.sfPinned(dir)) base
-    else base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk",
+    else (base -- Seq("q13b_embed_dedup_lsh", "q44_pq_topk",
       "q51_ivfpq_topk", "q54_batch_ivfpq", "q55_threshold_lsh",
-      "q59_sq_topk", "q87_ivfsq_topk", "q88_batch_ivfsq")
+      "q59_sq_topk", "q87_ivfsq_topk", "q88_batch_ivfsq")) ++ Map(
+      // At non-pinned dirs the three exact-Jaccard rows swap their
+      // deliberately-naive all-pairs oracle for the BANDED formulation
+      // below (VERDICT r9 task 4): at sf1 the quadratic SQL is a 1.25e9
+      // list_intersect pair scan that exceeds any sane DuckDB budget, so
+      // the rows previously had no 10x hash check at all ("engine
+      // finished, oracle timed out"). The banded oracle is LOSSLESS by
+      // the public PPJoin prefix-filter theorem (Xiao/Wang/Lin/Yu,
+      // WWW 2008) — verified row-identical to the quadratic form at
+      // sf0.01 (9,020 pairs) and sf0.1 (964,854 pairs) — and the pinned
+      // sf0.01 gate keeps the independent quadratic form.
+      "q15_jaccard_pairs" -> bandedJaccardPairsSql,
+      "q20b_minhash_exact" -> bandedJaccardPairsSql,
+      "q34_dedup_pipeline" -> bandedDedupPipelineSql)
   }
+
+  /** Banded exact-Jaccard pair oracle (threshold 0.9): the PPJoin prefix
+    * filter re-authored in DuckDB SQL — global (df, token) order, per-doc
+    * prefix of `sz - ceil(0.9*sz) + 1` rarest tokens, size-band + position
+    * filters, then EXACT verify with list_intersect. Candidate generation
+    * is subquadratic; the survivor set equals the all-pairs answer by the
+    * prefix-filter theorem (the pair's globally-smallest common token lies
+    * in both prefixes). Same emit columns/types as the quadratic oracle. */
+  private val bandedJaccardPairsSql: String =
+    """WITH tok AS (SELECT doc_id,
+           list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'),
+             x -> len(x) > 0))) AS w FROM documents),
+       sh AS (SELECT doc_id, w, len(w) AS sz FROM tok WHERE len(w) > 0),
+       post AS (SELECT doc_id, sz, unnest(w) AS tk FROM sh),
+       dfreq AS (SELECT tk, count(*) AS dcount FROM post GROUP BY tk),
+       pref AS (SELECT doc_id, sz, tk, rk FROM (
+           SELECT p.doc_id, p.sz, p.tk,
+             row_number() OVER (PARTITION BY p.doc_id
+               ORDER BY d.dcount, p.tk) AS rk
+           FROM post p JOIN dfreq d USING (tk))
+         WHERE rk <= sz - CAST(ceil(0.9 * sz) AS BIGINT) + 1),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pref a JOIN pref b
+           ON a.tk = b.tk AND a.doc_id < b.doc_id
+          AND b.sz >= CAST(ceil(0.9 * a.sz) AS BIGINT)
+          AND a.sz >= CAST(ceil(0.9 * b.sz) AS BIGINT)
+          AND 1 + least(a.sz - a.rk, b.sz - b.rk) >=
+              CAST(ceil(0.9 / 1.9 * (a.sz + b.sz)) AS BIGINT))
+       SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) /
+           len(list_distinct(list_concat(x.w, y.w))) AS jaccard
+       FROM cand c JOIN sh x ON c.id_a = x.doc_id
+                   JOIN sh y ON c.id_b = y.doc_id
+       WHERE CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) /
+           len(list_distinct(list_concat(x.w, y.w))) >= 0.9"""
+
+  /** q34 at non-pinned dirs: the same recursive-CTE min-label components +
+    * survivor count as the pinned oracle, but fed by the banded pair CTE
+    * above instead of the all-pairs scan. */
+  private val bandedDedupPipelineSql: String =
+    """WITH RECURSIVE
+       tok AS (SELECT doc_id,
+           list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'),
+             x -> len(x) > 0))) AS w FROM documents),
+       sh AS (SELECT doc_id, w, len(w) AS sz FROM tok WHERE len(w) > 0),
+       post AS (SELECT doc_id, sz, unnest(w) AS tk FROM sh),
+       dfreq AS (SELECT tk, count(*) AS dcount FROM post GROUP BY tk),
+       pref AS (SELECT doc_id, sz, tk, rk FROM (
+           SELECT p.doc_id, p.sz, p.tk,
+             row_number() OVER (PARTITION BY p.doc_id
+               ORDER BY d.dcount, p.tk) AS rk
+           FROM post p JOIN dfreq d USING (tk))
+         WHERE rk <= sz - CAST(ceil(0.9 * sz) AS BIGINT) + 1),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pref a JOIN pref b
+           ON a.tk = b.tk AND a.doc_id < b.doc_id
+          AND b.sz >= CAST(ceil(0.9 * a.sz) AS BIGINT)
+          AND a.sz >= CAST(ceil(0.9 * b.sz) AS BIGINT)
+          AND 1 + least(a.sz - a.rk, b.sz - b.rk) >=
+              CAST(ceil(0.9 / 1.9 * (a.sz + b.sz)) AS BIGINT)),
+       pairs AS (SELECT c.id_a, c.id_b
+         FROM cand c JOIN sh x ON c.id_a = x.doc_id
+                     JOIN sh y ON c.id_b = y.doc_id
+         WHERE CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) /
+             len(list_distinct(list_concat(x.w, y.w))) >= 0.9),
+       edges AS (SELECT id_a, id_b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       cc(id, label) AS (
+         SELECT DISTINCT id_a, id_a FROM edges
+         UNION
+         SELECT e.id_a, cc.label FROM edges e JOIN cc ON cc.id = e.id_b),
+       victims AS (
+         SELECT id FROM (SELECT id, min(label) AS label FROM cc GROUP BY id)
+         WHERE label <> id)
+       SELECT CAST(count(*) AS BIGINT) AS survivors,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)"""
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /
     * embedder math has no DuckDB twin. Emitted only for the sf0.01 fixture

@@ -353,12 +353,36 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    val spark = edges.sparkSession
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") < col("v")).distinct()
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .materialized
+    // block-superstep regime (round 10, the q130 template ported per
+    // VERDICT r9 task 5): label state is O(n) exactly like coreness, so a
+    // synchronous round is ONE tiny job (broadcast the label snapshot →
+    // per-block recompute → collect the changed pairs) instead of ~5
+    // shuffle stages. The per-node decision is recomputed IDENTICALLY
+    // (max neighbor-label count, min label tie-break, labels read from
+    // the previous round's snapshot), so the result is bit-identical to
+    // the shuffle loop — spec-asserted. `spark.graft.lpa.distributed`
+    // (block|loop, default block); node guard
+    // `spark.graft.lpa.blockNodeThreshold` (default 8M — the broadcast /
+    // collect smallness argument, checked BEFORE any collect) falls back
+    // to the loop below, whose state never concentrates.
+    if (spark.conf.get("spark.graft.lpa.distributed", "block") == "block") {
+      val nodeThresh =
+        spark.conf.get("spark.graft.lpa.blockNodeThreshold", "8000000").toLong
+      val adjCnt = adj.count() // cheap: blocks are local after materialize
+      lpaBlock(adj, adjCnt, iters, nodeThresh) match {
+        case Some(r) =>
+          org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(adj)
+          return r
+        case None => // node count above the bound — shuffle loop below
+      }
+    }
     var labels = adj.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lab")).materialized
     var round = 0
@@ -394,8 +418,27 @@ object GraphOps {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("p"))
       .distinct().materialized
+    // block-superstep regime (round 10, VERDICT r9 task 5): hub/auth
+    // state is two O(n) double vectors, so each half-step is one tiny
+    // complete-sum job instead of ~3 shuffle stages (see [[hitsBlock]]).
+    // `spark.graft.hits.distributed` (block|loop, default block); the
+    // endpoint guard `spark.graft.hits.blockNodeThreshold` (default 4M
+    // total distinct endpoints — every round collects full vectors, so
+    // the guard is tighter than coreness's changes-only 8M) falls back
+    // to the shuffle loop below.
+    if (spark.conf.get("spark.graft.hits.distributed", "block") == "block") {
+      val nodeThresh =
+        spark.conf.get("spark.graft.hits.blockNodeThreshold", "4000000").toLong
+      hitsBlock(e, iters, nodeThresh) match {
+        case Some(r) =>
+          org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(e)
+          return r
+        case None => // above the bound (or empty) — shuffle loop below
+      }
+    }
     var hub = e.select(col("s")).distinct()
       .withColumn("h", lit(1.0)).materialized
     var auth = e.select(col("p")).distinct()
@@ -1064,5 +1107,225 @@ object GraphOps {
         Some(CorenessTelemetry("block", supersteps, fs, walls.result()))
       Some((result, supersteps, fs))
     } finally blocks.unpersist(false)
+  }
+
+  /** One synchronous LPA round over a block's owned nodes against the
+    * broadcast label snapshot: for each owned node, the most frequent
+    * neighbor label with the MIN label as tie-break — the exact decision
+    * the shuffle loop's `min(struct(-count, lab))` makes, evaluated on
+    * identical inputs (every neighbor label, own-block or external, is
+    * read from the previous round's snapshot), so the regimes agree
+    * bit for bit. Emits only the owned nodes whose label changed. */
+  private def lpaRound(b: CoreBlock, ids: Array[Long],
+      lab: Array[Long]): Iterator[(Long, Long)] = {
+    val n = b.ownIds.length
+    if (n == 0) return Iterator.empty
+    def look(id: Long): Long =
+      lab(java.util.Arrays.binarySearch(ids, id))
+    val ext = new Array[Long](b.extIds.length)
+    var i = 0
+    while (i < ext.length) { ext(i) = look(b.extIds(i)); i += 1 }
+    val own = new Array[Long](n)
+    i = 0
+    while (i < n) { own(i) = look(b.ownIds(i)); i += 1 }
+    var maxDeg = 0
+    i = 0
+    while (i < n) { if (b.deg(i) > maxDeg) maxDeg = b.deg(i); i += 1 }
+    val scratch = new Array[Long](maxDeg)
+    val out = Seq.newBuilder[(Long, Long)]
+    var u = 0
+    while (u < n) {
+      val d = b.deg(u)
+      var j = b.off(u)
+      var k = 0
+      while (j < b.off(u + 1)) {
+        val r = b.nbrRef(j)
+        scratch(k) = if (r >= 0) own(r) else ext(-r - 1)
+        j += 1; k += 1
+      }
+      java.util.Arrays.sort(scratch, 0, d)
+      // longest run wins; ties go to the smaller label, which sorts first
+      var best = scratch(0); var bestC = 0
+      var curV = scratch(0); var curC = 0
+      k = 0
+      while (k < d) {
+        if (scratch(k) == curV) curC += 1
+        else { if (curC > bestC) { best = curV; bestC = curC }
+          curV = scratch(k); curC = 1 }
+        k += 1
+      }
+      if (curC > bestC) { best = curV; bestC = curC }
+      if (best != own(u)) out += ((b.ownIds(u), best))
+      u += 1
+    }
+    out.result().iterator
+  }
+
+  /** LPA block-superstep regime (the [[corenessBlockLocal]] shape minus
+    * the local fixpoint — LPA is a FIXED-ITERATION synchronous algorithm,
+    * so each superstep runs exactly one round): adjacency hash-partitioned
+    * once into persisted CSR blocks, then `iters` supersteps of broadcast
+    * O(n) labels → per-block synchronous round → collect changed pairs.
+    * Returns None above `nodeThresh` (checked before any collect). */
+  private def lpaBlock(adj: DataFrame, adjCnt: Long, iters: Int,
+      nodeThresh: Long): Option[DataFrame] = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = math.max(8L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      adjCnt / 1500000L + 1)).toInt
+    val blocks = adj.select(col("u"), col("v"))
+      .repartition(p, col("u")).as[(Long, Long)].rdd
+      .mapPartitions(it => Iterator.single(buildCoreBlock(it)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodeCnt = blocks.map(_.ownIds.length.toLong).fold(0L)(_ + _)
+      if (nodeCnt > nodeThresh) return None
+      val ids = blocks.flatMap(_.ownIds.iterator).collect()
+      java.util.Arrays.sort(ids)
+      val lab = ids.clone() // initial label = self
+      val bcIds = sc.broadcast(ids)
+      var round = 0
+      while (round < iters) {
+        val bcLab = sc.broadcast(lab)
+        val changes = blocks
+          .flatMap(b => lpaRound(b, bcIds.value, bcLab.value)).collect()
+        bcLab.destroy()
+        changes.foreach { case (id, l) =>
+          lab(java.util.Arrays.binarySearch(ids, id)) = l
+        }
+        round += 1
+      }
+      bcIds.destroy()
+      Some(spark.createDataset(ids.indices.map(i => (ids(i), lab(i))))
+        .toDF("n", "label").materialized)
+    } finally blocks.unpersist(false)
+  }
+
+  /** One side's CSR for the HITS block regime: `ownIdx(i)` indexes this
+    * block's i-th owned node in the global sorted own-side id array;
+    * `nbr(j)` indexes the opposite side's global sorted id array. Edges
+    * are hash-partitioned by the own-side endpoint, so each node's sums
+    * are COMPLETE within its one owning block — no cross-block partial
+    * aggregation. Neighbor lists are sorted at build time so per-node
+    * fold order is deterministic. */
+  private final class HitsBlock(val ownIdx: Array[Int],
+      val off: Array[Int], val nbr: Array[Int]) extends Serializable
+
+  private def buildHitsBlock(it: Iterator[(Long, Long)],
+      ownIds: Array[Long], nbrIds: Array[Long]): HitsBlock = {
+    val idx = new java.util.HashMap[Integer, Integer]()
+    val owns = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ub = new scala.collection.mutable.ArrayBuilder.ofInt
+    val vb = new scala.collection.mutable.ArrayBuilder.ofInt
+    while (it.hasNext) {
+      val e = it.next()
+      val og = java.util.Arrays.binarySearch(ownIds, e._1)
+      val got = idx.get(og)
+      val o =
+        if (got != null) got.intValue
+        else { idx.put(og, owns.length); owns += og; owns.length - 1 }
+      ub += o
+      vb += java.util.Arrays.binarySearch(nbrIds, e._2)
+    }
+    val us = ub.result(); val vs = vb.result()
+    val n = owns.length
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < us.length) { deg(us(i)) += 1; i += 1 }
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](us.length)
+    val cur = off.clone()
+    i = 0
+    while (i < us.length) { nbr(cur(us(i))) = vs(i); cur(us(i)) += 1; i += 1 }
+    i = 0
+    while (i < n) { java.util.Arrays.sort(nbr, off(i), off(i + 1)); i += 1 }
+    new HitsBlock(owns.toArray, off, nbr)
+  }
+
+  /** HITS block-superstep regime: the directed edge set is CSR-blocked
+    * TWICE — once keyed by source (hub updates) and once by target
+    * (authority updates) — so each half-step is one tiny job: broadcast
+    * the opposite side's O(n) score vector, per-block complete sums for
+    * the owned nodes, collect, L2-normalize on the driver in fixed array
+    * order. 2 jobs per iteration instead of ~6 shuffle stages. Scores are
+    * double sums whose fold order differs from the shuffle loop's only in
+    * association (per-node neighbor order is sorted, driver norm is
+    * array-ordered) — agreement is within float-ulp, spec-asserted at
+    * 1e-12 relative. Returns None above `nodeThresh` total distinct
+    * endpoints (guard checked before any collect). */
+  private def hitsBlock(e: DataFrame, iters: Int,
+      nodeThresh: Long): Option[DataFrame] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val cnts = e.agg(countDistinct(col("s")).as("ns"),
+      countDistinct(col("p")).as("np"), count(lit(1)).as("m")).head()
+    val (ns, np, m) = (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2))
+    if (ns == 0 || ns + np > nodeThresh) return None
+    val sIds = e.select(col("s")).distinct().as[Long].collect()
+    val pIds = e.select(col("p")).distinct().as[Long].collect()
+    java.util.Arrays.sort(sIds)
+    java.util.Arrays.sort(pIds)
+    val bcS = sc.broadcast(sIds)
+    val bcP = sc.broadcast(pIds)
+    val part = math.max(8L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      m / 1500000L + 1)).toInt
+    val hubBlocks = e.repartition(part, col("s")).as[(Long, Long)].rdd
+      .mapPartitions(it =>
+        Iterator.single(buildHitsBlock(it, bcS.value, bcP.value)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val authBlocks = e.select(col("p"), col("s"))
+      .repartition(part, col("p")).as[(Long, Long)].rdd
+      .mapPartitions(it =>
+        Iterator.single(buildHitsBlock(it, bcP.value, bcS.value)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      hubBlocks.count(); authBlocks.count() // materialize before the loop
+      val hub = Array.fill(sIds.length)(1.0)
+      val auth = new Array[Double](pIds.length)
+      def halfStep(blocks: org.apache.spark.rdd.RDD[HitsBlock],
+          in: Array[Double], out: Array[Double]): Unit = {
+        val bcIn = sc.broadcast(in)
+        val sums = blocks.flatMap { b =>
+          val v = bcIn.value
+          b.ownIdx.indices.iterator.map { i =>
+            var s = 0.0
+            var j = b.off(i)
+            while (j < b.off(i + 1)) { s += v(b.nbr(j)); j += 1 }
+            (b.ownIdx(i), s)
+          }
+        }.collect()
+        bcIn.destroy()
+        java.util.Arrays.fill(out, 0.0)
+        sums.foreach { case (i, s) => out(i) = s }
+        var nrm = 0.0
+        var i = 0
+        while (i < out.length) { nrm += out(i) * out(i); i += 1 }
+        nrm = math.sqrt(nrm)
+        i = 0
+        while (i < out.length) { out(i) /= nrm; i += 1 }
+      }
+      var round = 0
+      while (round < iters) {
+        halfStep(authBlocks, hub, auth)
+        halfStep(hubBlocks, auth, hub)
+        round += 1
+      }
+      bcS.destroy(); bcP.destroy()
+      val authDf = spark.createDataset(
+          pIds.indices.map(i => (pIds(i), auth(i))))
+        .toDF("n", "score").select(col("n"), lit("auth").as("kind"),
+          col("score"))
+      val hubDf = spark.createDataset(
+          sIds.indices.map(i => (sIds(i), hub(i))))
+        .toDF("n", "score").select(col("n"), lit("hub").as("kind"),
+          col("score"))
+      Some(authDf.unionByName(hubDf).select(col("n"), col("kind"),
+        col("score")).materialized)
+    } finally { hubBlocks.unpersist(false); authBlocks.unpersist(false) }
   }
 }

@@ -29,8 +29,26 @@ import org.apache.spark.sql.functions._
   * `tf * ln((N+1)/(df+1))` in double; dot and norms accumulate in double;
   * the emitted cosine is float-cast and RANKED as float with the neighbor
   * id as tie-break — the q41 rule, absorbing both libm last-ulp `ln`
-  * differences and summation fold order. */
+  * differences and summation fold order.
+  *
+  * PRECONDITION (the operator's scale contract): the posting-list join is
+  * subquadratic if and only if the surviving vocabulary is DISCRIMINATIVE
+  * — candidate mass is Σ df², so it needs Σ df² ≪ N². On a degenerate
+  * corpus this fails on ANY engine regardless of formulation: the synthetic
+  * `documents` fixture has 31 distinct lowercase tokens with df up to
+  * 0.78·N, so Σ df² ≈ 0.45·N² and no df-fraction band below ~0.8 leaves
+  * any posting at all — the join IS the all-pairs scan, which is why the
+  * sf1 scale gate documents q113 as skipped rather than "slow". The
+  * operator measures Σ df² up front (one tiny agg over the already-
+  * materialized term counts) and logs a warning naming this contract when
+  * the mass exceeds `0.1·N²`; real corpora (Zipf vocabularies, where the
+  * df band removes the head) sit orders of magnitude below the line. */
 object SparseSimilarity {
+
+  /** Last measured posting candidate mass (Σ df² over surviving terms) and
+    * the N² it is compared against — exposed for specs and ops triage of
+    * the degenerate-vocabulary warning above. */
+  @volatile var lastCandidateMass: Option[(Double, Double)] = None
 
   /** Top-`k` cosine neighbors per document over smoothed-idf TF-IDF
     * weights. Output: (<idCol>, nbr_id, cos FLOAT, rnk LONG), one row per
@@ -62,6 +80,25 @@ object SparseSimilarity {
         (col("__tf").cast("double") *
           log((col("__n") + 1.0) / (col("__df").cast("double") + 1.0)))
           .as("__w")))
+    // degenerate-vocabulary guard (see the object scaladoc): Σ df² over
+    // the SURVIVING terms vs N² — one small agg over the tiny dfreq frame
+    // (tf is materialized, so this re-derives nothing expensive)
+    locally {
+      val row = weighted.groupBy(col("__term")).agg(count(lit(1)).as("d"))
+        .agg(sum(col("d") * col("d")).cast("double").as("mass"))
+        .crossJoin(broadcast(stats)).head()
+      val (mass, n) = (Option(row.get(0)).fold(0.0)(_ => row.getDouble(0)),
+        row.getDouble(1))
+      lastCandidateMass = Some((mass, n * n))
+      if (mass > 0.1 * n * n)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"tfidfNeighbors: candidate mass " +
+          f"sum(df^2)=$mass%.3g is ${mass / (n * n)}%.2f of N^2 " +
+          f"(N=$n%.0f) — the surviving vocabulary is not discriminative " +
+          "and the posting join degenerates to ~all-pairs on any engine; " +
+          "lower maxDfFraction or accept quadratic cost (see " +
+          "SparseSimilarity scaladoc contract)")
+    }
     val norms = weighted.groupBy(col("__id"))
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
     val a = weighted.select(col("__term"), col("__id").as("id_a"),

@@ -1838,12 +1838,16 @@ object GraftQueries {
     * broad-catalog suppliers, authorities the widely-supplied parts (the
     * site→document link-quality signal on a crawl graph). Oracle: the
     * same 3 iterations unrolled as chained CTEs with identical
-    * sum-then-L2-normalize arithmetic; scores are scale-free doubles
-    * compared under the float-tolerant diff (the q94 discipline). */
+    * sum-then-L2-normalize arithmetic; scores float-cast on BOTH sides
+    * (the q41/q94 rule — since round 10 the block-superstep regime sums
+    * per-node in sorted-neighbor order, so double fold order is no longer
+    * accidentally shared with the oracle's, and the float cast absorbs
+    * the ulp-scale association difference deterministically). */
   def q137Hits(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_partkey"))
     GraphOps.hits(li, "l_suppkey", "l_partkey", iters = 3)
+      .select(col("n"), col("kind"), col("score").cast("float").as("score"))
   }
 
   /** Embedding outlier audit ([[graft.ops.Classify.centroidOutliers]]):

@@ -527,4 +527,47 @@ class GraphOpsSpec extends SparkSpec {
     runLpa(noisy, 3) shouldBe lpaMirror(randomEdges, 3)
     an[IllegalArgumentException] should be thrownBy runLpa(randomEdges, 0)
   }
+
+  private def withConf[A](kvs: (String, String)*)(f: => A): A =
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+
+  test("labelPropagation: block-superstep and shuffle-loop regimes agree " +
+      "bit for bit; a zero node threshold falls back to the loop") {
+    // the mirror tests above already pin the DEFAULT (block) regime to
+    // the synchronous semantics; this pins regime EQUALITY and the
+    // guard's fallback path (the q130 cross-regime discipline)
+    (1 to 4).foreach { k =>
+      val block = runLpa(randomEdges, k)
+      withConf("spark.graft.lpa.distributed" -> "loop")(
+        runLpa(randomEdges, k)) shouldBe block
+      // node guard 0: block regime must decline and the loop must run —
+      // same answer through the fallback path
+      withConf("spark.graft.lpa.blockNodeThreshold" -> "0")(
+        runLpa(randomEdges, k)) shouldBe block
+    }
+  }
+
+  test("hits: block-superstep and shuffle-loop regimes agree within " +
+      "float ulp; a zero node threshold falls back to the loop") {
+    val rnd = new scala.util.Random(37)
+    val edges = (for {
+      s <- 0L until 25L
+      p <- 100L until 150L
+      if rnd.nextDouble() < 0.15
+    } yield (s, p)).distinct
+    val (hubB, authB) = runHits(edges, 3)
+    val (hubL, authL) =
+      withConf("spark.graft.hits.distributed" -> "loop")(runHits(edges, 3))
+    hubB.keySet shouldBe hubL.keySet
+    authB.keySet shouldBe authL.keySet
+    // double sums in different association orders: agreement is relative
+    // ulp-scale, far inside the oracle's 1e-9 compare tolerance
+    hubB.foreach { case (n, v) => v shouldBe hubL(n) +- 1e-12 }
+    authB.foreach { case (n, v) => v shouldBe authL(n) +- 1e-12 }
+    val (hubF, authF) =
+      withConf("spark.graft.hits.blockNodeThreshold" -> "0")(runHits(edges, 3))
+    hubF.foreach { case (n, v) => v shouldBe hubL(n) +- 1e-15 }
+    authF.foreach { case (n, v) => v shouldBe authL(n) +- 1e-15 }
+  }
 }

@@ -1,22 +1,33 @@
 #!/usr/bin/env python3
 """Per-query wrapper around check_oracle.py: runs each oracle entry in its
 own subprocess under a wall-clock timeout, so one DuckDB-side quadratic
-oracle (a 600k-doc all-pairs SQL at sf1) cannot stall the whole gate.
-Results stream to stdout as they complete. Usage:
-    python3 tools/check_oracle_each.py <sfDir> <verifyOutDir> [timeoutSec]
-A TIMEOUT row means the ORACLE side exceeded the budget — the Spark result
-exists; the row is adjudicated separately (see NOTES_r9 section 7).
+oracle cannot stall the whole gate. Results stream to stdout as they
+complete, and (since round 10) the whole tally is emitted as a JSON
+artifact so scale-gate claims are machine-checkable from the repo alone
+(VERDICT r9 task 3). Usage:
+    python3 tools/check_oracle_each.py <sfDir> <verifyOutDir> [timeoutSec] [jsonOut]
+Row statuses in the JSON artifact:
+  pass          rows+schema+values matched (the note-only "close but not
+                bit-exact" case still counts as pass, mirroring the driver)
+  fail          compared and mismatched (or oracle SQL errored)
+  oracle_timeout  the ORACLE side exceeded the budget — the Spark result
+                exists; the row is adjudicated separately (NOTES_r9 §7)
+  no_spark_output  Verify skipped or failed the query (SPARK_GRAFT_VERIFY_SKIP
+                rows land here; the skip reason lives in the gate notes)
 """
 import json, os, subprocess, sys, tempfile, time
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 budget = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+json_out = sys.argv[4] if len(sys.argv) > 4 else None
 tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 passed, failed, timed_out = [], [], []
+rows = {}
 for name in sorted(oracle):
     if not os.path.isdir(f"{outdir}/{name}"):
         print(f"SKIP {name}: no spark output dir", flush=True)
+        rows[name] = {"status": "no_spark_output", "secs": 0.0, "note": ""}
         continue
     with tempfile.TemporaryDirectory() as td:
         json.dump({name: oracle[name]}, open(f"{td}/oracle_sql.json", "w"))
@@ -32,11 +43,27 @@ for name in sorted(oracle):
                 not any(l.startswith("FAIL") for l in out)
             (passed if ok else failed).append(name)
             tag = "ok  " if ok else "FAIL"
-            print(f"{tag} {name} ({time.time()-t0:.1f}s) "
+            secs = time.time() - t0
+            print(f"{tag} {name} ({secs:.1f}s) "
                   f"{'; '.join(verdict)}", flush=True)
+            rows[name] = {"status": "pass" if ok else "fail",
+                          "secs": round(secs, 1),
+                          "note": "; ".join(verdict)[:400]}
         except subprocess.TimeoutExpired:
             timed_out.append(name)
             print(f"TIMEOUT {name} (oracle side exceeded {budget}s)", flush=True)
+            rows[name] = {"status": "oracle_timeout", "secs": float(budget),
+                          "note": f"oracle side exceeded {budget}s"}
 print(f"\npass={len(passed)} fail={len(failed)} timeout={len(timed_out)}")
 print(f"fails: {failed}")
 print(f"timeouts: {timed_out}")
+if json_out:
+    art = {"sf_dir": sfdir, "verify_dir": outdir, "budget_sec": budget,
+           "pass": len(passed), "fail": len(failed),
+           "oracle_timeout": len(timed_out),
+           "no_spark_output": sum(1 for r in rows.values()
+                                  if r["status"] == "no_spark_output"),
+           "queries": rows}
+    with open(json_out, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
