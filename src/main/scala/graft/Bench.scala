@@ -278,12 +278,26 @@ object Bench {
       var indexedP: DataFrame = null
       var cents: Array[Array[Float]] = null
       System.gc() // single-timing row: same live-set pinning as minOf2
-      val build = probed("x_ivf_build")(timed {
-        val (ix, cs) = SimilaritySearch.ivfBuildKMeans(scaled, "vec_id",
-          "embedding", nCells = 32, totalHint = Some(n))
-        indexedP = ix.persist(); cents = cs
-        indexedP.count()
-      })
+      // minOf2 since round 10: this was the suite's only single-timing
+      // heavyweight, so it never got the warm-rep discipline every other
+      // anchored heavyweight row has — and its readings scattered
+      // 1.2/1.5/1.6/1.8 across r9/r10 runs with in-band probes while the
+      // minOf2 rows above sat stable. Both walls go to row_stats; the
+      // first build's index frame is dropped so rep2 does identical work.
+      val build = probed("x_ivf_build") {
+        val walls = (1 to 2).map { i =>
+          if (indexedP != null) indexedP.unpersist()
+          val t = timed {
+            val (ix, cs) = SimilaritySearch.ivfBuildKMeans(scaled, "vec_id",
+              "embedding", nCells = 32, totalHint = Some(n))
+            indexedP = ix.persist(); cents = cs
+            indexedP.count()
+          }
+          recordStat("x_ivf_build", s"wall$i", t)
+          t
+        }
+        walls.min
+      }
 
       val probe = probed("x_ivf_probe")((1 to reps).map(_ => timed {
         force(SimilaritySearch.ivfSearch(indexedP, cents, "vec_id", "embedding",
