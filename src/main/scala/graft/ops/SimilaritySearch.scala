@@ -809,4 +809,47 @@ object SimilaritySearch {
       .orderBy(desc("score"), col(docCol))
       .limit(k)
   }
+
+  /** An IVF operating point derived from corpus size — cell count,
+    * probe count and exact-rescore depths as FUNCTIONS of `n` rather
+    * than constants. */
+  case class IvfOperatingPoint(nCells: Int, nProbe: Int,
+      pqRefine: Int, sqRefine: Int)
+
+  /** The data-derived default operating point for an `n`-row corpus.
+    *
+    * Fixed constants do not survive scale-up: RECALL_sf1 measured the
+    * 32-cell / refine-16 sf0.1 defaults collapsing to ~0.25 recall on a
+    * 2M-vector corpus, while this derived point restores the >= 0.9
+    * floor. The rule (standard public IVF sizing guidance — e.g. the
+    * FAISS index guidelines, which recommend `nlist` on the order of
+    * `sqrt(N)` with `nprobe` chosen as a fraction of `nlist` for the
+    * recall/cost trade):
+    *
+    *   - `nCells = 2^floor(log2(sqrt(n)))`, clamped to [16, 65536]:
+    *     cells of ~sqrt(n) rows balance the two scan costs a probe
+    *     pays (centroid argmax over nCells + member scan over
+    *     n/nCells per cell).
+    *   - `nProbe = max(4, nCells/8)`: a constant ~12.5% probe
+    *     fraction, the fraction the sf0.1 recall floor was recorded
+    *     at (4 of 32) — recall transfers across scales when the
+    *     probed MASS fraction is held, not the probe count.
+    *   - `pqRefine = 16`, `sqRefine = 2`: exact-rescore depths are a
+    *     property of quantizer resolution vs within-cluster gap, not
+    *     of n — they hold wherever neighbor gaps exceed 8-bit code
+    *     resolution. Where the corpus is duplicate-dense they must
+    *     instead scale with duplicate mass: `k*refine >= ~1.2x the
+    *     near-duplicate cluster size`, or the compressed candidate
+    *     stage ranks indistinguishable codes ~randomly (measured in
+    *     RECALL_sf1's replicated-density envelope; the honest
+    *     alternative at that density is the dedup family, not ranked
+    *     retrieval).
+    */
+  def operatingPoint(n: Long): IvfOperatingPoint = {
+    require(n > 0, "operatingPoint: empty corpus")
+    val root = math.sqrt(n.toDouble)
+    val cells = math.min(65536,
+      math.max(16, Integer.highestOneBit(root.toInt.max(1))))
+    IvfOperatingPoint(cells, math.max(4, cells / 8), 16, 2)
+  }
 }
