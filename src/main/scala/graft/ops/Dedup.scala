@@ -610,6 +610,15 @@ object Dedup {
     *
     * The loop stops early on convergence and warns if `maxIter` was hit
     * first (in which case some clusters keep >1 representative).
+    *
+    * Under the DEFAULT block regime (`spark.graft.cc.distributed=block`,
+    * long ids) the `"stars"` path first runs a two-level union-find —
+    * one map-only per-partition pass emitting spanning-forest
+    * certificates, then a guarded single-task merge
+    * (`spark.graft.cc.blockEdgeThreshold`, default 8M certificate
+    * edges); above the threshold the stars loop continues on the
+    * reduced certificate. Identical survivors either way
+    * (spec-asserted) — the regime only changes the job count.
     * Returns `df` minus non-representative rows. */
   def dropDuplicates(df: DataFrame, pk: String, pairs: DataFrame,
       maxIter: Int = 20, algorithm: String = "stars"): DataFrame = {
@@ -788,6 +797,40 @@ object Dedup {
       .select(col(idCol), col("rep"), col("cluster_size"))
   }
 
+  /** Per-partition union-find: folds this partition's edges into a
+    * parent forest (union-by-min + path halving) and emits the
+    * partition's component map `(node, local-component-min)` for every
+    * non-min node — a spanning-forest connectivity certificate of AT
+    * MOST `nodes_in_partition - components_in_partition` rows. Exact on
+    * whatever subgraph the partition holds; composing certificates
+    * preserves global components. */
+  private def localUnionFind(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp) // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a); val rb = find(b)
+      // union-by-min: the surviving root is always the smaller id, so a
+      // component's root IS its minimum — no canonicalization pass needed
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    val ks = parent.keys.toArray // snapshot: find() mutates the map
+    ks.iterator.map(k => (k, find(k))).filter { case (k, r) => k != r }
+  }
+
   private def ccFixpoint(pairs: DataFrame,
       maxIter: Int): (DataFrame, Int) = {
     val spark = pairs.sparkSession
@@ -799,6 +842,41 @@ object Dedup {
       .materialized
     var curCnt = cur.count()
     var i = 0
+    // block regime (default): one map-only local-union-find pass turns
+    // each edge partition into its spanning-forest certificate (<= its
+    // distinct-node count, usually a large shrink on near-dup graphs
+    // whose components are partition-local cliques), then — when the
+    // combined certificate fits one task's heap — a single-partition
+    // union-find finishes the job: TWO map passes + one tiny shuffle
+    // instead of O(log n) rounds x (2 min-aggs + joins + distinct).
+    // Same two-level shape as the coreness/LPA/HITS block supersteps:
+    // per-block sequential work, O(result) exchange. Above the
+    // threshold the stars loop CONTINUES on the reduced certificate
+    // (strictly fewer edges, identical components), so the regime is
+    // never a correctness trade: both paths emit the identical
+    // (member, component-min) map, spec-asserted. Long ids only — other
+    // id types take the stars loop unchanged.
+    if (curCnt > 0 &&
+        spark.conf.get("spark.graft.cc.distributed", "block") == "block" &&
+        cur.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType)) {
+      val forests = cur.as[(Long, Long)].mapPartitions(localUnionFind)
+        .toDF("u", "v").materialized
+      val fCnt = forests.count()
+      org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(cur)
+      val thresh = spark.conf
+        .get("spark.graft.cc.blockEdgeThreshold", "8000000").toLong
+      if (fCnt <= thresh) {
+        val fin = forests.as[(Long, Long)].repartition(1)
+          .mapPartitions(localUnionFind).toDF("u", "v").materialized
+        fin.count()
+        org.apache.spark.sql.GraftSqlBridge.unpersistMaterialized(forests)
+        return (fin, 2)
+      }
+      cur = forests
+      curCnt = fCnt
+      i = 1
+    }
     var converged = curCnt == 0
     while (i < maxIter && !converged) {
       // large-star: bidirectional neighborhoods, m(x) = min(x, min N(x));

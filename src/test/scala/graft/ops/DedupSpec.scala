@@ -357,7 +357,12 @@ class DedupSpec extends SparkSpec {
     val ids = rnd.shuffle((0L until n.toLong).toVector)
     val pairs = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
       .toDF("id_a", "id_b")
-    val (victims, rounds) = Dedup.ccAlternatingStars(pairs, maxIter = 20)
+    // pin the stars LOOP (this test measures its round count; the block
+    // regime would answer in 2 supersteps and prove nothing about stars)
+    spark.conf.set("spark.graft.cc.distributed", "stars")
+    val (victims, rounds) =
+      try Dedup.ccAlternatingStars(pairs, maxIter = 20)
+      finally spark.conf.unset("spark.graft.cc.distributed")
     // everything but the global min id collapses
     victims.count() shouldBe (n - 1)
     victims.collect().map(_.getLong(0)).toSet shouldBe
@@ -384,14 +389,15 @@ class DedupSpec extends SparkSpec {
       "length (measured, not argued)") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
-    val rounds = Seq(256, 1024, 4096).map { n =>
+    spark.conf.set("spark.graft.cc.distributed", "stars")
+    val rounds = try Seq(256, 1024, 4096).map { n =>
       val ids = rnd.shuffle((0L until n.toLong).toVector)
       val pairs = (0 until n - 1).map(i => (ids(i), ids(i + 1)))
         .toDF("id_a", "id_b")
       val (victims, r) = Dedup.ccAlternatingStars(pairs, maxIter = 30)
       victims.count() shouldBe (n - 1)
       r
-    }
+    } finally spark.conf.unset("spark.graft.cc.distributed")
     // 4x the chain may add only a couple of rounds — the log shape; a
     // linear algorithm would add ~768 and ~3072 rounds at these steps
     withClue(s"rounds at 256/1024/4096: $rounds: ") {
@@ -538,5 +544,50 @@ class DedupSpec extends SparkSpec {
         incr(id) shouldBe id
       }
     }
+  }
+
+  /** Mixed-shape component fixture: a long chain (worst case for label
+    * propagation), cliques, isolated pairs, shuffled ids — the graph a
+    * regime-equality claim should be proven on. */
+  private def mixedPairs(seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val ids = rnd.shuffle((0L until 600L).toVector)
+    val chain = (0 until 199).map(i => (ids(i), ids(i + 1)))
+    val cliques = (0 until 5).flatMap { c =>
+      val mem = (0 until 8).map(j => ids(200 + c * 8 + j))
+      for (a <- mem; b <- mem if a < b) yield (a, b)
+    }
+    val pairs = (0 until 30).map(i => (ids(300 + 2 * i), ids(301 + 2 * i)))
+    // repartition(7) spreads components across partitions, so the local
+    // pass genuinely has to compose cross-partition certificates
+    (chain ++ cliques ++ pairs).toDF("id_a", "id_b").repartition(7)
+  }
+
+  private def cmapOf(pairs: org.apache.spark.sql.DataFrame) =
+    Dedup.componentMap(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("block two-level union-find emits the identical component map to " +
+      "the stars loop (chain + cliques + pairs across partitions)") {
+    val pairs = mixedPairs(41)
+    val block = cmapOf(pairs) // default regime
+    spark.conf.set("spark.graft.cc.distributed", "stars")
+    val stars = try cmapOf(pairs)
+      finally spark.conf.unset("spark.graft.cc.distributed")
+    block shouldBe stars
+    block.nonEmpty shouldBe true
+  }
+
+  test("above the certificate threshold the block regime falls back to " +
+      "the stars loop on the reduced certificate — same map") {
+    val pairs = mixedPairs(43)
+    spark.conf.set("spark.graft.cc.distributed", "stars")
+    val stars = try cmapOf(pairs)
+      finally spark.conf.unset("spark.graft.cc.distributed")
+    spark.conf.set("spark.graft.cc.blockEdgeThreshold", "0")
+    val fallback = try cmapOf(pairs)
+      finally spark.conf.unset("spark.graft.cc.blockEdgeThreshold")
+    fallback shouldBe stars
   }
 }
