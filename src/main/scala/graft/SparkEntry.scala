@@ -1833,86 +1833,88 @@ object SparkEntry {
       "q51_ivfpq_topk", "q54_batch_ivfpq", "q55_threshold_lsh",
       "q59_sq_topk", "q87_ivfsq_topk", "q88_batch_ivfsq")) ++ Map(
       // At non-pinned dirs the three exact-Jaccard rows swap their
-      // deliberately-naive all-pairs oracle for the BANDED formulation
-      // below (VERDICT r9 task 4): at sf1 the quadratic SQL is a 1.25e9
-      // list_intersect pair scan that exceeds any sane DuckDB budget, so
-      // the rows previously had no 10x hash check at all ("engine
-      // finished, oracle timed out"). The banded oracle is LOSSLESS by
-      // the public PPJoin prefix-filter theorem (Xiao/Wang/Lin/Yu,
-      // WWW 2008) — verified row-identical to the quadratic form at
-      // sf0.01 (9,020 pairs) and sf0.1 (964,854 pairs) — and the pinned
-      // sf0.01 gate keeps the independent quadratic form.
+      // deliberately-naive all-pairs oracle for the mask-grouped
+      // formulation below (VERDICT r9 task 4): at sf1 the quadratic SQL
+      // is a 1.25e9 list_intersect pair scan that exceeds any sane
+      // DuckDB budget, so the rows previously had no 10x hash check at
+      // all ("engine finished, oracle timed out"). r10 first shipped a
+      // PPJoin prefix-filter form (Xiao/Wang/Lin/Yu, WWW 2008; verified
+      // row-identical at sf0.01 — 9,020 pairs — and sf0.1 — 964,854
+      // pairs) but on this fixture's 31-token vocabulary the prefix
+      // filter only bought 2.8x (93 vs 260 s at sf0.1), which still
+      // breaches the sf1 budget; the bitmask form (see maskPairsCtes)
+      // exploits the same measured degeneracy exactly and is verified
+      // row-identical at both dirs too. The pinned sf0.01 gate keeps
+      // the independent quadratic form.
       "q15_jaccard_pairs" -> bandedJaccardPairsSql,
       "q20b_minhash_exact" -> bandedJaccardPairsSql,
-      "q34_dedup_pipeline" -> bandedDedupPipelineSql)
+      "q34_dedup_pipeline" -> bandedDedupPipelineSql,
+      // Round 10: the r10 sf1 gate surfaced FOUR more rows whose oracles
+      // embed the same deliberately-quadratic all-pairs scans (the r9
+      // tally's prose never enumerated them): q106/q112 (150k x 150k
+      // levenshtein nested loop — the length-band predicate cannot hash),
+      // q107 (500k x 500k directed containment), q108/q115 (the q15
+      // all-pairs CTE feeding reachability). Same treatment, same
+      // losslessness standard: deletion-neighborhood blocking for edit
+      // distance <= 1 (FastSS, Bocek et al. 2007 — dist(a,b) <= 1 iff
+      // D<=1(a) ∩ D<=1(b) is nonempty, with the string itself in D0)
+      // for q106/q112, and token-set bitmask grouping for q107 (the
+      // 31-token fixture vocabulary defeats prefix filtering but makes
+      // every doc set one BIGINT — see bandedContainmentSql).
+      // Verified row-identical to the quadratic forms at sf0.01 + sf0.1;
+      // the pinned sf0.01 gate keeps the independent quadratic forms.
+      "q106_fuzzy_names" -> bandedFuzzyNamesSql,
+      "q112_sql_fuzzy" -> bandedFuzzyNamesSql,
+      "q107_containment" -> bandedContainmentSql,
+      "q108_leak_split" -> bandedLeakSplitSql,
+      "q115_keep_best" -> bandedKeepBestSql)
   }
 
-  /** Banded exact-Jaccard pair oracle (threshold 0.9): the PPJoin prefix
-    * filter re-authored in DuckDB SQL — global (df, token) order, per-doc
-    * prefix of `sz - ceil(0.9*sz) + 1` rarest tokens, size-band + position
-    * filters, then EXACT verify with list_intersect. Candidate generation
-    * is subquadratic; the survivor set equals the all-pairs answer by the
-    * prefix-filter theorem (the pair's globally-smallest common token lies
-    * in both prefixes). Same emit columns/types as the quadratic oracle. */
+  /** Shared mask-based exact-Jaccard pair CTE chain (threshold 0.9),
+    * exposing `bpairs(id_a, id_b, jaccard)`, `id_a < id_b`. Same
+    * bitmask device as [[bandedContainmentSql]]: the fixture vocabulary
+    * is 31 tokens, so each doc's token set is one BIGINT and the pair
+    * filter is two popcounts over distinct-mask pairs (3,935 at sf0.1;
+    * 39,350 at sf1) before expanding back to doc pairs. This REPLACES
+    * the r10 PPJoin prefix-filter form at non-pinned dirs: PPJoin is
+    * lossless (Xiao et al., WWW 2008) but on a 31-token vocabulary the
+    * prefix tokens keep df ~ N/31, so its candidate set stays
+    * ~quadratic (sf0.1: 93 s vs quad 260 s — only 2.8x; extrapolated
+    * ~x100 at sf1 it breaches the 1800 s oracle budget the banded
+    * forms exist to meet). Lossless: sets ↔ masks are a bijection and
+    * the emitted value keeps the quad form's exact float division.
+    * Each doc-pair is emitted exactly once: for ma <> mb the (x, y)
+    * assignment with x.doc_id < y.doc_id picks one of the two mpair
+    * orientations; for ma = mb it is the in-group ordered pair. */
+  private val maskPairsCtes: String =
+    """tok AS (SELECT doc_id,
+           unnest(list_distinct(list_filter(string_split_regex(text, '\s+'),
+             x -> len(x) > 0))) AS tk FROM documents),
+       vocab AS (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS pos
+         FROM (SELECT DISTINCT tk FROM tok)),
+       dm AS (SELECT t.doc_id, bit_or(1::BIGINT << v.pos) AS mask
+         FROM tok t JOIN vocab v USING (tk) GROUP BY t.doc_id),
+       gm AS (SELECT mask FROM dm GROUP BY mask),
+       mpair AS (SELECT a.mask AS ma, b.mask AS mb,
+           CAST(bit_count(a.mask & b.mask) AS DOUBLE) /
+             bit_count(a.mask | b.mask) AS jaccard
+         FROM gm a JOIN gm b
+           ON CAST(bit_count(a.mask & b.mask) AS DOUBLE) /
+              bit_count(a.mask | b.mask) >= 0.9),
+       bpairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, p.jaccard
+         FROM mpair p JOIN dm x ON x.mask = p.ma JOIN dm y ON y.mask = p.mb
+         WHERE x.doc_id < y.doc_id)"""
+
   private val bandedJaccardPairsSql: String =
-    """WITH tok AS (SELECT doc_id,
-           list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'),
-             x -> len(x) > 0))) AS w FROM documents),
-       sh AS (SELECT doc_id, w, len(w) AS sz FROM tok WHERE len(w) > 0),
-       post AS (SELECT doc_id, sz, unnest(w) AS tk FROM sh),
-       dfreq AS (SELECT tk, count(*) AS dcount FROM post GROUP BY tk),
-       pref AS (SELECT doc_id, sz, tk, rk FROM (
-           SELECT p.doc_id, p.sz, p.tk,
-             row_number() OVER (PARTITION BY p.doc_id
-               ORDER BY d.dcount, p.tk) AS rk
-           FROM post p JOIN dfreq d USING (tk))
-         WHERE rk <= sz - CAST(ceil(0.9 * sz) AS BIGINT) + 1),
-       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM pref a JOIN pref b
-           ON a.tk = b.tk AND a.doc_id < b.doc_id
-          AND b.sz >= CAST(ceil(0.9 * a.sz) AS BIGINT)
-          AND a.sz >= CAST(ceil(0.9 * b.sz) AS BIGINT)
-          AND 1 + least(a.sz - a.rk, b.sz - b.rk) >=
-              CAST(ceil(0.9 / 1.9 * (a.sz + b.sz)) AS BIGINT))
-       SELECT c.id_a, c.id_b,
-         CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) /
-           len(list_distinct(list_concat(x.w, y.w))) AS jaccard
-       FROM cand c JOIN sh x ON c.id_a = x.doc_id
-                   JOIN sh y ON c.id_b = y.doc_id
-       WHERE CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) /
-           len(list_distinct(list_concat(x.w, y.w))) >= 0.9"""
+    s"WITH $maskPairsCtes SELECT id_a, id_b, jaccard FROM bpairs"
 
   /** q34 at non-pinned dirs: the same recursive-CTE min-label components +
     * survivor count as the pinned oracle, but fed by the banded pair CTE
     * above instead of the all-pairs scan. */
   private val bandedDedupPipelineSql: String =
-    """WITH RECURSIVE
-       tok AS (SELECT doc_id,
-           list_sort(list_distinct(list_filter(string_split_regex(text, '\s+'),
-             x -> len(x) > 0))) AS w FROM documents),
-       sh AS (SELECT doc_id, w, len(w) AS sz FROM tok WHERE len(w) > 0),
-       post AS (SELECT doc_id, sz, unnest(w) AS tk FROM sh),
-       dfreq AS (SELECT tk, count(*) AS dcount FROM post GROUP BY tk),
-       pref AS (SELECT doc_id, sz, tk, rk FROM (
-           SELECT p.doc_id, p.sz, p.tk,
-             row_number() OVER (PARTITION BY p.doc_id
-               ORDER BY d.dcount, p.tk) AS rk
-           FROM post p JOIN dfreq d USING (tk))
-         WHERE rk <= sz - CAST(ceil(0.9 * sz) AS BIGINT) + 1),
-       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM pref a JOIN pref b
-           ON a.tk = b.tk AND a.doc_id < b.doc_id
-          AND b.sz >= CAST(ceil(0.9 * a.sz) AS BIGINT)
-          AND a.sz >= CAST(ceil(0.9 * b.sz) AS BIGINT)
-          AND 1 + least(a.sz - a.rk, b.sz - b.rk) >=
-              CAST(ceil(0.9 / 1.9 * (a.sz + b.sz)) AS BIGINT)),
-       pairs AS (SELECT c.id_a, c.id_b
-         FROM cand c JOIN sh x ON c.id_a = x.doc_id
-                     JOIN sh y ON c.id_b = y.doc_id
-         WHERE CAST(len(list_intersect(x.w, y.w)) AS DOUBLE) /
-             len(list_distinct(list_concat(x.w, y.w))) >= 0.9),
-       edges AS (SELECT id_a, id_b FROM pairs
-         UNION SELECT id_b, id_a FROM pairs),
+    s"""WITH RECURSIVE $maskPairsCtes,
+       edges AS (SELECT id_a, id_b FROM bpairs
+         UNION SELECT id_b, id_a FROM bpairs),
        cc(id, label) AS (
          SELECT DISTINCT id_a, id_a FROM edges
          UNION
@@ -1923,6 +1925,105 @@ object SparkEntry {
        SELECT CAST(count(*) AS BIGINT) AS survivors,
          min(doc_id) AS min_id, max(doc_id) AS max_id
        FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)"""
+
+  /** q106/q112 at non-pinned dirs: deletion-neighborhood (FastSS)
+    * blocking for edit distance <= 1 — every name joins on its D0 ∪ D1
+    * variant strings (itself + each single-char deletion), candidates
+    * verify with exact `levenshtein`. Lossless for k = 1: equal strings
+    * meet at D0; a substitution meets where both delete the substituted
+    * position; an insertion/deletion meets where the longer string
+    * deletes the inserted char (yielding the shorter string's D0). The
+    * quadratic form's length-band predicate cannot hash-join, so at sf1
+    * it is a 1.1e10-pair nested loop. */
+  private val bandedFuzzyNamesSql: String =
+    """WITH nm AS (SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE len(c_name) > 0),
+       vr AS (SELECT id, unnest(list_prepend(s,
+             list_transform(range(1, len(s) + 1), i ->
+               substr(s, 1, CAST(i - 1 AS INT)) ||
+               substr(s, CAST(i + 1 AS INT))))) AS v
+         FROM nm),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM vr a JOIN vr b ON a.v = b.v AND a.id < b.id)
+       SELECT c.id_a, c.id_b,
+         CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+       FROM cand c JOIN nm x ON c.id_a = x.id JOIN nm y ON c.id_b = y.id
+       WHERE abs(len(x.s) - len(y.s)) <= 1 AND levenshtein(x.s, y.s) <= 1"""
+
+  /** q107 at non-pinned dirs: directed containment via TOKEN-SET
+    * BITMASKS. The prefix filter buys nothing here — the documents
+    * fixture's vocabulary is 31 distinct tokens (measured; the q113
+    * contract, NOTES_r10 §4), so every "rare" prefix token still has
+    * df ~ N/31 and the candidate set stays ~quadratic (verified at
+    * sf0.1: banded 243 s ≈ quad 240 s). What the degenerate vocabulary
+    * DOES license is exact set dedup: each doc's token set is a subset
+    * of a ≤64-token universe, i.e. one BIGINT mask, and containment is
+    * popcount arithmetic. Group docs by mask (distinct masks ≪ docs —
+    * 3,935 at sf0.1, 39,350 at sf1), evaluate the ~masks² pair filter
+    * with two vectorized bit ops, expand back to doc pairs by joining
+    * the per-doc mask table twice. Lossless: sets ↔ masks are a
+    * bijection, `bit_count(ma & mb)` == `len(list_intersect(wa, wb))`,
+    * and the filter + emitted value keep the quad form's exact float
+    * division (no ceil() re-rounding). Verified row-identical to the
+    * quadratic form at sf0.01 and sf0.1. */
+  private val bandedContainmentSql: String =
+    """WITH tok AS (SELECT doc_id,
+           unnest(list_distinct(list_filter(string_split_regex(text, '\s+'),
+             x -> len(x) > 0))) AS tk FROM documents),
+       vocab AS (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS pos
+         FROM (SELECT DISTINCT tk FROM tok)),
+       dm AS (SELECT t.doc_id, bit_or(1::BIGINT << v.pos) AS mask,
+           count(*) AS sz
+         FROM tok t JOIN vocab v USING (tk) GROUP BY t.doc_id),
+       gm AS (SELECT mask, sz FROM dm GROUP BY mask, sz),
+       mpair AS (SELECT a.mask AS ma, b.mask AS mb,
+           CAST(bit_count(a.mask & b.mask) AS DOUBLE) / a.sz AS containment
+         FROM gm a JOIN gm b
+           ON CAST(bit_count(a.mask & b.mask) AS DOUBLE) / a.sz >= 0.9)
+       SELECT x.doc_id AS id_a, y.doc_id AS id_b, p.containment
+       FROM mpair p JOIN dm x ON x.mask = p.ma JOIN dm y ON y.mask = p.mb
+       WHERE x.doc_id <> y.doc_id"""
+
+  /** q108 at non-pinned dirs: the same recursive-CTE reachability +
+    * md5-bucket split, fed by the banded pair set. */
+  private val bandedLeakSplitSql: String =
+    s"""WITH RECURSIVE $maskPairsCtes,
+       edges AS (SELECT id_a AS u, id_b AS v FROM bpairs
+         UNION ALL SELECT id_b, id_a FROM bpairs),
+       reach(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id),
+       rep AS (SELECT id AS doc_id, min(lbl) AS rep FROM reach GROUP BY id)
+       SELECT doc_id, rep,
+         CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccd'
+                THEN 'train'
+              WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e667'
+                THEN 'val'
+              ELSE 'test' END AS split
+       FROM rep"""
+
+  /** q115 at non-pinned dirs: the same reachability clusters +
+    * keep-longest argmax, fed by the banded pair set. */
+  private val bandedKeepBestSql: String =
+    s"""WITH RECURSIVE $maskPairsCtes,
+       edges AS (SELECT id_a AS u, id_b AS v FROM bpairs
+         UNION ALL SELECT id_b, id_a FROM bpairs),
+       reach(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id),
+       rep AS (SELECT id AS doc_id, min(lbl) AS rep FROM reach GROUP BY id),
+       j AS (SELECT d.doc_id, d.n_chars, r.rep FROM documents d
+             JOIN rep r USING (doc_id)),
+       ranked AS (SELECT doc_id, rep, n_chars,
+           row_number() OVER (PARTITION BY rep
+             ORDER BY n_chars DESC, doc_id) AS rnk,
+           CAST(count(*) OVER (PARTITION BY rep) AS BIGINT)
+             AS cluster_size
+         FROM j)
+       SELECT doc_id, rep, n_chars, cluster_size FROM ranked
+       WHERE rnk = 1"""
 
   /** Golden oracles (q26 pattern) for the queries whose hash-family /
     * embedder math has no DuckDB twin. Emitted only for the sf0.01 fixture

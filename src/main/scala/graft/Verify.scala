@@ -31,8 +31,13 @@ object Verify {
       .getOrElse(Seq.empty)
     def selected(name: String) = only.forall(_.exists(name.startsWith)) &&
       !skip.exists(name.startsWith)
+    // SPARK_GRAFT_VERIFY_SQL_ONLY=1 refreshes oracle_sql.json for an
+    // EXISTING dump dir without re-running the engine side (the scale
+    // gate re-adjudicates oracle formulations against already-written
+    // parquet; the engine outputs are oracle-independent)
+    val sqlOnly = sys.env.get("SPARK_GRAFT_VERIFY_SQL_ONLY").contains("1")
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+      .filter(kv => !sqlOnly && selected(kv._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
