@@ -1062,6 +1062,52 @@ object Bench {
     } finally persisted.foreach(_.unpersist())
   }
 
+  /** Connected-components growth (500k -> 2M edges) on the x_lpa ER-ish
+    * multigraph — OPT-IN (`only=x_cc`): measures the round-10 two-level
+    * union-find block regime (one map-only certificate pass + guarded
+    * single-task merge) against the forced alternating-stars loop at the
+    * same suite position. The block wall should grow ~linearly with
+    * edges and sit well under the loop's O(log n)-round shuffle cost;
+    * both regimes emit the identical component map (spec-asserted), so
+    * the pair is pure regime adjudication. */
+  private def ccGrowthBench(spark: SparkSession,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{abs => fabs, col, lit, pmod, xxhash64}
+    try {
+      Seq(500000, 2000000).map { nEdges =>
+        val nNodes = nEdges / 8 // constant avg degree ~16 (undirected)
+        val edges = spark.range(nEdges.toLong)
+          .select(
+            pmod(fabs(xxhash64(col("id"), lit(1))), lit(nNodes.toLong)).as("id_a"),
+            pmod(fabs(xxhash64(col("id"), lit(2))), lit(nNodes.toLong)).as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))
+          .repartition(32).persist()
+        val m = edges.count()
+        def one(tag: String, i: Int): Double = {
+          val g0 = gcMillis()
+          val t = timed(force(Dedup.componentMap(edges)))
+          System.err.println(f"[bench] $tag%s rep$i%d " +
+            f"edges=$m%d wall=$t%.1fs gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          t
+        }
+        val tag = s"x_cc_${nEdges / 1000}k"
+        val pb = probeOnce(spark)
+        val t = math.min(one(tag, 1), one(tag, 2))
+        recordProbe(tag, (pb, probeOnce(spark)))
+        val tagStars = s"x_cc_stars_${nEdges / 1000}k"
+        spark.conf.set("spark.graft.cc.distributed", "stars")
+        val tStars =
+          try math.min(one(tagStars, 1), one(tagStars, 2))
+          finally spark.conf.unset("spark.graft.cc.distributed")
+        recordProbe(tagStars, (probeOnce(spark), probeOnce(spark)))
+        edges.unpersist()
+        Seq(tag -> t, tagStars -> tStars)
+      }.flatten
+    } catch { case _: Throwable => Seq("x_cc_scaled" -> -1.0) }
+  }
+
   /** Jaccard self-join alone in a fresh JVM — OPT-IN (`only=x_jac_solo`):
     * the x_dedup block always runs this row AFTER the 10x minhash join
     * (heapStart 1.2–5.4 GB), so its in-suite reading carries whatever
@@ -1509,6 +1555,11 @@ object Bench {
       if (only.exists(_.contains("x_inc_cc")))
         incCcBench(spark, (tag, p) => probes(tag) = p)
       else Seq.empty
+    // OPT-IN only: CC regime adjudication (block union-find vs stars loop)
+    val ccGrowth =
+      if (only.exists(_.contains("x_cc")))
+        ccGrowthBench(spark, (tag, p) => probes(tag) = p)
+      else Seq.empty
     // OPT-IN only: the jaccard row alone in a fresh JVM (drift adjudication)
     val jacSolo =
       if (only.exists(_.contains("x_jac_solo")))
@@ -1536,11 +1587,11 @@ object Bench {
     val mins = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
       vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ ccGrowth ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf
     val meds = runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
-      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf
+      containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ ccGrowth ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf
     // JIT code-cache occupancy (MB used across the CodeHeap pools) at run
     // end: a full suite generates hundreds of janino classes, and the 50k
     // dedup rows measured ~2x slower in full-suite context than isolated
