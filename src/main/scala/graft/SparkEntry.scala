@@ -1870,40 +1870,74 @@ object SparkEntry {
       "q115_keep_best" -> bandedKeepBestSql)
   }
 
+  /** Number of 64-bit words in the token-set mask vector: 512-token
+    * capacity. The /root/testdata fixtures carry 31 distinct tokens;
+    * ScaleUp's text perturbation mints per-replica token variants, so
+    * target/sf1 carries 310 (measured). The vocab CTE raises a loud
+    * DuckDB error() past 512 rather than silently truncating. */
+  private val maskWords = 8
+
+  /** Per-word mask columns `m0..m7` for the doc's token set: word i
+    * holds vocabulary positions [64i, 64i+64). DuckDB range-checks
+    * `1::UBIGINT << 63`, so the bit is built in HUGEINT and cast. */
+  private def maskCols: String =
+    (0 until maskWords).map { i =>
+      s"bit_or(CASE WHEN v.pos // 64 = $i THEN " +
+        s"(1::HUGEINT << (v.pos % 64))::UBIGINT ELSE 0::UBIGINT END) AS m$i"
+    }.mkString(",\n           ")
+
+  /** `bit_count(a.m0 OP b.m0) + ...` over the word vector. */
+  private def popcnt(a: String, b: String, op: String): String =
+    (0 until maskWords)
+      .map(i => s"bit_count($a.m$i $op $b.m$i)")
+      .mkString("(", " + ", ")")
+
   /** Shared mask-based exact-Jaccard pair CTE chain (threshold 0.9),
     * exposing `bpairs(id_a, id_b, jaccard)`, `id_a < id_b`. Same
-    * bitmask device as [[bandedContainmentSql]]: the fixture vocabulary
-    * is 31 tokens, so each doc's token set is one BIGINT and the pair
-    * filter is two popcounts over distinct-mask pairs (3,935 at sf0.1;
+    * bitmask device as [[bandedContainmentSql]]: the corpus vocabulary
+    * is tiny (31 tokens in the fixtures, 310 at the ScaleUp'd sf1 —
+    * the degeneracy the q113 contract documents), so each doc's token
+    * set is one 8-word (512-token) bit vector and the pair filter is
+    * popcount arithmetic over distinct-mask pairs (3,935 at sf0.1;
     * 39,350 at sf1) before expanding back to doc pairs. This REPLACES
     * the r10 PPJoin prefix-filter form at non-pinned dirs: PPJoin is
-    * lossless (Xiao et al., WWW 2008) but on a 31-token vocabulary the
-    * prefix tokens keep df ~ N/31, so its candidate set stays
+    * lossless (Xiao et al., WWW 2008) but on a degenerate vocabulary
+    * the prefix tokens keep df ~ N/|V|, so its candidate set stays
     * ~quadratic (sf0.1: 93 s vs quad 260 s — only 2.8x; extrapolated
     * ~x100 at sf1 it breaches the 1800 s oracle budget the banded
-    * forms exist to meet). Lossless: sets ↔ masks are a bijection and
-    * the emitted value keeps the quad form's exact float division.
-    * Each doc-pair is emitted exactly once: for ma <> mb the (x, y)
-    * assignment with x.doc_id < y.doc_id picks one of the two mpair
-    * orientations; for ma = mb it is the in-group ordered pair. */
-  private val maskPairsCtes: String =
-    """tok AS (SELECT doc_id,
-           unnest(list_distinct(list_filter(string_split_regex(text, '\s+'),
+    * forms exist to meet). Lossless: sets ↔ mask vectors are a
+    * bijection and the emitted value keeps the quad form's exact float
+    * division. Each doc-pair is emitted exactly once: for ma <> mb the
+    * (x, y) assignment with x.doc_id < y.doc_id picks one of the two
+    * mpair orientations; for ma = mb it is the in-group ordered pair. */
+  private val maskPairsCtes: String = {
+    val mAll = (0 until maskWords).map(i => s"m$i").mkString(", ")
+    val joinX = (0 until maskWords).map(i => s"x.m$i = p.a$i").mkString(" AND ")
+    val joinY = (0 until maskWords).map(i => s"y.m$i = p.b$i").mkString(" AND ")
+    val pairCols = (0 until maskWords)
+      .map(i => s"a.m$i AS a$i, b.m$i AS b$i").mkString(", ")
+    s"""tok AS (SELECT doc_id,
+           unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
              x -> len(x) > 0))) AS tk FROM documents),
-       vocab AS (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS pos
-         FROM (SELECT DISTINCT tk FROM tok)),
-       dm AS (SELECT t.doc_id, bit_or(1::BIGINT << v.pos) AS mask
+       vocab AS (SELECT tk,
+           CASE WHEN rn > ${maskWords * 64} THEN
+             CAST(error('documents vocabulary exceeds ${maskWords * 64} tokens: mask oracle inapplicable') AS BIGINT)
+           ELSE rn - 1 END AS pos
+         FROM (SELECT tk, row_number() OVER (ORDER BY tk) AS rn
+               FROM (SELECT DISTINCT tk FROM tok))),
+       dm AS (SELECT t.doc_id, $maskCols
          FROM tok t JOIN vocab v USING (tk) GROUP BY t.doc_id),
-       gm AS (SELECT mask FROM dm GROUP BY mask),
-       mpair AS (SELECT a.mask AS ma, b.mask AS mb,
-           CAST(bit_count(a.mask & b.mask) AS DOUBLE) /
-             bit_count(a.mask | b.mask) AS jaccard
+       gm AS (SELECT $mAll FROM dm GROUP BY $mAll),
+       mpair AS (SELECT $pairCols,
+           CAST(${popcnt("a", "b", "&")} AS DOUBLE) /
+             ${popcnt("a", "b", "|")} AS jaccard
          FROM gm a JOIN gm b
-           ON CAST(bit_count(a.mask & b.mask) AS DOUBLE) /
-              bit_count(a.mask | b.mask) >= 0.9),
+           ON CAST(${popcnt("a", "b", "&")} AS DOUBLE) /
+              ${popcnt("a", "b", "|")} >= 0.9),
        bpairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, p.jaccard
-         FROM mpair p JOIN dm x ON x.mask = p.ma JOIN dm y ON y.mask = p.mb
+         FROM mpair p JOIN dm x ON $joinX JOIN dm y ON $joinY
          WHERE x.doc_id < y.doc_id)"""
+  }
 
   private val bandedJaccardPairsSql: String =
     s"WITH $maskPairsCtes SELECT id_a, id_b, jaccard FROM bpairs"
@@ -1957,32 +1991,44 @@ object SparkEntry {
     * df ~ N/31 and the candidate set stays ~quadratic (verified at
     * sf0.1: banded 243 s ≈ quad 240 s). What the degenerate vocabulary
     * DOES license is exact set dedup: each doc's token set is a subset
-    * of a ≤64-token universe, i.e. one BIGINT mask, and containment is
-    * popcount arithmetic. Group docs by mask (distinct masks ≪ docs —
-    * 3,935 at sf0.1, 39,350 at sf1), evaluate the ~masks² pair filter
-    * with two vectorized bit ops, expand back to doc pairs by joining
-    * the per-doc mask table twice. Lossless: sets ↔ masks are a
+    * of a tiny universe (31 tokens in the fixtures, 310 at the
+    * ScaleUp'd sf1 whose perturbation mints per-replica variants),
+    * i.e. one 8-word bit vector, and containment is popcount
+    * arithmetic. Group docs by mask (distinct masks ≪ docs — 3,935 at
+    * sf0.1, 39,350 at sf1), evaluate the ~masks² pair filter with
+    * vectorized bit ops, expand back to doc pairs by joining the
+    * per-doc mask table twice. Lossless: sets ↔ masks are a
     * bijection, `bit_count(ma & mb)` == `len(list_intersect(wa, wb))`,
     * and the filter + emitted value keep the quad form's exact float
     * division (no ceil() re-rounding). Verified row-identical to the
     * quadratic form at sf0.01 and sf0.1. */
-  private val bandedContainmentSql: String =
-    """WITH tok AS (SELECT doc_id,
-           unnest(list_distinct(list_filter(string_split_regex(text, '\s+'),
+  private val bandedContainmentSql: String = {
+    val mAll = (0 until maskWords).map(i => s"m$i").mkString(", ")
+    val joinX = (0 until maskWords).map(i => s"x.m$i = p.a$i").mkString(" AND ")
+    val joinY = (0 until maskWords).map(i => s"y.m$i = p.b$i").mkString(" AND ")
+    val pairCols = (0 until maskWords)
+      .map(i => s"a.m$i AS a$i, b.m$i AS b$i").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+           unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
              x -> len(x) > 0))) AS tk FROM documents),
-       vocab AS (SELECT tk, row_number() OVER (ORDER BY tk) - 1 AS pos
-         FROM (SELECT DISTINCT tk FROM tok)),
-       dm AS (SELECT t.doc_id, bit_or(1::BIGINT << v.pos) AS mask,
+       vocab AS (SELECT tk,
+           CASE WHEN rn > ${maskWords * 64} THEN
+             CAST(error('documents vocabulary exceeds ${maskWords * 64} tokens: mask oracle inapplicable') AS BIGINT)
+           ELSE rn - 1 END AS pos
+         FROM (SELECT tk, row_number() OVER (ORDER BY tk) AS rn
+               FROM (SELECT DISTINCT tk FROM tok))),
+       dm AS (SELECT t.doc_id, $maskCols,
            count(*) AS sz
          FROM tok t JOIN vocab v USING (tk) GROUP BY t.doc_id),
-       gm AS (SELECT mask, sz FROM dm GROUP BY mask, sz),
-       mpair AS (SELECT a.mask AS ma, b.mask AS mb,
-           CAST(bit_count(a.mask & b.mask) AS DOUBLE) / a.sz AS containment
+       gm AS (SELECT $mAll, sz FROM dm GROUP BY $mAll, sz),
+       mpair AS (SELECT $pairCols,
+           CAST(${popcnt("a", "b", "&")} AS DOUBLE) / a.sz AS containment
          FROM gm a JOIN gm b
-           ON CAST(bit_count(a.mask & b.mask) AS DOUBLE) / a.sz >= 0.9)
+           ON CAST(${popcnt("a", "b", "&")} AS DOUBLE) / a.sz >= 0.9)
        SELECT x.doc_id AS id_a, y.doc_id AS id_b, p.containment
-       FROM mpair p JOIN dm x ON x.mask = p.ma JOIN dm y ON y.mask = p.mb
+       FROM mpair p JOIN dm x ON $joinX JOIN dm y ON $joinY
        WHERE x.doc_id <> y.doc_id"""
+  }
 
   /** q108 at non-pinned dirs: the same recursive-CTE reachability +
     * md5-bucket split, fed by the banded pair set. */

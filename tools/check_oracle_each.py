@@ -14,6 +14,10 @@ Row statuses in the JSON artifact:
                 exists; the row is adjudicated separately (NOTES_r9 §7)
   no_spark_output  Verify skipped or failed the query (SPARK_GRAFT_VERIFY_SKIP
                 rows land here; the skip reason lives in the gate notes)
+If jsonOut already exists, rows recorded there as `pass` are carried
+over and skipped (resume after an interrupted/partial run — fail,
+timeout and no_spark_output rows re-run, e.g. after an oracle_sql.json
+refresh swaps an infeasible formulation).
 """
 import json, os, subprocess, sys, tempfile, time
 
@@ -24,7 +28,32 @@ tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 passed, failed, timed_out = [], [], []
 rows = {}
+if json_out and os.path.exists(json_out):
+    prior = json.load(open(json_out)).get("queries", {})
+    for name, row in prior.items():
+        if row.get("status") == "pass" and name in oracle:
+            rows[name] = row
+            passed.append(name)
+            print(f"ok   {name} (resumed: prior pass, {row['secs']}s)",
+                  flush=True)
+def flush():
+    if json_out:
+        art = {"sf_dir": sfdir, "verify_dir": outdir, "budget_sec": budget,
+               "pass": sum(1 for r in rows.values() if r["status"] == "pass"),
+               "fail": sum(1 for r in rows.values() if r["status"] == "fail"),
+               "oracle_timeout": sum(1 for r in rows.values()
+                                     if r["status"] == "oracle_timeout"),
+               "no_spark_output": sum(1 for r in rows.values()
+                                      if r["status"] == "no_spark_output"),
+               "queries": rows}
+        tmp = json_out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        os.replace(tmp, json_out)
+
 for name in sorted(oracle):
+    if name in rows:
+        continue
     if not os.path.isdir(f"{outdir}/{name}"):
         print(f"SKIP {name}: no spark output dir", flush=True)
         rows[name] = {"status": "no_spark_output", "secs": 0.0, "note": ""}
@@ -54,16 +83,10 @@ for name in sorted(oracle):
             print(f"TIMEOUT {name} (oracle side exceeded {budget}s)", flush=True)
             rows[name] = {"status": "oracle_timeout", "secs": float(budget),
                           "note": f"oracle side exceeded {budget}s"}
+    flush()
 print(f"\npass={len(passed)} fail={len(failed)} timeout={len(timed_out)}")
 print(f"fails: {failed}")
 print(f"timeouts: {timed_out}")
+flush()
 if json_out:
-    art = {"sf_dir": sfdir, "verify_dir": outdir, "budget_sec": budget,
-           "pass": len(passed), "fail": len(failed),
-           "oracle_timeout": len(timed_out),
-           "no_spark_output": sum(1 for r in rows.values()
-                                  if r["status"] == "no_spark_output"),
-           "queries": rows}
-    with open(json_out, "w") as f:
-        json.dump(art, f, indent=1, sort_keys=True)
     print(f"wrote {json_out}")
