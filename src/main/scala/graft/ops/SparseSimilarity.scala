@@ -99,8 +99,13 @@ object SparseSimilarity {
           "lower maxDfFraction or accept quadratic cost (see " +
           "SparseSimilarity scaladoc contract)")
     }
+    // a doc whose every surviving term has idf = 0 (terms with df = N
+    // pass maxDfFraction = 1.0) gets a zero weight vector; cosine is
+    // undefined there, so such docs are dropped like docs with no
+    // surviving term at all — not divided by zero
     val norms = weighted.groupBy(col("__id"))
       .agg(sqrt(sum(col("__w") * col("__w"))).as("__norm"))
+      .filter(col("__norm") > 0.0)
     val a = weighted.select(col("__term"), col("__id").as("id_a"),
       col("__w").as("__wa"))
     val b = weighted.select(col("__term"), col("__id").as("id_b"),

@@ -96,6 +96,23 @@ class SparseSimilaritySpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("degenerate-vocabulary guard measures candidate mass (the q113 contract)") {
+    import spark.implicits._
+    // degenerate corpus: every doc shares the same 2-token vocabulary, so
+    // Σ df² = 2·N² / ... > 0.1·N² and the contract line trips
+    val degen = (1L to 40L).map(i => (i, "alpha beta")).toDF("id", "text")
+    SparseSimilarity.tfidfNeighbors(degen, "id", "text", k = 1).count()
+    val (massD, n2D) = SparseSimilarity.lastCandidateMass.get
+    massD should be > 0.1 * n2D // the warn threshold
+    // discriminative corpus: per-doc unique tokens + one shared pair term,
+    // df stays O(1) per term so the mass sits far below the line
+    val sparse = (1L to 40L).map(i =>
+      (i, s"tok${i}a tok${i}b shared${i / 2}")).toDF("id", "text")
+    SparseSimilarity.tfidfNeighbors(sparse, "id", "text", k = 1).count()
+    val (massS, n2S) = SparseSimilarity.lastCandidateMass.get
+    massS should be < 0.1 * n2S
+  }
+
   test("parameter guards reject nonsense") {
     import spark.implicits._
     val df = docs.toDF("id", "text")
