@@ -202,26 +202,26 @@ object SparkEntry {
     "q137_hits" -> // identical unrolled arithmetic: sum over the edge
       // join, then divide by the L2 norm of the whole half-step vector;
       // three full iterations, auth first then hub (the engine's order)
-      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
              FROM lineitem),
-         h0 AS (SELECT DISTINCT s, CAST(1.0 AS DOUBLE) AS h FROM e),
-         a1r AS (SELECT p, sum(h) AS x FROM e JOIN h0 USING (s) GROUP BY p),
-         a1 AS (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a1r) AS a
+         h0 AS MATERIALIZED (SELECT DISTINCT s, CAST(1.0 AS DOUBLE) AS h FROM e),
+         a1r AS MATERIALIZED (SELECT p, sum(h) AS x FROM e JOIN h0 USING (s) GROUP BY p),
+         a1 AS MATERIALIZED (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a1r) AS a
                 FROM a1r),
-         h1r AS (SELECT s, sum(a) AS x FROM e JOIN a1 USING (p) GROUP BY s),
-         h1 AS (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h1r) AS h
+         h1r AS MATERIALIZED (SELECT s, sum(a) AS x FROM e JOIN a1 USING (p) GROUP BY s),
+         h1 AS MATERIALIZED (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h1r) AS h
                 FROM h1r),
-         a2r AS (SELECT p, sum(h) AS x FROM e JOIN h1 USING (s) GROUP BY p),
-         a2 AS (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a2r) AS a
+         a2r AS MATERIALIZED (SELECT p, sum(h) AS x FROM e JOIN h1 USING (s) GROUP BY p),
+         a2 AS MATERIALIZED (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a2r) AS a
                 FROM a2r),
-         h2r AS (SELECT s, sum(a) AS x FROM e JOIN a2 USING (p) GROUP BY s),
-         h2 AS (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h2r) AS h
+         h2r AS MATERIALIZED (SELECT s, sum(a) AS x FROM e JOIN a2 USING (p) GROUP BY s),
+         h2 AS MATERIALIZED (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h2r) AS h
                 FROM h2r),
-         a3r AS (SELECT p, sum(h) AS x FROM e JOIN h2 USING (s) GROUP BY p),
-         a3 AS (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a3r) AS a
+         a3r AS MATERIALIZED (SELECT p, sum(h) AS x FROM e JOIN h2 USING (s) GROUP BY p),
+         a3 AS MATERIALIZED (SELECT p, x / (SELECT sqrt(sum(x*x)) FROM a3r) AS a
                 FROM a3r),
-         h3r AS (SELECT s, sum(a) AS x FROM e JOIN a3 USING (p) GROUP BY s),
-         h3 AS (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h3r) AS h
+         h3r AS MATERIALIZED (SELECT s, sum(a) AS x FROM e JOIN a3 USING (p) GROUP BY s),
+         h3 AS MATERIALIZED (SELECT s, x / (SELECT sqrt(sum(x*x)) FROM h3r) AS h
                 FROM h3r)
          SELECT p AS n, 'auth' AS kind, CAST(a AS FLOAT) AS score FROM a3
          UNION ALL
@@ -438,42 +438,42 @@ object SparkEntry {
          SELECT n, min(hops) AS hops FROM reach GROUP BY n""",
     "q117_ppr" -> // q94's unrolled-iteration arithmetic with the teleport
       // mass pinned to parts {1,2,3}; float cast absorbs fold order
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      """WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
              FROM lineitem),
-         und AS (SELECT DISTINCT x.i AS u, y.i AS v
+         und AS MATERIALIZED (SELECT DISTINCT x.i AS u, y.i AS v
                  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
-         dir AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-         deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM dir
+         dir AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         deg AS MATERIALIZED (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM dir
                  GROUP BY u),
-         tele AS (SELECT n, CASE WHEN n IN (1, 2, 3) THEN 1.0 ELSE 0.0 END
+         tele AS MATERIALIZED (SELECT n, CASE WHEN n IN (1, 2, 3) THEN 1.0 ELSE 0.0 END
                   AS ind FROM deg),
-         sc AS (SELECT sum(ind) AS ns FROM tele),
-         tv AS (SELECT n, ind / (SELECT ns FROM sc) AS t FROM tele),
-         r0 AS (SELECT n, t AS r FROM tv),
-         s1 AS (SELECT dir.v AS n, sum(r0.r / deg.d) AS s FROM dir
+         sc AS MATERIALIZED (SELECT sum(ind) AS ns FROM tele),
+         tv AS MATERIALIZED (SELECT n, ind / (SELECT ns FROM sc) AS t FROM tele),
+         r0 AS MATERIALIZED (SELECT n, t AS r FROM tv),
+         s1 AS MATERIALIZED (SELECT dir.v AS n, sum(r0.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r0 ON r0.n = dir.u
                 GROUP BY dir.v),
-         r1 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s1.s, 0)
+         r1 AS MATERIALIZED (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s1.s, 0)
                   AS r FROM tv LEFT JOIN s1 ON s1.n = tv.n),
-         s2 AS (SELECT dir.v AS n, sum(r1.r / deg.d) AS s FROM dir
+         s2 AS MATERIALIZED (SELECT dir.v AS n, sum(r1.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r1 ON r1.n = dir.u
                 GROUP BY dir.v),
-         r2 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s2.s, 0)
+         r2 AS MATERIALIZED (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s2.s, 0)
                   AS r FROM tv LEFT JOIN s2 ON s2.n = tv.n),
-         s3 AS (SELECT dir.v AS n, sum(r2.r / deg.d) AS s FROM dir
+         s3 AS MATERIALIZED (SELECT dir.v AS n, sum(r2.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r2 ON r2.n = dir.u
                 GROUP BY dir.v),
-         r3 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s3.s, 0)
+         r3 AS MATERIALIZED (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s3.s, 0)
                   AS r FROM tv LEFT JOIN s3 ON s3.n = tv.n),
-         s4 AS (SELECT dir.v AS n, sum(r3.r / deg.d) AS s FROM dir
+         s4 AS MATERIALIZED (SELECT dir.v AS n, sum(r3.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r3 ON r3.n = dir.u
                 GROUP BY dir.v),
-         r4 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s4.s, 0)
+         r4 AS MATERIALIZED (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s4.s, 0)
                   AS r FROM tv LEFT JOIN s4 ON s4.n = tv.n),
-         s5 AS (SELECT dir.v AS n, sum(r4.r / deg.d) AS s FROM dir
+         s5 AS MATERIALIZED (SELECT dir.v AS n, sum(r4.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r4 ON r4.n = dir.u
                 GROUP BY dir.v),
-         r5 AS (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s5.s, 0)
+         r5 AS MATERIALIZED (SELECT tv.n, (1 - 0.85) * tv.t + 0.85 * COALESCE(s5.s, 0)
                   AS r FROM tv LEFT JOIN s5 ON s5.n = tv.n)
          SELECT n AS part, CAST(r AS FLOAT) AS rank FROM r5""",
     "q119_cross_jaccard" -> // naive quadratic eval-vs-train cross join,
@@ -1418,43 +1418,43 @@ object SparkEntry {
          FROM e GROUP BY ROLLUP (event_type, day)""",
     "q94_pagerank" -> // 5 unrolled iterations of the identical per-node
       // arithmetic; float cast absorbs double fold order (q29 rule)
-      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+      """WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
              FROM lineitem),
-         und AS (SELECT DISTINCT x.i AS u, y.i AS v
+         und AS MATERIALIZED (SELECT DISTINCT x.i AS u, y.i AS v
                  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
-         dir AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
-         deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM dir
+         dir AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         deg AS MATERIALIZED (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM dir
                  GROUP BY u),
-         cnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
-         r0 AS (SELECT n, 1.0 / (SELECT nn FROM cnt) AS r FROM deg),
-         s1 AS (SELECT dir.v AS n, sum(r0.r / deg.d) AS s FROM dir
+         cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+         r0 AS MATERIALIZED (SELECT n, 1.0 / (SELECT nn FROM cnt) AS r FROM deg),
+         s1 AS MATERIALIZED (SELECT dir.v AS n, sum(r0.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r0 ON r0.n = dir.u
                 GROUP BY dir.v),
-         r1 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+         r1 AS MATERIALIZED (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
                   + 0.85 * COALESCE(s1.s, 0) AS r
                 FROM deg LEFT JOIN s1 ON s1.n = deg.n),
-         s2 AS (SELECT dir.v AS n, sum(r1.r / deg.d) AS s FROM dir
+         s2 AS MATERIALIZED (SELECT dir.v AS n, sum(r1.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r1 ON r1.n = dir.u
                 GROUP BY dir.v),
-         r2 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+         r2 AS MATERIALIZED (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
                   + 0.85 * COALESCE(s2.s, 0) AS r
                 FROM deg LEFT JOIN s2 ON s2.n = deg.n),
-         s3 AS (SELECT dir.v AS n, sum(r2.r / deg.d) AS s FROM dir
+         s3 AS MATERIALIZED (SELECT dir.v AS n, sum(r2.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r2 ON r2.n = dir.u
                 GROUP BY dir.v),
-         r3 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+         r3 AS MATERIALIZED (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
                   + 0.85 * COALESCE(s3.s, 0) AS r
                 FROM deg LEFT JOIN s3 ON s3.n = deg.n),
-         s4 AS (SELECT dir.v AS n, sum(r3.r / deg.d) AS s FROM dir
+         s4 AS MATERIALIZED (SELECT dir.v AS n, sum(r3.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r3 ON r3.n = dir.u
                 GROUP BY dir.v),
-         r4 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+         r4 AS MATERIALIZED (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
                   + 0.85 * COALESCE(s4.s, 0) AS r
                 FROM deg LEFT JOIN s4 ON s4.n = deg.n),
-         s5 AS (SELECT dir.v AS n, sum(r4.r / deg.d) AS s FROM dir
+         s5 AS MATERIALIZED (SELECT dir.v AS n, sum(r4.r / deg.d) AS s FROM dir
                 JOIN deg ON deg.n = dir.u JOIN r4 ON r4.n = dir.u
                 GROUP BY dir.v),
-         r5 AS (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
+         r5 AS MATERIALIZED (SELECT deg.n, (1 - 0.85) / (SELECT nn FROM cnt)
                   + 0.85 * COALESCE(s5.s, 0) AS r
                 FROM deg LEFT JOIN s5 ON s5.n = deg.n)
          SELECT n AS part, CAST(r AS FLOAT) AS rank FROM r5""",
@@ -1910,12 +1910,9 @@ object SparkEntry {
     * division. Each doc-pair is emitted exactly once: for ma <> mb the
     * (x, y) assignment with x.doc_id < y.doc_id picks one of the two
     * mpair orientations; for ma = mb it is the in-group ordered pair. */
-  private val maskPairsCtes: String = {
-    val mAll = (0 until maskWords).map(i => s"m$i").mkString(", ")
-    val joinX = (0 until maskWords).map(i => s"x.m$i = p.a$i").mkString(" AND ")
-    val joinY = (0 until maskWords).map(i => s"y.m$i = p.b$i").mkString(" AND ")
-    val pairCols = (0 until maskWords)
-      .map(i => s"a.m$i AS a$i, b.m$i AS b$i").mkString(", ")
+  /** Shared prefix: tokenize, position the (guarded, ≤512-token)
+    * vocabulary, build the per-doc mask word vector. */
+  private val maskBaseCtes: String =
     s"""tok AS (SELECT doc_id,
            unnest(list_distinct(list_filter(string_split_regex(text, '\\s+'),
              x -> len(x) > 0))) AS tk FROM documents),
@@ -1926,7 +1923,15 @@ object SparkEntry {
          FROM (SELECT tk, row_number() OVER (ORDER BY tk) AS rn
                FROM (SELECT DISTINCT tk FROM tok))),
        dm AS (SELECT t.doc_id, $maskCols
-         FROM tok t JOIN vocab v USING (tk) GROUP BY t.doc_id),
+         FROM tok t JOIN vocab v USING (tk) GROUP BY t.doc_id)"""
+
+  private val maskPairsCtes: String = {
+    val mAll = (0 until maskWords).map(i => s"m$i").mkString(", ")
+    val joinX = (0 until maskWords).map(i => s"x.m$i = p.a$i").mkString(" AND ")
+    val joinY = (0 until maskWords).map(i => s"y.m$i = p.b$i").mkString(" AND ")
+    val pairCols = (0 until maskWords)
+      .map(i => s"a.m$i AS a$i, b.m$i AS b$i").mkString(", ")
+    s"""$maskBaseCtes,
        gm AS (SELECT $mAll FROM dm GROUP BY $mAll),
        mpair AS (SELECT $pairCols,
            CAST(${popcnt("a", "b", "&")} AS DOUBLE) /
@@ -1939,6 +1944,41 @@ object SparkEntry {
          WHERE x.doc_id < y.doc_id)"""
   }
 
+  /** Component representatives `rep(doc_id, rep)` of the jaccard-0.9
+    * doc graph, computed on the QUOTIENT mask graph. Doc-level
+    * recursive reachability (the r10 first cut) is the oracle
+    * bottleneck at sf1 — 50k docs with 19.3M directed pair edges blew
+    * the 1800 s budget — but the doc graph is an expansion of the mask
+    * graph: docs sharing a mask are pairwise connected outright
+    * (jaccard = 1 ≥ 0.9), and an edge between two masks connects every
+    * doc of one group to every doc of the other, so doc components =
+    * mask components expanded (verified empirically vs the doc-level
+    * recursion at sf0.01 and sf0.1). Reachability therefore runs over
+    * distinct masks (39,350 at sf1 vs 50k docs / 19.3M edges), seeded
+    * with each mask's min doc_id; docs with no tokens keep themselves
+    * as rep, mirroring the quadratic form's all-docs recursion base. */
+  private val maskRepCtes: String = {
+    val mAll = (0 until maskWords).map(i => s"m$i").mkString(", ")
+    val gj = (0 until maskWords).map(i => s"d.m$i = g.m$i").mkString(" AND ")
+    s"""$maskBaseCtes,
+       gmi AS (SELECT $mAll, row_number() OVER (ORDER BY $mAll) AS mid
+         FROM (SELECT $mAll FROM dm GROUP BY $mAll)),
+       dmi AS (SELECT d.doc_id, g.mid FROM dm d JOIN gmi g ON $gj),
+       mmin AS (SELECT mid, min(doc_id) AS md FROM dmi GROUP BY mid),
+       medge AS (SELECT a.mid AS u, b.mid AS v FROM gmi a JOIN gmi b
+         ON a.mid <> b.mid AND CAST(${popcnt("a", "b", "&")} AS DOUBLE) /
+            ${popcnt("a", "b", "|")} >= 0.9),
+       mreach(mid, lbl) AS (
+         SELECT mid, md FROM mmin
+         UNION
+         SELECT e.u, r.lbl FROM mreach r JOIN medge e ON e.v = r.mid),
+       mrep AS (SELECT mid, min(lbl) AS rep FROM mreach GROUP BY mid),
+       rep AS (SELECT doc.doc_id, COALESCE(m.rep, doc.doc_id) AS rep
+         FROM documents doc
+         LEFT JOIN dmi d ON d.doc_id = doc.doc_id
+         LEFT JOIN mrep m ON m.mid = d.mid)"""
+  }
+
   private val bandedJaccardPairsSql: String =
     s"WITH $maskPairsCtes SELECT id_a, id_b, jaccard FROM bpairs"
 
@@ -1946,19 +1986,10 @@ object SparkEntry {
     * survivor count as the pinned oracle, but fed by the banded pair CTE
     * above instead of the all-pairs scan. */
   private val bandedDedupPipelineSql: String =
-    s"""WITH RECURSIVE $maskPairsCtes,
-       edges AS (SELECT id_a, id_b FROM bpairs
-         UNION SELECT id_b, id_a FROM bpairs),
-       cc(id, label) AS (
-         SELECT DISTINCT id_a, id_a FROM edges
-         UNION
-         SELECT e.id_a, cc.label FROM edges e JOIN cc ON cc.id = e.id_b),
-       victims AS (
-         SELECT id FROM (SELECT id, min(label) AS label FROM cc GROUP BY id)
-         WHERE label <> id)
+    s"""WITH RECURSIVE $maskRepCtes
        SELECT CAST(count(*) AS BIGINT) AS survivors,
          min(doc_id) AS min_id, max(doc_id) AS max_id
-       FROM documents WHERE doc_id NOT IN (SELECT id FROM victims)"""
+       FROM rep WHERE rep = doc_id"""
 
   /** q106/q112 at non-pinned dirs: deletion-neighborhood (FastSS)
     * blocking for edit distance <= 1 — every name joins on its D0 ∪ D1
@@ -2030,17 +2061,10 @@ object SparkEntry {
        WHERE x.doc_id <> y.doc_id"""
   }
 
-  /** q108 at non-pinned dirs: the same recursive-CTE reachability +
-    * md5-bucket split, fed by the banded pair set. */
+  /** q108 at non-pinned dirs: the md5-bucket split over the
+    * quotient-graph component reps ([[maskRepCtes]]). */
   private val bandedLeakSplitSql: String =
-    s"""WITH RECURSIVE $maskPairsCtes,
-       edges AS (SELECT id_a AS u, id_b AS v FROM bpairs
-         UNION ALL SELECT id_b, id_a FROM bpairs),
-       reach(id, lbl) AS (
-         SELECT doc_id, doc_id FROM documents
-         UNION
-         SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id),
-       rep AS (SELECT id AS doc_id, min(lbl) AS rep FROM reach GROUP BY id)
+    s"""WITH RECURSIVE $maskRepCtes
        SELECT doc_id, rep,
          CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccd'
                 THEN 'train'
@@ -2049,17 +2073,10 @@ object SparkEntry {
               ELSE 'test' END AS split
        FROM rep"""
 
-  /** q115 at non-pinned dirs: the same reachability clusters +
-    * keep-longest argmax, fed by the banded pair set. */
+  /** q115 at non-pinned dirs: keep-longest argmax per
+    * quotient-graph component ([[maskRepCtes]]). */
   private val bandedKeepBestSql: String =
-    s"""WITH RECURSIVE $maskPairsCtes,
-       edges AS (SELECT id_a AS u, id_b AS v FROM bpairs
-         UNION ALL SELECT id_b, id_a FROM bpairs),
-       reach(id, lbl) AS (
-         SELECT doc_id, doc_id FROM documents
-         UNION
-         SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.id),
-       rep AS (SELECT id AS doc_id, min(lbl) AS rep FROM reach GROUP BY id),
+    s"""WITH RECURSIVE $maskRepCtes,
        j AS (SELECT d.doc_id, d.n_chars, r.rep FROM documents d
              JOIN rep r USING (doc_id)),
        ranked AS (SELECT doc_id, rep, n_chars,

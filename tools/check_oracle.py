@@ -4,11 +4,18 @@ DuckDB over the sf tables, load the corresponding Spark parquet dump, sort
 columns by name + rows by all columns, and diff. Usage:
     python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb, pandas as pd, numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# iterative-oracle spill control (q94/q117-class rows): DuckDB defaults to
+# one thread per core, and 32-way out-of-core recursion spills past this
+# box's ~94 GB effective disk. The driver-side defaults stay untouched.
+if os.environ.get("GRAFT_ORACLE_THREADS"):
+    con.execute(f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
+if os.environ.get("GRAFT_ORACLE_MEMLIMIT"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_ORACLE_MEMLIMIT']}'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
