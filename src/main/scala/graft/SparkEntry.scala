@@ -1952,8 +1952,9 @@ object SparkEntry {
     * graph: docs sharing a mask are pairwise connected outright
     * (jaccard = 1 ≥ 0.9), and an edge between two masks connects every
     * doc of one group to every doc of the other, so doc components =
-    * mask components expanded (verified empirically vs the doc-level
-    * recursion at sf0.01 and sf0.1). Reachability therefore runs over
+    * mask components expanded (verified vs the doc-level recursion at
+    * sf0.01 and vs an independent union-find over the verified pair
+    * set at sf0.1 — zero rep mismatches). Reachability runs over
     * distinct masks (39,350 at sf1 vs 50k docs / 19.3M edges), seeded
     * with each mask's min doc_id; docs with no tokens keep themselves
     * as rep, mirroring the quadratic form's all-docs recursion base. */
