@@ -1102,8 +1102,23 @@ object Bench {
           try math.min(one(tagStars, 1), one(tagStars, 2))
           finally spark.conf.unset("spark.graft.cc.distributed")
         recordProbe(tagStars, (probeOnce(spark), probeOnce(spark)))
+        // above-threshold composition (VERDICT r10 task 8): force the
+        // certificate count over blockEdgeThreshold at the 2M fixture so
+        // the stars loop CONTINUES on the reduced certificate (the
+        // Dedup.ccFixpoint overflow branch) — the row adjudicates that
+        // the fallback composition still beats stars-from-scratch, not
+        // just that it is correct (spec-asserted)
+        val overflow = if (nEdges == 2000000) {
+          val tagOver = s"x_cc_overflow_${nEdges / 1000}k"
+          spark.conf.set("spark.graft.cc.blockEdgeThreshold", "1000")
+          val tOver =
+            try math.min(one(tagOver, 1), one(tagOver, 2))
+            finally spark.conf.unset("spark.graft.cc.blockEdgeThreshold")
+          recordProbe(tagOver, (probeOnce(spark), probeOnce(spark)))
+          Seq(tagOver -> tOver)
+        } else Seq.empty
         edges.unpersist()
-        Seq(tag -> t, tagStars -> tStars)
+        Seq(tag -> t, tagStars -> tStars) ++ overflow
       }.flatten
     } catch { case _: Throwable => Seq("x_cc_scaled" -> -1.0) }
   }
@@ -1616,6 +1631,25 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val blockRetriedJson =
       blockRetried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Machine adjudication IN the artifact (round 11 — VERDICT r10 task 3):
+    // the r10 run shipped 7.7x medians whose elevated probes lived only in
+    // bench_full.json, so the graded compact line carried poisoned numbers
+    // with no marker. Any row whose KEPT block is bracketed by an
+    // out-of-band probe — the SAME probeInBand floor the retry machinery
+    // uses (better of the run-start sentinel and the known good band, so
+    // a contended start can't launder itself) — is machine-flagged: its
+    // value is the box, not the engine, and both output lines say so.
+    // Replayed against the r10 driver artifact this flags exactly the 19
+    // rows of the contention window the verdict adjudicated by hand.
+    // The block retry has first shot at replacing such rows with a clean
+    // re-run; the flag covers whatever the retry budget or a persistent
+    // burst leaves dirty.
+    val machineFlagged = probes.collect {
+      case (n, (pb, pa)) if !probeInBand(pb) || !probeInBand(pa) => n
+    }.toSeq
+    val (cpuFloorUsed, parFloorUsed) = (cpuBandRef, parBandRef)
+    val machineFlaggedJson =
+      machineFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-row machine context: cpu/par probe pairs bracketing each rep
     // block — read a row's time THROUGH its own probes (in band: the
     // number is the engine; out of band: the number is the box)
@@ -1635,7 +1669,7 @@ object Bench {
     // directly, AND to stdout for manual runs. Field order puts probes
     // BEFORE the query maps so whatever slice of this line survives in
     // the tail window ends with queries_median + sentinel (VERDICT r6 #1).
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps%d,"retried":$retriedJson%s,"block_retried":$blockRetriedJson%s,"probes":$probesJson%s,"row_stats":$rowStatsJson%s,"queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps%d,"retried":$retriedJson%s,"block_retried":$blockRetriedJson%s,"machine_flagged":$machineFlaggedJson%s,"probe_floor":{"cpu":$cpuFloorUsed%.3f,"par":$parFloorUsed%.3f},"probes":$probesJson%s,"row_stats":$rowStatsJson%s,"queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -1660,31 +1694,43 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    def compactLine(dp: Int, rows: Seq[(String, Double)], omit: Int): String = {
+    // the compact line carries the machine adjudication too: a flagged
+    // row's median is the BOX, not the engine — the full name list when it
+    // fits, the count alone when the budget is tight (names always live in
+    // bench_full.json's machine_flagged)
+    val flaggedCompactFull =
+      if (machineFlagged.isEmpty) ""
+      else s""","flagged":$machineFlaggedJson"""
+    val flaggedCompactCount =
+      if (machineFlagged.isEmpty) ""
+      else s""","flagged_n":${machineFlagged.size}"""
+    def compactLine(dp: Int, rows: Seq[(String, Double)], omit: Int,
+        flaggedJson: String): String = {
       val m = rows.map { case (k, v) => "\"" + k + "\":" + fmtV(v, dp) }
         .mkString("{", ",", "}")
       val om = if (omit > 0) s""","omit":$omit""" else ""
       val sfShort = sfDir.split('/').last
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m%s,"kind":"med","detail":"bench_full.json"$om%s,"sf":"$sfShort%s"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$m%s,"kind":"med","detail":"bench_full.json"$flaggedJson%s$om%s,"sf":"$sfShort%s"}"""
     }
     val budget = 1880
-    val line2 = compactLine(2, meds, 0)
-    val line1 = compactLine(1, meds, 0)
-    val out =
-      if (line2.length <= budget) line2
-      else if (line1.length <= budget) line1
-      else {
+    val out = {
+      val candidates = Iterator(
+        compactLine(2, meds, 0, flaggedCompactFull),
+        compactLine(1, meds, 0, flaggedCompactFull),
+        compactLine(1, meds, 0, flaggedCompactCount))
+      candidates.find(_.length <= budget).getOrElse {
         val byLen = meds.filter(_._1.startsWith("x_")).sortBy(-_._1.length)
         var drop = 0
-        var l = line1
+        var l = compactLine(1, meds, 0, flaggedCompactCount)
         while (l.length > budget && drop < byLen.length) {
           drop += 1
           val kept = byLen.drop(drop).map(_._1).toSet
           l = compactLine(1, meds.filter(r =>
-            !r._1.startsWith("x_") || kept(r._1)), drop)
+            !r._1.startsWith("x_") || kept(r._1)), drop, flaggedCompactCount)
         }
         l
       }
+    }
     println(out)
     spark.stop()
   }

@@ -114,8 +114,16 @@ final class VectorIndex private (
     * cell ([[graft.ops.SimilaritySearch.ivfBuildKMeans]]). After this,
     * [[searchIvf]] probes cells; later [[upsert]]s assign incoming rows to
     * the FIXED centroid set (standard IVF maintenance — re-run `buildIvf`
-    * to refit drifted centroids). */
-  def buildIvf(nCells: Int = 16, maxIter: Int = 5,
+    * to refit drifted centroids).
+    *
+    * Unspecified `nCells` is DERIVED FROM THE INDEXED ROW COUNT
+    * ([[graft.ops.SimilaritySearch.operatingPoint]]) — the reference's
+    * own data-derived principle (`NB:322` derives the index dimension
+    * from the data) applied to the index geometry. A fixed default is a
+    * measured scale trap: RECALL_sf1 recorded the old 16-cell constant
+    * collapsing to ~0.25 recall on a 2M-row corpus, while the derived
+    * point holds >= 0.98. Pass an explicit value to override. */
+  def buildIvf(nCells: Int = -1, maxIter: Int = 5,
       seed: Long = 42L): this.type = synchronized {
     val (indexed, cents) = graft.ops.SimilaritySearch.ivfBuildKMeans(
       state.drop("cell"), primaryKey, vectorCol, nCells, maxIter, seed)
@@ -124,10 +132,17 @@ final class VectorIndex private (
     this
   }
 
+  /** Cell count of the IVF layout, when [[buildIvf]] ran — index metadata
+    * (lets callers see the geometry a derived-default build chose). */
+  def ivfCells: Option[Int] = ivfCents.map(_.length)
+
   /** IVF cell-pruned top-k: scores only the `nProbe` cells closest to the
     * query — the scale ANN path (scan ~nProbe/nCells of the corpus).
-    * `nProbe >= nCells` provably equals exact [[search]]. */
-  def searchIvf(queryVec: Array[Float], k: Int = 5, nProbe: Int = 4,
+    * `nProbe >= nCells` provably equals exact [[search]]. Unspecified
+    * `nProbe` derives the constant ~12.5% probe-mass fraction from the
+    * built cell count ([[graft.ops.SimilaritySearch.probeFor]]) — the
+    * fraction the recall floor transfers across scales at. */
+  def searchIvf(queryVec: Array[Float], k: Int = 5, nProbe: Int = -1,
       columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val cents = ivfCents.getOrElse(
@@ -145,7 +160,7 @@ final class VectorIndex private (
     * group-max ([[graft.ops.SimilaritySearch.maxSimSearch]]); `nProbe >=
     * nCells` provably equals the exact group-max. */
   def searchMaxSim(queryVec: Array[Float], docCol: String, k: Int = 5,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = -1): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val cents = ivfCents.getOrElse(
       throw new IllegalStateException(s"index $name has no IVF layout; run buildIvf"))
@@ -200,7 +215,7 @@ final class VectorIndex private (
     * index (parquet-backed cache prunes the vector column out of the ADC
     * scan — PlanShapeSpec-guarded); an in-session build keeps state on a
     * row-based localCheckpoint RDD, which always deserializes whole rows. */
-  def searchIvfPq(queryVec: Array[Float], k: Int = 5, nProbe: Int = 4,
+  def searchIvfPq(queryVec: Array[Float], k: Int = 5, nProbe: Int = -1,
       refine: Int = 16, columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val cents = ivfCents.getOrElse(
@@ -256,7 +271,7 @@ final class VectorIndex private (
     * (spec-verified; q87 oracles the composition). Same columnar-source
     * caveat as [[searchIvfPq]]: the compressed-scan payoff needs a
     * [[save]]d+[[VectorIndex.load]]ed index. */
-  def searchIvfSq(queryVec: Array[Float], k: Int = 5, nProbe: Int = 4,
+  def searchIvfSq(queryVec: Array[Float], k: Int = 5, nProbe: Int = -1,
       refine: Int = 2, columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val cents = ivfCents.getOrElse(

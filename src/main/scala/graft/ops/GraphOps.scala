@@ -1179,28 +1179,36 @@ object GraphOps {
       .repartition(p, col("u")).as[(Long, Long)].rdd
       .mapPartitions(it => Iterator.single(buildCoreBlock(it)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var bcIds: Option[org.apache.spark.broadcast.Broadcast[Array[Long]]] =
+      None
     try {
       val nodeCnt = blocks.map(_.ownIds.length.toLong).fold(0L)(_ + _)
       if (nodeCnt > nodeThresh) return None
       val ids = blocks.flatMap(_.ownIds.iterator).collect()
       java.util.Arrays.sort(ids)
       val lab = ids.clone() // initial label = self
-      val bcIds = sc.broadcast(ids)
+      val bcId = sc.broadcast(ids)
+      bcIds = Some(bcId)
       var round = 0
       while (round < iters) {
         val bcLab = sc.broadcast(lab)
         val changes = blocks
-          .flatMap(b => lpaRound(b, bcIds.value, bcLab.value)).collect()
+          .flatMap(b => lpaRound(b, bcId.value, bcLab.value)).collect()
         bcLab.destroy()
         changes.foreach { case (id, l) =>
           lab(java.util.Arrays.binarySearch(ids, id)) = l
         }
         round += 1
       }
-      bcIds.destroy()
       Some(spark.createDataset(ids.indices.map(i => (ids(i), lab(i))))
         .toDF("n", "label").materialized)
-    } finally blocks.unpersist(false)
+    } finally {
+      // unpersist BEFORE destroying the broadcast: a lost cached block
+      // partition recomputed after destroy() would dereference dead
+      // broadcast state and fail the job (ADVICE r10)
+      blocks.unpersist(false)
+      bcIds.foreach(_.destroy())
+    }
   }
 
   /** One side's CSR for the HITS block regime: `ownIdx(i)` indexes this
@@ -1315,7 +1323,6 @@ object GraphOps {
         halfStep(hubBlocks, auth, hub)
         round += 1
       }
-      bcS.destroy(); bcP.destroy()
       val authDf = spark.createDataset(
           pIds.indices.map(i => (pIds(i), auth(i))))
         .toDF("n", "score").select(col("n"), lit("auth").as("kind"),
@@ -1326,6 +1333,12 @@ object GraphOps {
           col("score"))
       Some(authDf.unionByName(hubDf).select(col("n"), col("kind"),
         col("score")).materialized)
-    } finally { hubBlocks.unpersist(false); authBlocks.unpersist(false) }
+    } finally {
+      // unpersist the CSR blocks BEFORE destroying bcS/bcP: the block
+      // build closures reference both broadcasts, so a lost cached
+      // partition recomputed after destroy() would fail (ADVICE r10)
+      hubBlocks.unpersist(false); authBlocks.unpersist(false)
+      bcS.destroy(); bcP.destroy()
+    }
   }
 }

@@ -109,11 +109,12 @@ object ScalarQuantization {
     * `cell` AND `sq_code`. */
   def ivfSqSearch(indexed: DataFrame, centroids: Array[Array[Float]],
       model: SqModel, pk: String, query: Array[Float], k: Int,
-      nProbe: Int = 4, refine: Int = 2,
+      nProbe: Int = -1, refine: Int = 2,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val probeCells = centroids.indices
-      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+      .sortBy(i => -dot(query, centroids(i)))
+      .take(SimilaritySearch.resolveProbe(nProbe, centroids.length))
     sqSearch(
       indexed.filter(col("cell").isin(probeCells: _*))
         .select(col(pk), col("sq_code")),

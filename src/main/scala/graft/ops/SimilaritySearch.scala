@@ -185,12 +185,12 @@ object SimilaritySearch {
 
   def knnJoinIvf(queries: DataFrame, indexed: DataFrame,
       centroids: Array[Array[Float]], qPk: String, cPk: String,
-      vecCol: String, k: Int, nProbe: Int = 4,
+      vecCol: String, k: Int, nProbe: Int = -1,
       viaAggregator: Boolean = false): DataFrame = {
-    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    val probe = resolveProbe(nProbe, centroids.length)
     val spark = indexed.sparkSession
     import spark.implicits._
-    val probed = ivfRoute(queries, centroids, vecCol, nProbe,
+    val probed = ivfRoute(queries, centroids, vecCol, probe,
       col(qPk), col(vecCol) -> "__qv")
     val scored = indexed.select(col(cPk), col("cell"), col(vecCol))
       .join(broadcastIfSmall(probed), Seq("cell"))
@@ -268,16 +268,16 @@ object SimilaritySearch {
     * longs). */
   def knnJoinIvfPq(queries: DataFrame, indexed: DataFrame,
       centroids: Array[Array[Float]], model: PqModel, qPk: String,
-      cPk: String, vecCol: String, k: Int, nProbe: Int = 4,
+      cPk: String, vecCol: String, k: Int, nProbe: Int = -1,
       refine: Int = 8,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
-    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    val probe = resolveProbe(nProbe, centroids.length)
     requireIntegralPks(queries, qPk, indexed, cPk)
     val spark = indexed.sparkSession
     import spark.implicits._
     // executor-side query prep: LUT from the broadcast codebook rides the
     // shared routing projection
-    val probed = ivfRoute(queries, centroids, vecCol, nProbe,
+    val probed = ivfRoute(queries, centroids, vecCol, probe,
       col(qPk).cast("long"),
       graft.expressions.VectorExpressions
         .pqLut(col(vecCol), model.codebooks) -> "__lut")
@@ -304,14 +304,14 @@ object SimilaritySearch {
   def knnJoinIvfSq(queries: DataFrame, indexed: DataFrame,
       centroids: Array[Array[Float]],
       model: graft.ops.ScalarQuantization.SqModel, qPk: String,
-      cPk: String, vecCol: String, k: Int, nProbe: Int = 4,
+      cPk: String, vecCol: String, k: Int, nProbe: Int = -1,
       refine: Int = 2,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
-    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    val probe = resolveProbe(nProbe, centroids.length)
     requireIntegralPks(queries, qPk, indexed, cPk)
     val spark = indexed.sparkSession
     import spark.implicits._
-    val probed = ivfRoute(queries, centroids, vecCol, nProbe,
+    val probed = ivfRoute(queries, centroids, vecCol, probe,
       col(qPk).cast("long"),
       graft.expressions.VectorExpressions
         .sqFactors(col(vecCol), model.mins, model.steps) -> "__f")
@@ -491,7 +491,7 @@ object SimilaritySearch {
     * pipeline knows its batch size) — at 100 TB that count is a full scan
     * saved. */
   def ivfBuildKMeans(corpus: DataFrame, pk: String, vecCol: String,
-      nCells: Int = 16, maxIter: Int = 5, seed: Long = 42L,
+      nCells: Int = -1, maxIter: Int = 5, seed: Long = 42L,
       fitRowsPerCell: Int = 1024, tol: Double = 1e-4,
       totalHint: Option[Long] = None)
       : (DataFrame, Array[Array[Float]]) = {
@@ -499,7 +499,11 @@ object SimilaritySearch {
     import graft.functions.VectorFunctions.l2Normalize
     val total = totalHint.getOrElse(corpus.count())
     require(total > 0, "ivfBuildKMeans: empty corpus")
-    val cells = math.min(nCells.toLong, total).toInt
+    // "unspecified" derives the cell count from the corpus size
+    // ([[operatingPoint]]) — a fixed constant here is the measured
+    // scale-collapse of RECALL_sf1 (16 cells at 2M rows = 125k-row cells)
+    val wanted = if (nCells > 0) nCells else operatingPoint(total).nCells
+    val cells = math.min(wanted.toLong, total).toInt
     val target = cells.toLong * fitRowsPerCell
     val sampled =
       if (total <= target) corpus
@@ -508,18 +512,79 @@ object SimilaritySearch {
         math.min(1.0, target.toDouble / total * 1.05), seed)
     val fit = sampled.select(col(vecCol))
       .rdd.map(_.getSeq[Float](0).toArray).persist()
-    // Init: head rows of each partition of the (already seeded-random)
-    // fit sample — ONE job, one-per-partition spread. takeSample would be
-    // an extra full pass (its internal count) before the sample collect;
-    // it remains the fallback when the head pick comes up short (tiny or
-    // skewed-empty partitions). Deterministic given data + partitioning,
-    // same contract as takeSample.
+    // Init (round 11): LAYOUT-INDEPENDENT candidate pool + deterministic
+    // k-center seeding. The former head-of-partition pick was
+    // deterministic only GIVEN a partitioning — any upstream exchange
+    // re-rolled the centroid dice, and recall floors moved with them
+    // (measured: RecallSpec floors swung 0.82–0.91 on an exchange-only
+    // change). Two-stage replacement, both pure functions of the data:
+    //   1. pool: the `poolTarget` rows with the smallest seeded 64-bit
+    //      content hash — a uniform sample assembled by ONE bounded-heap
+    //      treeAggregate (the k-smallest set is partitioning- and
+    //      merge-order-independent), same single-job cost class as the
+    //      old head pick;
+    //   2. seeding: greedy farthest-point over the pool on the driver
+    //      (Gonzalez 1985 — the deterministic 2-approx k-center
+    //      heuristic whose spread kmeans++ randomizes), engaged while
+    //      O(cells · pool · dim) is driver-affordable; above the cap the
+    //      hash-ordered pool prefix IS the uniform sample.
     var cents: Array[Array[Float]] = {
-      val parts = math.max(1, fit.getNumPartitions)
-      val perPart = cells / parts + (if (cells % parts == 0) 0 else 1)
-      val head = fit.mapPartitions(_.take(perPart)).collect()
-      if (head.length >= cells) head.take(cells)
-      else fit.takeSample(withReplacement = false, cells, seed)
+      val d2Cap = 2048
+      val poolTarget =
+        if (cells <= d2Cap) math.max(256, math.min(cells * 8, 16384))
+        else cells
+      def vecHash(v: Array[Float]): Long = {
+        // FNV-1a over the float bit patterns + murmur-style avalanche:
+        // deterministic across JVMs/partitionings; ties only on
+        // bit-identical vectors (harmless — duplicates make identical
+        // centroid candidates either way)
+        var h = seed ^ 0xcbf29ce484222325L
+        var i = 0
+        while (i < v.length) {
+          h = (h ^ java.lang.Float.floatToIntBits(v(i))) * 0x100000001b3L
+          i += 1
+        }
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+        h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+        h ^ (h >>> 33)
+      }
+      type Heap = scala.collection.mutable.PriorityQueue[(Long, Array[Float])]
+      val ord = Ordering.by[(Long, Array[Float]), Long](_._1) // max-heap
+      def insert(h: Heap, e: (Long, Array[Float])): Heap = {
+        if (h.size < poolTarget) h.enqueue(e)
+        else if (e._1 < h.head._1) { h.dequeue(); h.enqueue(e) }
+        h
+      }
+      val heap = fit.treeAggregate(new Heap()(ord))(
+        seqOp = (h, v) => insert(h, (vecHash(v), v)),
+        combOp = (a, b) => { b.foreach(insert(a, _)); a })
+      val pool: Array[Array[Float]] =
+        heap.toArray.sortBy(_._1).map(_._2) // ascending hash order
+      if (cells > d2Cap || pool.length <= cells) pool.take(cells)
+      else {
+        // greedy farthest-point in cosine distance (vectors unit-norm):
+        // start at the min-hash row, then repeatedly take the pool row
+        // farthest from its nearest chosen centroid
+        val n = pool.length
+        val minDot = Array.fill(n)(Double.MinValue) // max dot to chosen
+        val chosen = new Array[Array[Float]](cells)
+        chosen(0) = pool(0)
+        var c = 0
+        while (c + 1 < cells) {
+          val last = chosen(c)
+          var best = 0; var bestDot = Double.MaxValue
+          var i = 0
+          while (i < n) {
+            val d = dot(pool(i), last)
+            if (d > minDot(i)) minDot(i) = d
+            if (minDot(i) < bestDot) { bestDot = minDot(i); best = i }
+            i += 1
+          }
+          c += 1
+          chosen(c) = pool(best)
+        }
+        chosen
+      }
     }
     val dim = cents.head.length
     val sc = corpus.sparkSession.sparkContext
@@ -759,10 +824,11 @@ object SimilaritySearch {
     * plain SQL). `indexed` must carry `cell` AND `pq_code`. */
   def ivfPqSearch(indexed: DataFrame, centroids: Array[Array[Float]],
       model: PqModel, pk: String, query: Array[Float], k: Int,
-      nProbe: Int = 4, refine: Int = 8,
+      nProbe: Int = -1, refine: Int = 8,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
     val probeCells = centroids.indices
-      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+      .sortBy(i => -dot(query, centroids(i)))
+      .take(resolveProbe(nProbe, centroids.length))
     pqSearch(
       indexed.filter(col("cell").isin(probeCells: _*))
         .select(col(pk), col("pq_code")),
@@ -773,9 +839,10 @@ object SimilaritySearch {
     * Cell pruning happens before any vector math touches the corpus. */
   def ivfSearch(indexed: DataFrame, centroids: Array[Array[Float]],
       pk: String, vecCol: String, query: Array[Float], k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = -1): DataFrame = {
     val probeCells = centroids.indices
-      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+      .sortBy(i => -dot(query, centroids(i)))
+      .take(resolveProbe(nProbe, centroids.length))
     indexed.filter(col("cell").isin(probeCells: _*))
       .withColumn("score", cosineUnit(col(vecCol), vecLit(query)))
       .orderBy(desc("score"), col(pk))
@@ -799,9 +866,11 @@ object SimilaritySearch {
     * plain SQL; RecallSpec pins the operating point). */
   def maxSimSearch(indexed: DataFrame, centroids: Array[Array[Float]],
       docCol: String, vecCol: String, query: Array[Float], k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = -1): DataFrame = {
+    val probe =
+      if (nProbe > 0) nProbe else maxSimProbeFor(centroids.length)
     val probeCells = centroids.indices
-      .sortBy(i => -dot(query, centroids(i))).take(nProbe)
+      .sortBy(i => -dot(query, centroids(i))).take(probe)
     indexed.filter(col("cell").isin(probeCells: _*))
       .withColumn("score", cosineUnit(col(vecCol), vecLit(query)))
       .groupBy(col(docCol))
@@ -850,6 +919,33 @@ object SimilaritySearch {
     val root = math.sqrt(n.toDouble)
     val cells = math.min(65536,
       math.max(16, Integer.highestOneBit(root.toInt.max(1))))
-    IvfOperatingPoint(cells, math.max(4, cells / 8), 16, 2)
+    IvfOperatingPoint(cells, probeFor(cells), 16, 2)
+  }
+
+  /** The [[operatingPoint]] probe count for a built cell count: the
+    * constant ~12.5% probe-mass fraction the recall floor transfers at. */
+  def probeFor(nCells: Int): Int = math.max(4, nCells / 8)
+
+  /** The derived probe count for LATE-INTERACTION ([[maxSimSearch]])
+    * retrieval: ~25% probe mass, twice the point-search rate. A doc's
+    * MaxSim score is decided by its best chunk — often an EDGE member of
+    * its chunk cluster, not the centroid the router ranks — so the same
+    * mass fraction that holds the point-search floor reads ~0.87 recall
+    * on the replica-cluster corpus while the doubled rate clears the 0.9
+    * floor (RecallSpec). The deeper probe is standard late-interaction
+    * practice (multi-vector retrievers rank candidates per query token
+    * at higher probe depths before the exact MaxSim re-score). */
+  def maxSimProbeFor(nCells: Int): Int = math.max(4, nCells / 4)
+
+  /** Resolve a caller's probe argument: explicit positive values pass
+    * through; the `-1` sentinel (every `nProbe` default since round 11)
+    * derives [[probeFor]] from the cell count ACTUALLY BUILT, so
+    * "unspecified" can never mean a constant that collapses at scale —
+    * RECALL_sf1 measured the old fixed defaults at ~0.25 recall on a
+    * 2M-row corpus. */
+  private[graft] def resolveProbe(nProbe: Int, nCells: Int): Int = {
+    val p = if (nProbe > 0) nProbe else probeFor(nCells)
+    require(p >= 1, s"nProbe $p < 1")
+    p
   }
 }

@@ -45,10 +45,27 @@ import org.apache.spark.sql.functions._
   * df band removes the head) sit orders of magnitude below the line. */
 object SparseSimilarity {
 
-  /** Last measured posting candidate mass (Σ df² over surviving terms) and
-    * the N² it is compared against — exposed for specs and ops triage of
-    * the degenerate-vocabulary warning above. */
-  @volatile var lastCandidateMass: Option[(Double, Double)] = None
+  /** Measure the posting candidate mass for a corpus: (Σ df² over the
+    * terms surviving `maxDfFraction`, N²) — the operator-contract
+    * quantity [[tfidfNeighbors]] checks before its posting join
+    * (subquadratic iff Σ df² ≪ N²). A standalone, side-effect-free API:
+    * callers sizing a 100 TB run can measure BEFORE committing to the
+    * join, and specs assert the contract without shared mutable state
+    * (the round-10 `lastCandidateMass` volatile raced under concurrent
+    * callers — ADVICE r10). */
+  def candidateMass(df: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double = 1.0): (Double, Double) = {
+    val n = df.count().toDouble
+    val dfreq = df.select(col(idCol).as("__id"),
+        explode(transform(graft.functions.TextFunctions.tokens(col(textCol)),
+          t => lower(t))).as("__term"))
+      .groupBy(col("__id"), col("__term")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val mass = dfreq
+      .filter(col("__df").cast("double") <= n * maxDfFraction)
+      .agg(sum(col("__df") * col("__df")).cast("double")).head()
+    (Option(mass.get(0)).fold(0.0)(_ => mass.getDouble(0)), n * n)
+  }
 
   /** Top-`k` cosine neighbors per document over smoothed-idf TF-IDF
     * weights. Output: (<idCol>, nbr_id, cos FLOAT, rnk LONG), one row per
@@ -68,37 +85,40 @@ object SparseSimilarity {
     // runs twice)
     val tf = graft.Graft.materialize(
       terms.groupBy(col("__id"), col("__term")).agg(count(lit(1)).as("__tf")))
-    val dfreq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    val stats = df.agg(count(lit(1)).cast("double").as("__n"))
+    // n as a driver value: it gates the df band AND the guard; the former
+    // stats crossJoin computed the same count inside the weighted job, so
+    // this is the same one column-pruned pass, just hoisted
+    val nDocs = df.agg(count(lit(1))).head().getLong(0).toDouble
+    // df counts materialized once: joined into the weighted plan below AND
+    // read (vocab-sized, ~free) by the degenerate-vocabulary guard — the
+    // guard no longer pays its own posting-sized aggregation (ADVICE r10)
+    val dfreq = graft.Graft.materialize(
+      tf.groupBy(col("__term")).agg(count(lit(1)).as("__df")))
+    // degenerate-vocabulary guard (see the object scaladoc): Σ df² over
+    // the SURVIVING terms vs N²
+    locally {
+      val row = dfreq
+        .filter(col("__df").cast("double") <= nDocs * maxDfFraction)
+        .agg(sum(col("__df") * col("__df")).cast("double")).head()
+      val mass = Option(row.get(0)).fold(0.0)(_ => row.getDouble(0))
+      if (mass > 0.1 * nDocs * nDocs)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"tfidfNeighbors: candidate mass " +
+          f"sum(df^2)=$mass%.3g is ${mass / (nDocs * nDocs)}%.2f of N^2 " +
+          f"(N=$nDocs%.0f) — the surviving vocabulary is not " +
+          "discriminative and the posting join degenerates to ~all-pairs " +
+          "on any engine; lower maxDfFraction or accept quadratic cost " +
+          "(see SparseSimilarity scaladoc contract)")
+    }
     // weighted postings are consumed by the norm aggregate AND both sides
     // of the pair join — one materialization, three readers
     val weighted = graft.Graft.materialize(tf
       .join(dfreq, Seq("__term"))
-      .crossJoin(broadcast(stats))
-      .filter(col("__df").cast("double") <= col("__n") * maxDfFraction)
+      .filter(col("__df").cast("double") <= lit(nDocs) * maxDfFraction)
       .select(col("__term"), col("__id"),
         (col("__tf").cast("double") *
-          log((col("__n") + 1.0) / (col("__df").cast("double") + 1.0)))
+          log((lit(nDocs) + 1.0) / (col("__df").cast("double") + 1.0)))
           .as("__w")))
-    // degenerate-vocabulary guard (see the object scaladoc): Σ df² over
-    // the SURVIVING terms vs N² — one small agg over the tiny dfreq frame
-    // (tf is materialized, so this re-derives nothing expensive)
-    locally {
-      val row = weighted.groupBy(col("__term")).agg(count(lit(1)).as("d"))
-        .agg(sum(col("d") * col("d")).cast("double").as("mass"))
-        .crossJoin(broadcast(stats)).head()
-      val (mass, n) = (Option(row.get(0)).fold(0.0)(_ => row.getDouble(0)),
-        row.getDouble(1))
-      lastCandidateMass = Some((mass, n * n))
-      if (mass > 0.1 * n * n)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"tfidfNeighbors: candidate mass " +
-          f"sum(df^2)=$mass%.3g is ${mass / (n * n)}%.2f of N^2 " +
-          f"(N=$n%.0f) — the surviving vocabulary is not discriminative " +
-          "and the posting join degenerates to ~all-pairs on any engine; " +
-          "lower maxDfFraction or accept quadratic cost (see " +
-          "SparseSimilarity scaladoc contract)")
-    }
     // a doc whose every surviving term has idf = 0 (terms with df = N
     // pass maxDfFraction = 1.0) gets a zero weight vector; cosine is
     // undefined there, so such docs are dropped like docs with no

@@ -39,7 +39,7 @@ object StreamingRetrieval {
 
   def knnStream(queries: DataFrame, indexed: DataFrame,
       centroids: Array[Array[Float]], qPk: String, cPk: String,
-      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nProbe: Int = -1): DataFrame = {
     require(queries.isStreaming,
       "knnStream expects a streaming query relation; use " +
         "SimilaritySearch.knnJoinIvf for batch retrieval")
@@ -48,9 +48,12 @@ object StreamingRetrieval {
         "turn the stateless stream-static cell join into an unbounded " +
         "stream-stream join; sync the index with IndexSync and restart " +
         "(the TRIGGERED re-index contract)")
-    require(nProbe >= 1, s"nProbe $nProbe < 1")
+    // unspecified probe count derives the operatingPoint fraction from
+    // the built cell count, like every batch IVF path since round 11
+    val probe = graft.ops.SimilaritySearch
+      .resolveProbe(nProbe, centroids.length)
     val probed = graft.ops.SimilaritySearch.ivfRoute(queries, centroids,
-      vecCol, nProbe, col(qPk), col(vecCol) -> "__qv")
+      vecCol, probe, col(qPk), col(vecCol) -> "__qv")
     val scored = probed
       .join(indexed.select(col(cPk).as("__cid"), col("cell"),
         col(vecCol).as("__cv")), Seq("cell"))

@@ -11,10 +11,9 @@ class RecallSpec extends SparkSpec {
 
   test("recall@5 and @10 >= 0.9 for every ANN family at default " +
       "operating points (20k perturbed corpus)") {
-    // reps = 40 keeps the artifact's cluster-size-to-cell geometry
-    // (~100 replicas per 32-cell corpus at 200k ≙ ~40 per cell-load
-    // here); a 10-replica cluster against 32 cells is a different —
-    // artificially hostile — geometry
+    // measure()'s defaults ARE the serving defaults — derived from the
+    // corpus size since round 11 (128 cells / 16 probes at 20k rows),
+    // so this floor gates what a no-args user actually gets
     val results = Recall.measure(spark, TestSpark.sf0001, reps = 40,
       nQueries = 16, sigma = 0.1)
     results should have size 5
@@ -26,8 +25,8 @@ class RecallSpec extends SparkSpec {
     }
   }
 
-  test("IVF-routed MaxSim recall@5 and @10 >= 0.9 at nProbe 4 of 32 " +
-      "cells (docs = replica clusters of the perturbed corpus)") {
+  test("IVF-routed MaxSim recall@5 and @10 >= 0.9 at the derived " +
+      "operating point (docs = replica clusters of the perturbed corpus)") {
     val (r5, r10) = Recall.maxSimRecall(spark, TestSpark.sf0001,
       reps = 40, nQueries = 16, sigma = 0.1)
     withClue(s"maxsim recall@5=$r5 recall@10=$r10: ") {
@@ -84,6 +83,49 @@ class RecallSpec extends SparkSpec {
         r5 should be >= 0.9
         r10 should be >= 0.9
       }
+    }
+  }
+
+  test("a DEFAULT-built 2M-row index delivers recall@10 >= 0.9: derived " +
+      "geometry is the serving default, not a harness-only option") {
+    import graft.ops.SimilaritySearch
+    import org.apache.spark.sql.functions._
+    // the exact corpus size RECALL_sf1 measured the old fixed defaults
+    // collapsing at (~0.25 recall) — a user typing buildIvf()/searchIvf()
+    // with no geometry args must get the derived operating point instead
+    val reps = 4000 // 500-vector base -> 2,000,000 rows
+    val n = 500L * reps
+    val corpus = Recall
+      .perturbedCorpus(spark, TestSpark.sf0001, reps = reps, sigma = 0.1)
+      .persist()
+    val idx = graft.index.VectorIndex.build(corpus, "recall_default_2m",
+      "vec_id", "embedding")
+    try {
+      idx.buildIvf() // NO geometry args anywhere in this test
+      idx.ivfCells shouldBe Some(SimilaritySearch.operatingPoint(n).nCells)
+      val queries = Recall.centers(spark, TestSpark.sf0001, 0.0)
+        .filter(col("vec_id") < 8).persist()
+      val exact = SimilaritySearch.knnJoin(queries, corpus,
+          "vec_id", "vec_id", "embedding", k = 10, viaAggregator = true)
+        .select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+        .toMap
+      val qvs = queries.orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val recalls = qvs.map { case (qid, qv) =>
+        val got = idx.searchIvf(qv, k = 10) // NO nProbe: derived fraction
+          .select(col("vec_id").cast("long")).collect()
+          .map(_.getLong(0)).toSet
+        (exact(qid) & got).size.toDouble / 10
+      }
+      queries.unpersist()
+      val r10 = recalls.sum / recalls.length
+      withClue(s"default-built 2M index recall@10=$r10: ") {
+        r10 should be >= 0.9
+      }
+    } finally {
+      corpus.unpersist()
+      graft.index.VectorIndexCatalog.drop("recall_default_2m")
     }
   }
 

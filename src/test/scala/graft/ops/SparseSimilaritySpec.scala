@@ -101,16 +101,20 @@ class SparseSimilaritySpec extends SparkSpec {
     // degenerate corpus: every doc shares the same 2-token vocabulary, so
     // Σ df² = 2·N² / ... > 0.1·N² and the contract line trips
     val degen = (1L to 40L).map(i => (i, "alpha beta")).toDF("id", "text")
-    SparseSimilarity.tfidfNeighbors(degen, "id", "text", k = 1).count()
-    val (massD, n2D) = SparseSimilarity.lastCandidateMass.get
+    val (massD, n2D) = SparseSimilarity.candidateMass(degen, "id", "text")
     massD should be > 0.1 * n2D // the warn threshold
     // discriminative corpus: per-doc unique tokens + one shared pair term,
     // df stays O(1) per term so the mass sits far below the line
     val sparse = (1L to 40L).map(i =>
       (i, s"tok${i}a tok${i}b shared${i / 2}")).toDF("id", "text")
-    SparseSimilarity.tfidfNeighbors(sparse, "id", "text", k = 1).count()
-    val (massS, n2S) = SparseSimilarity.lastCandidateMass.get
+    val (massS, n2S) = SparseSimilarity.candidateMass(sparse, "id", "text")
     massS should be < 0.1 * n2S
+    // the measurement respects the df band: pruning the degenerate pair
+    // of head terms removes the whole mass
+    val (massBand, _) =
+      SparseSimilarity.candidateMass(degen, "id", "text",
+        maxDfFraction = 0.5)
+    massBand shouldBe 0.0
   }
 
   test("parameter guards reject nonsense") {

@@ -124,19 +124,21 @@ class StreamingSpec extends SparkSpec {
         "vec_id", "embedding", k = 3)
   }
 
-  test("StreamingRetrieval at the ANN operating point (nProbe 4 of 32): " +
+  test("StreamingRetrieval at the DERIVED ANN operating point: " +
       "recall@10 >= 0.9 vs the exact drained result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // the resolvable perturbed corpus (Recall's floor geometry): each
     // query's true top-10 is its replica neighborhood, which the probed
-    // cells must cover at nProbe << nCells
+    // cells must cover at nProbe << nCells. Geometry unspecified on BOTH
+    // the build and the stream — this floor gates what a no-args user of
+    // the streaming path actually gets (round 11: derived defaults)
     val corpus = graft.Recall
       .perturbedCorpus(spark, TestSpark.sf0001, reps = 40, sigma = 0.1)
       .repartition(8).persist()
     val n = corpus.count()
     val (ix, cents) = graft.ops.SimilaritySearch.ivfBuildKMeans(
-      corpus, "vec_id", "embedding", nCells = 32, totalHint = Some(n))
+      corpus, "vec_id", "embedding", totalHint = Some(n))
     val indexed = ix.persist()
     indexed.count()
     val base = spark.read
@@ -154,7 +156,7 @@ class StreamingSpec extends SparkSpec {
     val df = stream.toDF()
       .select($"_1".as("vec_id"), $"_2".cast("array<float>").as("embedding"))
     val res = StreamingRetrieval.knnStream(df, indexed, cents,
-      "vec_id", "vec_id", "embedding", k = 10, nProbe = 4)
+      "vec_id", "vec_id", "embedding", k = 10)
     val q = res.writeStream.format("memory").queryName("sr_op_spec")
       .outputMode("complete").start()
     q.processAllAvailable()

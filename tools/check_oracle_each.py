@@ -17,9 +17,17 @@ Row statuses in the JSON artifact:
 If jsonOut already exists, rows recorded there as `pass` are carried
 over and skipped (resume after an interrupted/partial run — fail,
 timeout and no_spark_output rows re-run, e.g. after an oracle_sql.json
-refresh swaps an infeasible formulation).
+refresh swaps an infeasible formulation). A carried-over pass must also
+match on `oracle_sha` — the sha256 of the row's oracle SQL recorded at
+validation time — so a row whose FORMULATION changed since it passed is
+re-validated instead of resuming a stale verdict against SQL that never
+ran (ADVICE r10).
 """
-import json, os, subprocess, sys, tempfile, time
+import hashlib, json, os, subprocess, sys, tempfile, time
+
+def sql_sha(entry):
+    return hashlib.sha256(
+        json.dumps(entry, sort_keys=True).encode()).hexdigest()[:16]
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 budget = int(sys.argv[3]) if len(sys.argv) > 3 else 300
@@ -31,11 +39,16 @@ rows = {}
 if json_out and os.path.exists(json_out):
     prior = json.load(open(json_out)).get("queries", {})
     for name, row in prior.items():
-        if row.get("status") == "pass" and name in oracle:
-            rows[name] = row
-            passed.append(name)
-            print(f"ok   {name} (resumed: prior pass, {row['secs']}s)",
-                  flush=True)
+        if row.get("status") != "pass" or name not in oracle:
+            continue
+        if row.get("oracle_sha") != sql_sha(oracle[name]):
+            print(f"RERUN {name}: prior pass invalidated — oracle SQL "
+                  f"changed since it was validated", flush=True)
+            continue
+        rows[name] = row
+        passed.append(name)
+        print(f"ok   {name} (resumed: prior pass, {row['secs']}s)",
+              flush=True)
 def flush():
     if json_out:
         art = {"sf_dir": sfdir, "verify_dir": outdir, "budget_sec": budget,
@@ -77,6 +90,7 @@ for name in sorted(oracle):
                   f"{'; '.join(verdict)}", flush=True)
             rows[name] = {"status": "pass" if ok else "fail",
                           "secs": round(secs, 1),
+                          "oracle_sha": sql_sha(oracle[name]),
                           "note": "; ".join(verdict)[:400]}
         except subprocess.TimeoutExpired:
             timed_out.append(name)
