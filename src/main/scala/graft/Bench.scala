@@ -327,14 +327,28 @@ object Bench {
       // build row), then the ADC+exact-refine search per rep — the
       // compressed-scan path whose corpus side reads 16 B/row, not 256 B
       var encodedP: DataFrame = null
-      val pqBuild = probed("x_pq_build")(timed {
-        val model = SimilaritySearch.pqTrain(scaled, "embedding",
-          m = 16, ksub = 32)
-        encodedP = SimilaritySearch.pqEncode(scaled, "embedding", model)
-          .select(col("vec_id"), col("pq_code")).persist()
-        encodedP.count()
-        pqModel = model
-      })
+      // minOf2 since round 11: the r10 artifact read this single-timing
+      // row at 1.45 (1.50x anchor) with in-band probes — the same
+      // no-warm-rep scatter x_ivf_build showed before its round-10
+      // minOf2. Both walls go to row_stats; rep1's encode frame is
+      // dropped so rep2 does identical work.
+      System.gc() // untimed gap: live-set pinning, same as x_ivf_build
+      val pqBuild = probed("x_pq_build") {
+        val walls = (1 to 2).map { i =>
+          if (encodedP != null) encodedP.unpersist()
+          val t = timed {
+            val model = SimilaritySearch.pqTrain(scaled, "embedding",
+              m = 16, ksub = 32)
+            encodedP = SimilaritySearch.pqEncode(scaled, "embedding", model)
+              .select(col("vec_id"), col("pq_code")).persist()
+            encodedP.count()
+            pqModel = model
+          }
+          recordStat("x_pq_build", s"wall$i", t)
+          t
+        }
+        walls.min
+      }
       val pqSearchT = probed("x_pq_search")((1 to reps).map(_ => timed {
         force(SimilaritySearch.pqSearch(encodedP, pqModel, "vec_id",
           qv, 10, refine = 16, exactSource = Some((scaled, "embedding"))))

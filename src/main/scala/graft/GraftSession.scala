@@ -22,7 +22,12 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions) // vec_dot & co in SQL
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // data-scale override (same env Verify honors): at 10x fixtures the
+      // heavyweight shuffles want partitions sized to the DATA, not the
+      // core count — AQE coalesces the small queries back down for free
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          shufflePartitions.toString))
       // AQE: runtime coalescing, skew-join splitting, plan re-optimization
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
