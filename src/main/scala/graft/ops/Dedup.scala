@@ -82,9 +82,20 @@ object Dedup {
     val cand = if (block == "prefix") prefixCandidates(sh, threshold)
                else sizeBandCandidates(sh, threshold, saltR)
     val shh = hashedShingles(sh)
+    // payload re-attach joins: the candidate side is the blow-up (often
+    // 100-1000x corpus rows) and the shingle side is corpus-sized, so a
+    // sort-merge join pays an O(C log C) sort + spill on the candidates —
+    // twice, the second time with the first side's array payload already
+    // attached. shuffle_hash builds the per-partition table from the
+    // SMALL side and streams the candidates through it (the triangle
+    // closing-join rule, GraphOps.triangleFrames); the build partition is
+    // corpus_bytes / shuffle.partitions, bounded by the partitions-sized-
+    // to-data config rule. Same pattern at every verify stage below.
     cand
-      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
-      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b")), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
@@ -124,8 +135,10 @@ object Dedup {
     val cand = containmentCandidates(sh, threshold)
     val shh = hashedShingles(sh)
     cand
-      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
-      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b")), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("containment", $"common" / $"sz_a")
       .filter($"containment" >= threshold)
@@ -197,9 +210,9 @@ object Dedup {
                else crossSizeBandCandidates(shL, shR, threshold, saltR)
     cand
       .join(hashedShingles(shL).select($"id".as("id_l"), $"shh".as("sh_a"),
-        $"sz".as("sz_a")), "id_l")
+        $"sz".as("sz_a")).hint("shuffle_hash"), "id_l")
       .join(hashedShingles(shR).select($"id".as("id_r"), $"shh".as("sh_b"),
-        $"sz".as("sz_b")), "id_r")
+        $"sz".as("sz_b")).hint("shuffle_hash"), "id_r")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
@@ -396,8 +409,10 @@ object Dedup {
     val cand = minhashCandidates(sh, numHashes, bands)
     val shh = hashedShingles(sh)
     cand
-      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")), "id_a")
-      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b")), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
@@ -545,8 +560,10 @@ object Dedup {
       .select($"a.id".as("id_a"), $"b.id".as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(v.select($"id".as("id_a"), $"v".as("va")), "id_a")
-      .join(v.select($"id".as("id_b"), $"v".as("vb")), "id_b")
+      .join(v.select($"id".as("id_a"), $"v".as("va")).hint("shuffle_hash"),
+        "id_a")
+      .join(v.select($"id".as("id_b"), $"v".as("vb")).hint("shuffle_hash"),
+        "id_b")
       .withColumn("score", cosineUnit($"va", $"vb"))
       .filter($"score" > threshold)
       .select($"id_a", $"id_b", $"score")
@@ -585,8 +602,10 @@ object Dedup {
         $"a.cell" === $"b.cell" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"))
     cand
-      .join(v.select($"id".as("id_a"), $"v".as("va")), "id_a")
-      .join(v.select($"id".as("id_b"), $"v".as("vb")), "id_b")
+      .join(v.select($"id".as("id_a"), $"v".as("va")).hint("shuffle_hash"),
+        "id_a")
+      .join(v.select($"id".as("id_b"), $"v".as("vb")).hint("shuffle_hash"),
+        "id_b")
       .withColumn("score", cosineUnit($"va", $"vb"))
       .filter($"score" > threshold)
       .select($"id_a", $"id_b", $"score")
