@@ -499,7 +499,10 @@ object Dedup {
       .withColumn("probe",
         explode(transform(typedLit(masks), m => $"piece".bitwiseXOR(m))))
     val build = chunked(sigs)
-    probe.as("a").join(build.as("b"),
+    // probe side is the mask expansion (1+16+120 keys/chunk at e=2 — a
+    // ~137x blow-up); build is 4 rows/doc. Hash-build the small side so
+    // the expansion streams unsorted (the attach-join rule above).
+    probe.as("a").join(build.as("b").hint("shuffle_hash"),
         $"a.chunk" === $"b.chunk" && $"a.probe" === $"b.piece" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         hamming64($"a.sig", $"b.sig").cast("long").as("hamming"))
