@@ -32,6 +32,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime SMJ -> shuffled-hash conversion from ACTUAL map-output
+      // sizes (off by default): candidate-verify and wedge-closing joins
+      // stream a blow-up side against a corpus-sized build side, and the
+      // sort-merge sort on the blow-up grows strictly faster than the
+      // data. With this set, AQE hash-builds any side whose largest
+      // build partition fits 128 MB — and still prefers broadcast below
+      // the broadcast threshold — so toy corpora broadcast, mid-scale
+      // hash-builds, and only genuinely unbuildable sides sort-merge.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (128L << 20).toString)
       // scans: 128m splits; small-file coalescing happens via AQE
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -86,16 +86,18 @@ object Dedup {
     // 100-1000x corpus rows) and the shingle side is corpus-sized, so a
     // sort-merge join pays an O(C log C) sort + spill on the candidates —
     // twice, the second time with the first side's array payload already
-    // attached. shuffle_hash builds the per-partition table from the
-    // SMALL side and streams the candidates through it (the triangle
-    // closing-join rule, GraphOps.triangleFrames); the build partition is
-    // corpus_bytes / shuffle.partitions, bounded by the partitions-sized-
-    // to-data config rule. Same pattern at every verify stage below.
+    // attached. GraftSession's AQE maxShuffledHashJoinLocalMapThreshold
+    // hash-builds the SMALL side from actual map-output sizes instead
+    // (the triangle closing-join rule, GraphOps.triangleFrames), while
+    // toy corpora keep AQE's broadcast conversion — a static
+    // shuffle_hash hint here measured 25% faster at 50k docs but blocked
+    // the broadcast that wins at 5k. Same pattern at every verify stage
+    // below.
     cand
-      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")),
+        "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b")),
+        "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
@@ -135,10 +137,9 @@ object Dedup {
     val cand = containmentCandidates(sh, threshold)
     val shh = hashedShingles(sh)
     cand
-      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")),
+        "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b")), "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("containment", $"common" / $"sz_a")
       .filter($"containment" >= threshold)
@@ -210,9 +211,9 @@ object Dedup {
                else crossSizeBandCandidates(shL, shR, threshold, saltR)
     cand
       .join(hashedShingles(shL).select($"id".as("id_l"), $"shh".as("sh_a"),
-        $"sz".as("sz_a")).hint("shuffle_hash"), "id_l")
+        $"sz".as("sz_a")), "id_l")
       .join(hashedShingles(shR).select($"id".as("id_r"), $"shh".as("sh_b"),
-        $"sz".as("sz_b")).hint("shuffle_hash"), "id_r")
+        $"sz".as("sz_b")), "id_r")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
@@ -409,10 +410,10 @@ object Dedup {
     val cand = minhashCandidates(sh, numHashes, bands)
     val shh = hashedShingles(sh)
     cand
-      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a"))
-        .hint("shuffle_hash"), "id_a")
-      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b"))
-        .hint("shuffle_hash"), "id_b")
+      .join(shh.select($"id".as("id_a"), $"shh".as("sh_a"), $"sz".as("sz_a")),
+        "id_a")
+      .join(shh.select($"id".as("id_b"), $"shh".as("sh_b"), $"sz".as("sz_b")),
+        "id_b")
       .withColumn("common", sortedCountCommon($"sh_a", $"sh_b").cast("double"))
       .withColumn("jaccard", $"common" / ($"sz_a" + $"sz_b" - $"common"))
       .filter($"jaccard" >= threshold)
@@ -500,9 +501,10 @@ object Dedup {
         explode(transform(typedLit(masks), m => $"piece".bitwiseXOR(m))))
     val build = chunked(sigs)
     // probe side is the mask expansion (1+16+120 keys/chunk at e=2 — a
-    // ~137x blow-up); build is 4 rows/doc. Hash-build the small side so
-    // the expansion streams unsorted (the attach-join rule above).
-    probe.as("a").join(build.as("b").hint("shuffle_hash"),
+    // ~137x blow-up); build is 4 rows/doc. AQE's runtime SHJ conversion
+    // (GraftSession) hash-builds the small side so the expansion streams
+    // unsorted at scale, and broadcasts it on toy corpora.
+    probe.as("a").join(build.as("b"),
         $"a.chunk" === $"b.chunk" && $"a.probe" === $"b.piece" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         hamming64($"a.sig", $"b.sig").cast("long").as("hamming"))
@@ -563,10 +565,8 @@ object Dedup {
       .select($"a.id".as("id_a"), $"b.id".as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(v.select($"id".as("id_a"), $"v".as("va")).hint("shuffle_hash"),
-        "id_a")
-      .join(v.select($"id".as("id_b"), $"v".as("vb")).hint("shuffle_hash"),
-        "id_b")
+      .join(v.select($"id".as("id_a"), $"v".as("va")), "id_a")
+      .join(v.select($"id".as("id_b"), $"v".as("vb")), "id_b")
       .withColumn("score", cosineUnit($"va", $"vb"))
       .filter($"score" > threshold)
       .select($"id_a", $"id_b", $"score")
@@ -605,10 +605,8 @@ object Dedup {
         $"a.cell" === $"b.cell" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"))
     cand
-      .join(v.select($"id".as("id_a"), $"v".as("va")).hint("shuffle_hash"),
-        "id_a")
-      .join(v.select($"id".as("id_b"), $"v".as("vb")).hint("shuffle_hash"),
-        "id_b")
+      .join(v.select($"id".as("id_a"), $"v".as("va")), "id_a")
+      .join(v.select($"id".as("id_b"), $"v".as("vb")), "id_b")
       .withColumn("score", cosineUnit($"va", $"vb"))
       .filter($"score" > threshold)
       .select($"id_a", $"id_b", $"score")

@@ -330,12 +330,15 @@ object GraphOps {
       .select("s", "a", "b")
     // closing join: the wedge side is O(m^1.5) rows — orders of magnitude
     // larger than the m-row oriented list — so a sort-merge join pays an
-    // O(W log W) sort + spill on the blow-up. A shuffled-hash build on the
-    // SMALL side streams the wedges through per-partition hash probes
-    // instead (the edge list splits to a few-hundred-KB build per task);
-    // measured 66 -> ~40 s on the 14M-edge sf1 co-purchase graph.
+    // O(W log W) sort + spill on the blow-up. GraftSession's AQE
+    // maxShuffledHashJoinLocalMapThreshold converts this to a
+    // shuffled-hash build on the SMALL side from actual map-output sizes
+    // (the edge list splits to a few-hundred-KB build per task): measured
+    // 66 -> ~40 s on the 14M-edge sf1 co-purchase graph, and tiny graphs
+    // still broadcast. No static hint — a hint would also block the
+    // broadcast conversion that wins at small sizes.
     val tri = wedges.join(
-      oriented.select(col("s").as("a"), col("t").as("b")).hint("shuffle_hash"),
+      oriented.select(col("s").as("a"), col("t").as("b")),
       Seq("a", "b"))
     (e, deg, tri)
   }
