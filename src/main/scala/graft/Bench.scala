@@ -286,7 +286,9 @@ object Bench {
       // first build's index frame is dropped so rep2 does identical work.
       val build = probed("x_ivf_build") {
         val walls = (1 to 2).map { i =>
-          if (indexedP != null) indexedP.unpersist()
+          // blocking: async eviction of rep1's blocks otherwise overlaps
+          // rep2's timed region (a row graded against a tight anchor band)
+          if (indexedP != null) indexedP.unpersist(blocking = true)
           val t = timed {
             val (ix, cs) = SimilaritySearch.ivfBuildKMeans(scaled, "vec_id",
               "embedding", nCells = 32, totalHint = Some(n))
@@ -335,7 +337,8 @@ object Bench {
       System.gc() // untimed gap: live-set pinning, same as x_ivf_build
       val pqBuild = probed("x_pq_build") {
         val walls = (1 to 2).map { i =>
-          if (encodedP != null) encodedP.unpersist()
+          // blocking: same timed-region isolation as x_ivf_build above
+          if (encodedP != null) encodedP.unpersist(blocking = true)
           val t = timed {
             val model = SimilaritySearch.pqTrain(scaled, "embedding",
               m = 16, ksub = 32)
@@ -1361,6 +1364,25 @@ object Bench {
     kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
 
+  /** Whether `maxHeapBytes` suffices for a suite run over a fixture of
+    * `fixtureBytes` on-disk parquet. Empirical rule from the recorded
+    * runs: the full suite wants ~300x the fixture's compressed footprint
+    * of driver heap (sf0.1 = 17.5 MB runs at the 8g default = 460x; sf1
+    * ~175 MB needs the documented 64g = 374x and OOMs in the q92 warmup
+    * at 8g = 46x — NOTES_r11 §8). A startup check, not a limit: the
+    * pre-r12 behavior was to OOM 20 minutes into the run. */
+  private[graft] def heapSufficient(fixtureBytes: Long,
+      maxHeapBytes: Long): Boolean =
+    maxHeapBytes >= 300L * fixtureBytes
+
+  private def fixtureFootprint(sfDir: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+      else f.length()
+    val d = new java.io.File(sfDir)
+    if (d.exists) size(d) else 0L
+  }
+
   /** Optional args (useful under a warm sbt shell where env vars are fixed):
     * `runMain graft.Bench [only=q15_jaccard_pairs,...] [reps=N] [sf=DIR]`. */
   def main(args: Array[String]): Unit = {
@@ -1374,6 +1396,19 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")).toInt
     val only = argMap.get("only").orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail fast on an under-provisioned scale run (VERDICT r11 task 4):
+    // the sf1 suite OOMs mid-run in the q92 warmup at the 8g default —
+    // previously only prose in NOTES_r11 §8, now a startup check that
+    // names the requirement instead of dying 20 minutes in.
+    locally {
+      val fixtureBytes = fixtureFootprint(sfDir)
+      val maxHeap = Runtime.getRuntime.maxMemory
+      require(heapSufficient(fixtureBytes, maxHeap),
+        s"driver heap ${maxHeap >> 20} MB is under-provisioned for the " +
+          s"${fixtureBytes >> 20} MB fixture at $sfDir (need ~300x the " +
+          "on-disk parquet bytes): sf1-class runs require " +
+          "SPARK_DRIVER_MEM=64g (NOTES_r11 §8)")
+    }
     // GraftSession: the engine's opinionated configs (extensions, AQE +
     // skew-join, partition sizing) are what the bench measures
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -1513,14 +1548,34 @@ object Bench {
       } => name -> times.min
     }.sortBy(-_._2).take(8).map(_._1).toSet
     val runs: Seq[(String, Seq[Double])] = firstPass.map { case (name, times) =>
-      val (pb, pa) = probes(name)
-      if (toRetry(name)) {
+      if (!toRetry(name)) name -> times
+      else {
         blockRetried += name
-        val times2 = repBlock(name) // overwrites probes(name) with its own
-        val clean2 = probeInBand(probes(name)._1) && probeInBand(probes(name)._2)
-        if (clean2 || times2.min < times.min) name -> times2
-        else { probes(name) = (pb, pa); name -> times }
-      } else name -> times
+        // <= 2 bounded re-runs (VERDICT r11 task 8): the r11 sf1 artifact
+        // carried four flagged rows whose single retry landed in another
+        // burst — a second attempt (with its own probes) would have
+        // cleaned them for ~1 min of suite time. A probe-clean attempt
+        // always wins over a dirty one; among dirty attempts the better
+        // min stands. Every attempt's min lands in row_stats as the
+        // in-artifact retry trail.
+        var bestTimes = times
+        var bestProbes = probes(name)
+        var bestClean = false
+        var attempt = 0
+        while (attempt < 2 && !bestClean) {
+          attempt += 1
+          val times2 = repBlock(name) // overwrites probes(name) with its own
+          val p2 = probes(name)
+          val clean2 = probeInBand(p2._1) && probeInBand(p2._2)
+          recordStat(name, s"retry${attempt}_min", times2.min)
+          if (times2.forall(_ >= 0) &&
+              (clean2 || times2.min < bestTimes.min)) {
+            bestTimes = times2; bestProbes = p2; bestClean = clean2
+          }
+        }
+        probes(name) = bestProbes
+        name -> bestTimes
+      }
     }
     // extras run on a full bench, or when named in `only` ("x_vec",
     // "x_ingest", "x_dedup") — so a contended-run row can be re-anchored
@@ -1538,78 +1593,127 @@ object Bench {
         probes(tag) = (pb, probeOnce(spark))
         r
       }
+    // Extras block retry (round 12 — VERDICT r11 task 1): the r11 driver
+    // artifact FLAGGED x_dedup_minhash_50k (91.1 s, probes at 11x the
+    // run's floor) yet shipped `retried: []` — the retry budget only
+    // covered headline rep blocks, so the round's headline optimization
+    // had no clean reading in the artifact of record. Any extras block
+    // whose KEPT rows carry an out-of-band probe is re-run whole
+    // (<= 2 attempts per block, <= 4 block re-runs per suite so a
+    // persistently contended box degrades to flagged rows rather than
+    // looping). Per row, a probe-clean attempt beats a dirty one; among
+    // equally-(un)clean attempts the lower wall wins. Every superseded
+    // reading lands in row_stats (`retryN_prev`) and retried blocks are
+    // named in the JSON `extras_retried` — the in-artifact retry trail.
+    type ProbePair = ((Double, Double), (Double, Double))
+    val extrasRetried = scala.collection.mutable.LinkedHashMap[String, Int]()
+    var extrasRetryBudget = 4
+    case class ExtraRow(min: Double, medv: Double, probe: Option[ProbePair])
+    def retryingExtrasPair(blockTag: String)(
+        run: ((String, ProbePair) => Unit)
+          => (Seq[(String, Double)], Seq[(String, Double)]))
+        : (Seq[(String, Double)], Seq[(String, Double)]) = {
+      def attempt(): Seq[(String, ExtraRow)] = {
+        val local =
+          scala.collection.mutable.LinkedHashMap[String, ProbePair]()
+        val (mins0, meds0) = run((t, pp) => local(t) = pp)
+        val medMap = meds0.toMap
+        mins0.map { case (t, v) =>
+          t -> ExtraRow(v, medMap.getOrElse(t, v), local.get(t)) }
+      }
+      def isClean(pp: Option[ProbePair]): Boolean =
+        pp.exists(q => probeInBand(q._1) && probeInBand(q._2))
+      def dirty(rows: Seq[(String, ExtraRow)]): Boolean =
+        rows.exists { case (_, a) =>
+          a.min >= 0 && a.probe.isDefined && !isClean(a.probe) }
+      var best = attempt()
+      var tries = 0
+      while (dirty(best) && tries < 2 && extrasRetryBudget > 0) {
+        tries += 1; extrasRetryBudget -= 1
+        extrasRetried(blockTag) = tries
+        best.foreach { case (t, a) =>
+          recordStat(t, s"retry${tries}_prev", a.min) }
+        val next = attempt().toMap
+        best = best.map { case prev @ (t, a) =>
+          next.get(t) match {
+            case Some(n) if n.min >= 0 || a.min < 0 =>
+              val (c1, c2) = (isClean(a.probe), isClean(n.probe))
+              val takeNext =
+                if (c1 != c2) c2
+                else n.min >= 0 && (a.min < 0 || n.min < a.min)
+              if (takeNext) t -> n else prev
+            case _ => prev
+          }
+        }
+      }
+      best.foreach { case (t, a) => a.probe.foreach(probes(t) = _) }
+      (best.map { case (t, a) => t -> a.min },
+        best.map { case (t, a) => t -> a.medv })
+    }
+    def retryingExtrasSeq(blockTag: String, want: Boolean)(
+        run: ((String, ProbePair) => Unit) => Seq[(String, Double)])
+        : Seq[(String, Double)] =
+      if (!want) Seq.empty
+      else retryingExtrasPair(blockTag)(cb => { val r = run(cb); (r, r) })._1
     val (vecMin, vecMed) =
       if (wantExtra("x_vec"))
-        scaledVectorBench(spark, sfDir, reps, (tag, p) => probes(tag) = p)
+        retryingExtrasPair("x_vec")(cb =>
+          scaledVectorBench(spark, sfDir, reps, cb))
       else (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
-    val ingestBench = probedBlock("x_ingest_embed_index", wantExtra("x_ingest"),
-      Seq.empty[(String, Double)]) { ingestEmbedIndexBench(spark) }
+    val ingestBench =
+      retryingExtrasSeq("x_ingest", wantExtra("x_ingest")) { cb =>
+        val pb = probeOnce(spark)
+        val r = ingestEmbedIndexBench(spark)
+        val pp = (pb, probeOnce(spark))
+        r.foreach { case (t, _) => cb(t, pp) }
+        r
+      }
     recordStat("jobconst", "mid_per_job", jobConstProbe(spark))
-    val dedupScaled =
-      if (wantExtra("x_dedup"))
-        scaledDedupBench(spark, sfDir, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val dedupScaled = retryingExtrasSeq("x_dedup", wantExtra("x_dedup"))(
+      cb => scaledDedupBench(spark, sfDir, cb))
     // OPT-IN only (never on a bare full run): ~5 min stress block
-    val dedup200 =
-      if (only.exists(_.contains("x_dedup200")))
-        scaledDedup200Bench(spark, sfDir, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val dedup200 = retryingExtrasSeq("x_dedup200",
+      only.exists(_.contains("x_dedup200")))(
+      cb => scaledDedup200Bench(spark, sfDir, cb))
     // OPT-IN only: fuzzy-join candidate growth (150k -> 600k keys)
-    val fuzzy600 =
-      if (only.exists(_.contains("x_fuzzy600")))
-        scaledFuzzy600Bench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val fuzzy600 = retryingExtrasSeq("x_fuzzy600",
+      only.exists(_.contains("x_fuzzy600")))(
+      cb => scaledFuzzy600Bench(spark, cb))
     // OPT-IN only: containment-join candidate growth (50k -> 200k docs)
-    val containment =
-      if (only.exists(_.contains("x_containment")))
-        scaledContainmentBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val containment = retryingExtrasSeq("x_containment",
+      only.exists(_.contains("x_containment")))(
+      cb => scaledContainmentBench(spark, cb))
     // OPT-IN only: cross-relation jaccard candidate growth (50k -> 200k)
-    val crossJac =
-      if (only.exists(_.contains("x_cross")))
-        crossJaccardBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val crossJac = retryingExtrasSeq("x_cross",
+      only.exists(_.contains("x_cross")))(
+      cb => crossJaccardBench(spark, cb))
     // OPT-IN only: label-propagation growth (500k -> 2M edges)
-    val lpa =
-      if (only.exists(_.contains("x_lpa")))
-        lpaGrowthBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val lpa = retryingExtrasSeq("x_lpa",
+      only.exists(_.contains("x_lpa")))(cb => lpaGrowthBench(spark, cb))
     // OPT-IN only: k-core growth (500k -> 2M edges) + instrumented fixture
-    val kcore =
-      if (only.exists(_.contains("x_kcore")))
-        kcoreGrowthBench(spark, sfDir, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val kcore = retryingExtrasSeq("x_kcore",
+      only.exists(_.contains("x_kcore")))(
+      cb => kcoreGrowthBench(spark, sfDir, cb))
     // OPT-IN only: incremental-CC fold cost vs corpus size
-    val incCc =
-      if (only.exists(_.contains("x_inc_cc")))
-        incCcBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val incCc = retryingExtrasSeq("x_inc_cc",
+      only.exists(_.contains("x_inc_cc")))(cb => incCcBench(spark, cb))
     // OPT-IN only: CC regime adjudication (block union-find vs stars loop)
-    val ccGrowth =
-      if (only.exists(_.contains("x_cc")))
-        ccGrowthBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val ccGrowth = retryingExtrasSeq("x_cc",
+      only.exists(_.contains("x_cc")))(cb => ccGrowthBench(spark, cb))
     // OPT-IN only: the jaccard row alone in a fresh JVM (drift adjudication)
-    val jacSolo =
-      if (only.exists(_.contains("x_jac_solo")))
-        jaccardSoloBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val jacSolo = retryingExtrasSeq("x_jac_solo",
+      only.exists(_.contains("x_jac_solo")))(
+      cb => jaccardSoloBench(spark, cb))
     // OPT-IN only: skyline over 4M synthetic points
-    val skyline =
-      if (only.exists(_.contains("x_skyline")))
-        skylineBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val skyline = retryingExtrasSeq("x_skyline",
+      only.exists(_.contains("x_skyline")))(cb => skylineBench(spark, cb))
     // anchored k=2 fuzzy row: full bench or `only=x_fuzzy_k2`
-    val fuzzyK2 =
-      if (wantExtra("x_fuzzy_k2"))
-        fuzzyK2Bench(spark, sfDir, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val fuzzyK2 = retryingExtrasSeq("x_fuzzy_k2", wantExtra("x_fuzzy_k2"))(
+      cb => fuzzyK2Bench(spark, sfDir, cb))
     // anchored sparse tf-idf row on the large-vocab corpus: full bench or
     // `only=x_tfidf`
-    val tfidf =
-      if (wantExtra("x_tfidf"))
-        tfidfBench(spark, (tag, p) => probes(tag) = p)
-      else Seq.empty
+    val tfidf = retryingExtrasSeq("x_tfidf", wantExtra("x_tfidf"))(
+      cb => tfidfBench(spark, cb))
     recordStat("jobconst", "end_per_job", jobConstProbe(spark))
     val sentAfter = sentinels(spark, reps)
 
@@ -1645,6 +1749,8 @@ object Bench {
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val blockRetriedJson =
       blockRetried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val extrasRetriedJson = extrasRetried
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Machine adjudication IN the artifact (round 11 — VERDICT r10 task 3):
     // the r10 run shipped 7.7x medians whose elevated probes lived only in
     // bench_full.json, so the graded compact line carried poisoned numbers
@@ -1683,7 +1789,7 @@ object Bench {
     // directly, AND to stdout for manual runs. Field order puts probes
     // BEFORE the query maps so whatever slice of this line survives in
     // the tail window ends with queries_median + sentinel (VERDICT r6 #1).
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps%d,"retried":$retriedJson%s,"block_retried":$blockRetriedJson%s,"machine_flagged":$machineFlaggedJson%s,"probe_floor":{"cpu":$cpuFloorUsed%.3f,"par":$parFloorUsed%.3f},"probes":$probesJson%s,"row_stats":$rowStatsJson%s,"queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps%d,"retried":$retriedJson%s,"block_retried":$blockRetriedJson%s,"extras_retried":$extrasRetriedJson%s,"machine_flagged":$machineFlaggedJson%s,"probe_floor":{"cpu":$cpuFloorUsed%.3f,"par":$parFloorUsed%.3f},"probes":$probesJson%s,"row_stats":$rowStatsJson%s,"queries":${jsonMap(mins)}%s,"queries_median":${jsonMap(meds)}%s,"sentinel":${jsonMap(sent)}%s,"sf":"$sfDir%s"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (fullJson + "\n").getBytes("UTF-8"))

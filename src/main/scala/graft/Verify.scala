@@ -11,13 +11,11 @@ object Verify {
     // what correctness actually runs through — not a bare builder
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // scale-gate sizing (sf1 runs): shuffle partitions sized to the DATA,
-    // not the core count — the 50k-doc minhash/jaccard verifies move
-    // ~40M candidate rows with ~1 KB payloads and need the 256-partition
-    // sizing the bench's dedup block documents; AQE coalesces the small
-    // queries back down, so a high default costs the rest nothing
-    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    // scale-gate sizing (sf1 runs): SPARK_GRAFT_SHUFFLE_PARTITIONS is
+    // honored (and validated) inside GraftSession.builder — the 50k-doc
+    // minhash/jaccard verifies move ~40M candidate rows with ~1 KB
+    // payloads and need the 256-partition sizing the bench's dedup block
+    // documents; AQE coalesces the small queries back down for free
     new java.io.File(outDir).mkdirs()
     // iteration aid: SPARK_GRAFT_VERIFY_ONLY=q67,q80 dumps just the named
     // query prefixes (driver runs with it unset → full surface);

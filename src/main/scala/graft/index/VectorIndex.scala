@@ -191,7 +191,7 @@ final class VectorIndex private (
     * working set is the code column, not the vectors. With `refine` deep
     * enough that candidates cover the true top-k this equals exact
     * [[search]] (spec-verified on the fixture). */
-  def searchPq(queryVec: Array[Float], k: Int = 5, refine: Int = 16,
+  def searchPq(queryVec: Array[Float], k: Int = 5, refine: Int = -1,
       columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val model = pqModel.getOrElse(
@@ -216,7 +216,7 @@ final class VectorIndex private (
     * scan — PlanShapeSpec-guarded); an in-session build keeps state on a
     * row-based localCheckpoint RDD, which always deserializes whole rows. */
   def searchIvfPq(queryVec: Array[Float], k: Int = 5, nProbe: Int = -1,
-      refine: Int = 16, columns: Seq[String] = Seq.empty): DataFrame = {
+      refine: Int = -1, columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val cents = ivfCents.getOrElse(
       throw new IllegalStateException(s"index $name has no IVF layout; run buildIvf"))
@@ -250,7 +250,7 @@ final class VectorIndex private (
     * codes picks `k * refine` candidates, exact re-rank follows. SQ8's
     * distortion is low enough that `refine = 2` recovers exact [[search]]
     * on the fixture (spec-verified) where PQ needs 16. */
-  def searchSq(queryVec: Array[Float], k: Int = 5, refine: Int = 2,
+  def searchSq(queryVec: Array[Float], k: Int = 5, refine: Int = -1,
       columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val model = sqModel.getOrElse(
@@ -272,7 +272,7 @@ final class VectorIndex private (
     * caveat as [[searchIvfPq]]: the compressed-scan payoff needs a
     * [[save]]d+[[VectorIndex.load]]ed index. */
   def searchIvfSq(queryVec: Array[Float], k: Int = 5, nProbe: Int = -1,
-      refine: Int = 2, columns: Seq[String] = Seq.empty): DataFrame = {
+      refine: Int = -1, columns: Seq[String] = Seq.empty): DataFrame = {
     require(queryVec.length == dim, s"query dim ${queryVec.length} != $dim")
     val cents = ivfCents.getOrElse(
       throw new IllegalStateException(s"index $name has no IVF layout; run buildIvf"))

@@ -69,6 +69,7 @@ object Dedup {
     require(Set("auto", "prefix", "size")(blocking),
       s"blocking must be auto|prefix|size, got $blocking")
     val spark = df.sparkSession
+    graft.GraftSession.warnIfNoRuntimeShj(spark, "Dedup.ngramJaccardPairs")
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
     val sh = shingleSets(df, pk, textCol, n)
@@ -404,6 +405,7 @@ object Dedup {
       n: Int = 3, numHashes: Int = 48, bands: Int = 6,
       threshold: Double = 0.7): DataFrame = {
     val spark = df.sparkSession
+    graft.GraftSession.warnIfNoRuntimeShj(spark, "Dedup.minhashPairs")
     import spark.implicits._
     import graft.expressions.VectorExpressions.sortedCountCommon
     val sh = shingleSets(df, pk, textCol, n)
@@ -466,6 +468,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, pk: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
+    graft.GraftSession.warnIfNoRuntimeShj(spark, "Dedup.simhashPairs")
     import spark.implicits._
     simhashCandidates(df, pk, textCol, maxHamming)
       .filter($"hamming" <= maxHamming)

@@ -303,6 +303,8 @@ object GraphOps {
     * join. Two-three longs per edge is cheap to hold. */
   private def triangleFrames(edges: DataFrame, srcCol: String,
       dstCol: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.GraftSession.warnIfNoRuntimeShj(edges.sparkSession,
+      "GraphOps.triangleFrames")
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))

@@ -109,7 +109,7 @@ object ScalarQuantization {
     * `cell` AND `sq_code`. */
   def ivfSqSearch(indexed: DataFrame, centroids: Array[Array[Float]],
       model: SqModel, pk: String, query: Array[Float], k: Int,
-      nProbe: Int = -1, refine: Int = 2,
+      nProbe: Int = -1, refine: Int = -1,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val probeCells = centroids.indices
@@ -129,15 +129,17 @@ object ScalarQuantization {
     * covers the true top-k in practice (spec pins equality on the
     * fixture); `exactSource = None` returns ADC scores directly. */
   def sqSearch(encoded: DataFrame, model: SqModel, pk: String,
-      query: Array[Float], k: Int, refine: Int = 2,
+      query: Array[Float], k: Int, refine: Int = -1,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
+    val rf = SimilaritySearch.resolveRefine(refine,
+      SimilaritySearch.SqRefineCertified)
     val (scaled, bias) = model.queryFactors(query)
     val candidates = encoded
       .withColumn("adc_score",
         graft.expressions.VectorExpressions.sqAdcDot(col("sq_code"),
           scaled, bias))
       .orderBy(desc("adc_score"), col(pk))
-      .limit(k * refine)
+      .limit(k * rf)
     exactSource match {
       case None => candidates.drop("sq_code").limit(k)
       case Some((source, vecCol)) =>

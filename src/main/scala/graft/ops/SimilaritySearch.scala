@@ -269,9 +269,10 @@ object SimilaritySearch {
   def knnJoinIvfPq(queries: DataFrame, indexed: DataFrame,
       centroids: Array[Array[Float]], model: PqModel, qPk: String,
       cPk: String, vecCol: String, k: Int, nProbe: Int = -1,
-      refine: Int = 8,
+      refine: Int = -1,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
     val probe = resolveProbe(nProbe, centroids.length)
+    val rf = resolveRefine(refine, PqRefineCertified)
     requireIntegralPks(queries, qPk, indexed, cPk)
     val spark = indexed.sparkSession
     import spark.implicits._
@@ -286,7 +287,7 @@ object SimilaritySearch {
       .select($"query_id", col(cPk),
         graft.expressions.VectorExpressions
           .pqAdcDotLut(col("pq_code"), $"__lut").as("adc_score"))
-    rankRefine(scored, queries, qPk, cPk, vecCol, k, refine, exactSource)
+    rankRefine(scored, queries, qPk, cPk, vecCol, k, rf, exactSource)
   }
 
   /** Batch IVF-SQ — [[knnJoinIvfPq]]'s construction with the SQ8 FMA scan
@@ -296,8 +297,9 @@ object SimilaritySearch {
     * batch-independent — is the only broadcast model state), routing is
     * the same cell equi-join, and [[graft.expressions.SqAdcDotLut]] reads
     * each scored row's factors from the join side. Near-lossless codes
-    * keep the default `refine = 2` where PQ needs 16, so the bounded
-    * re-rank reads 8x fewer raw vectors per query. `nProbe >= nCells`
+    * certify `refine = 2` where PQ certifies 16 (`refine = -1` resolves
+    * each from [[operatingPoint]]'s depths), so the bounded re-rank
+    * reads 8x fewer raw vectors per query. `nProbe >= nCells`
     * with that refine provably equals exact [[knnJoin]] (spec-verified;
     * q88 oracles it). Result: `(query_id, cPk, score, rank)`; integral
     * pks required. */
@@ -305,9 +307,10 @@ object SimilaritySearch {
       centroids: Array[Array[Float]],
       model: graft.ops.ScalarQuantization.SqModel, qPk: String,
       cPk: String, vecCol: String, k: Int, nProbe: Int = -1,
-      refine: Int = 2,
+      refine: Int = -1,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
     val probe = resolveProbe(nProbe, centroids.length)
+    val rf = resolveRefine(refine, SqRefineCertified)
     requireIntegralPks(queries, qPk, indexed, cPk)
     val spark = indexed.sparkSession
     import spark.implicits._
@@ -320,7 +323,7 @@ object SimilaritySearch {
       .select($"query_id", col(cPk),
         graft.expressions.VectorExpressions
           .sqAdcDotLut(col("sq_code"), $"__f").as("adc_score"))
-    rankRefine(scored, queries, qPk, cPk, vecCol, k, refine, exactSource)
+    rankRefine(scored, queries, qPk, cPk, vecCol, k, rf, exactSource)
   }
 
   /** Shared tail of the batch compressed-retrieval paths: per-query rank
@@ -784,14 +787,15 @@ object SimilaritySearch {
     * (spec-verified; q44 oracles it against the q11 SQL). `exactSource =
     * None` skips the re-rank and returns ADC scores directly. */
   def pqSearch(encoded: DataFrame, model: PqModel, pk: String,
-      query: Array[Float], k: Int, refine: Int = 8,
+      query: Array[Float], k: Int, refine: Int = -1,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
+    val rf = resolveRefine(refine, PqRefineCertified)
     val lut = model.lut(query)
     val candidates = encoded
       .withColumn("adc_score",
         graft.expressions.VectorExpressions.pqAdcDot(col("pq_code"), lut))
       .orderBy(desc("adc_score"), col(pk))
-      .limit(k * refine)
+      .limit(k * rf)
     exactSource match {
       case None => candidates.drop("pq_code").limit(k)
       case Some((source, vecCol)) =>
@@ -824,7 +828,7 @@ object SimilaritySearch {
     * plain SQL). `indexed` must carry `cell` AND `pq_code`. */
   def ivfPqSearch(indexed: DataFrame, centroids: Array[Array[Float]],
       model: PqModel, pk: String, query: Array[Float], k: Int,
-      nProbe: Int = -1, refine: Int = 8,
+      nProbe: Int = -1, refine: Int = -1,
       exactSource: Option[(DataFrame, String)] = None): DataFrame = {
     val probeCells = centroids.indices
       .sortBy(i => -dot(query, centroids(i)))
@@ -919,8 +923,20 @@ object SimilaritySearch {
     val root = math.sqrt(n.toDouble)
     val cells = math.min(65536,
       math.max(16, Integer.highestOneBit(root.toInt.max(1))))
-    IvfOperatingPoint(cells, probeFor(cells), 16, 2)
+    IvfOperatingPoint(cells, probeFor(cells), PqRefineCertified,
+      SqRefineCertified)
   }
+
+  /** The certified exact-rescore depths — [[operatingPoint]]'s refine
+    * fields for ANY n (resolution properties of the quantizer family, not
+    * corpus-size ones; measured in RECALL_sf1). These are the single
+    * source of truth behind every PQ/SQ serving surface's `refine = -1`
+    * default: round 11 shipped `knnJoinIvfPq` defaulting to half the
+    * certified PQ depth while `searchIvfPq` used the full one — a
+    * default-driven batch retrieval refined at a depth no recall artifact
+    * covered. */
+  val PqRefineCertified = 16
+  val SqRefineCertified = 2
 
   /** The [[operatingPoint]] probe count for a built cell count: the
     * constant ~12.5% probe-mass fraction the recall floor transfers at. */
@@ -947,5 +963,17 @@ object SimilaritySearch {
     val p = if (nProbe > 0) nProbe else probeFor(nCells)
     require(p >= 1, s"nProbe $p < 1")
     p
+  }
+
+  /** Resolve a caller's refine argument: explicit positive values pass
+    * through; the `-1` sentinel (every PQ/SQ `refine` default since
+    * round 12) resolves to the certified depth for the quantizer family
+    * ([[PqRefineCertified]]/[[SqRefineCertified]]) — the same
+    * no-constant-defaults rule as [[resolveProbe]], so "unspecified" can
+    * never mean a depth the recall artifact doesn't cover. */
+  private[graft] def resolveRefine(refine: Int, certified: Int): Int = {
+    val r = if (refine > 0) refine else certified
+    require(r >= 1, s"refine $r < 1")
+    r
   }
 }

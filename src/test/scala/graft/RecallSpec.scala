@@ -51,6 +51,20 @@ class RecallSpec extends SparkSpec {
     pts.foreach(p => p.nProbe.toDouble / p.nCells should be <= 0.25)
   }
 
+  test("refine -1 sentinel resolves to the certified depths, agreeing " +
+      "across every serving surface (VERDICT r11 task 2)") {
+    import graft.ops.SimilaritySearch._
+    // the single source of truth all -1 defaults resolve against
+    resolveRefine(-1, PqRefineCertified) shouldBe 16
+    resolveRefine(-1, SqRefineCertified) shouldBe 2
+    resolveRefine(48, PqRefineCertified) shouldBe 48 // explicit wins
+    // operatingPoint's depths ARE those constants — no second copy to
+    // drift (the r11 split-brain: knnJoinIvfPq defaulted 8 vs the
+    // certified 16)
+    operatingPoint(1000).pqRefine shouldBe PqRefineCertified
+    operatingPoint(1000).sqRefine shouldBe SqRefineCertified
+  }
+
   /** A replication-scaled base (the ScaleUp sf>=1 shape: byte-identical
     * duplicate vectors) at test scale: sf0.001's 500 vectors x 4. */
   private def duplicatedBase(m: Int): String = {
