@@ -332,15 +332,31 @@ object GraphOps {
       .select("s", "a", "b")
     // closing join: the wedge side is O(m^1.5) rows — orders of magnitude
     // larger than the m-row oriented list — so a sort-merge join pays an
-    // O(W log W) sort + spill on the blow-up. GraftSession's AQE
-    // maxShuffledHashJoinLocalMapThreshold converts this to a
-    // shuffled-hash build on the SMALL side from actual map-output sizes
-    // (the edge list splits to a few-hundred-KB build per task): measured
-    // 66 -> ~40 s on the 14M-edge sf1 co-purchase graph, and tiny graphs
-    // still broadcast. No static hint — a hint would also block the
-    // broadcast conversion that wins at small sizes.
+    // O(W log W) sort + spill on the blow-up. Two regimes keep it
+    // hash-built instead:
+    //   - small-to-mid graphs: NO hint — GraftSession's AQE
+    //     maxShuffledHashJoinLocalMapThreshold converts from actual
+    //     map-output sizes, so toy graphs broadcast (a static hint here
+    //     regressed the 5k-doc oracle rows 25-60%) and mid-scale
+    //     hash-builds;
+    //   - large graphs (m >= spark.graft.graph.shjForceEdges, default
+    //     2M): a static shuffle_hash hint on the ids-only build side.
+    //     The AQE conversion needs EVERY map partition of BOTH sides
+    //     under its threshold, and at 14M edges the WEDGE side's
+    //     partitions are GB-scale — the conversion silently reverts to
+    //     sort-merge exactly in the blow-up regime it exists for (r12
+    //     finding: q92/q97 at sf1 ran all-SMJ with in-band walls while
+    //     the spec asserted the conversion at toy scale only). Above the
+    //     threshold the graph cannot broadcast anyway (2M edges ~ 32 MB
+    //     serialized vs the 10 MB broadcast default), so the hint costs
+    //     nothing and pins the m-row build / W-row stream shape.
+    val m = oriented.count() // materialized frame: a cheap checkpoint scan
+    val forceEdges = edges.sparkSession.conf
+      .get("spark.graft.graph.shjForceEdges", "2000000").toLong
+    val closingBuild = oriented.select(col("s").as("a"), col("t").as("b"))
     val tri = wedges.join(
-      oriented.select(col("s").as("a"), col("t").as("b")),
+      if (m >= forceEdges) closingBuild.hint("shuffle_hash")
+      else closingBuild,
       Seq("a", "b"))
     (e, deg, tri)
   }

@@ -86,6 +86,36 @@ class BlowupJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("above the edge threshold the closing join hash-builds via the " +
+      "static hint EVEN WITHOUT the AQE conf (the sf1 regime)") {
+    // r12 finding: the AQE conversion needs every map partition of BOTH
+    // sides under its threshold, and the wedge side's partitions at sf1
+    // are GB-scale — so q92/q97 ran all-SMJ at exactly the scale the
+    // re-plan exists for. Above spark.graft.graph.shjForceEdges the
+    // build side (ids-only, too big to broadcast) gets a shuffle_hash
+    // hint; here the threshold is lowered to 1 and the AQE conf left
+    // UNSET so only the hint can produce the hash build.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.graft.graph.shjForceEdges", "1")
+    try {
+      val df = graft.queries.GraftQueries
+        .all("q92_triangles")(s, TestSpark.sf0001)
+      df.collect()
+      val nodes = finalNodes(df.queryExecution.executedPlan)
+      def keyNames(j: org.apache.spark.sql.execution.joins.BaseJoinExec) =
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet
+      val closing = nodes.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if Set("a", "b").subsetOf(keyNames(j)) => j
+      }
+      withClue("forced closing join without the AQE conf: ") {
+        closing should not be empty
+        closing.collect { case j: SortMergeJoinExec => j } shouldBe empty
+      }
+    } finally s.conf.unset("spark.graft.graph.shjForceEdges")
+  }
+
   test("blow-up ops warn ONCE (per JVM) under a session missing the " +
       "SHJ conversion, never under GraftSession's conf") {
     GraftSession.resetShjWarning()
