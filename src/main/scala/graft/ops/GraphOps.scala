@@ -282,6 +282,12 @@ object GraphOps {
       .select(col("te.u").as("u"), col("te.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("c"))
     val common = coalesce(col("c"), lit(0L))
+    // NO hint on these final m-vs-m joins (measured, r12): forcing the
+    // hash build read q97 sf1 cold at 59.8 s vs 41.8 s sort-merge —
+    // long-key sorts are Tungsten radix (effectively linear and cache-
+    // friendly), so sorting 14M-row sides beats building 14M-entry hash
+    // maps. The §c28 hint pays ONLY where the STREAM side is a blow-up
+    // (the closing join's W >> m rows, which the hash build never sorts).
     e.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .join(triEdges, Seq("u", "v"), "left")
