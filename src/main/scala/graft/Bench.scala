@@ -1360,6 +1360,50 @@ object Bench {
     } catch { case _: Throwable => Seq("x_ingest_embed_index" -> -1.0) }
   }
 
+  /** First-execution walls in THIS JVM — the honest proxy for a 100 TB
+    * one-shot job (VERDICT r12 task 7: the r12 cold readings, q92 sf1
+    * 135→56 s and q97 88→42 s, lived in BASELINE prose with no gradeable
+    * row). OPT-IN via `only=x_cold` and meant to run ALONE in a fresh
+    * JVM: it runs ahead of the headline warmup loop so a combined
+    * invocation cannot silently warm its paths, each row is the first
+    * execution of its operator chain, and there is deliberately NO
+    * retry — a re-run is warm by definition, so a dirty bracketing probe
+    * means rerun the whole JVM (the machine_flagged marker says so).
+    * The minhash corpus replicates the sfDir documents to ~50k rows
+    * (10x at sf0.1, 1x at sf1 — the anchored x_dedup scale); the row
+    * name carries the realized size. */
+  private def coldBench(spark: SparkSession, sfDir: String,
+      recordProbe: (String, ((Double, Double), (Double, Double))) => Unit)
+      : Seq[(String, Double)] = {
+    def coldRow(tag: String)(f: => Unit): (String, Double) = {
+      val pb = probeOnce(spark)
+      val t = try timed(f) catch { case _: Throwable => -1.0 }
+      recordProbe(tag, (pb, probeOnce(spark)))
+      tag -> t
+    }
+    val g = coldRow("x_cold_q92") {
+      force(SparkEntry.queries("q92_triangles")(spark, sfDir)) }
+    val j = coldRow("x_cold_q97") {
+      force(SparkEntry.queries("q97_edge_jaccard")(spark, sfDir)) }
+    // same in-block shuffle sizing as the anchored x_dedup row (data-
+    // sized partitions for the 40M-candidate verify join), restored after
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docReps = math.max(1L, 50000L / math.max(docs.count(), 1L)).toInt
+      val scaled = DedupStress.replicateDocs(docs, docReps)
+        .repartition(32).persist()
+      val n = scaled.count() / 1000
+      val m = coldRow(s"x_cold_minhash_${n}k") {
+        force(graft.ops.Dedup.minhashPairs(scaled, "doc_id", "text",
+          n = 1, numHashes = 48, bands = 6, threshold = 0.9)) }
+      scaled.unpersist()
+      Seq(g, j, m)
+    } catch { case _: Throwable => Seq(g, j, "x_cold_minhash" -> -1.0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+  }
+
   private def jsonMap(kvs: Seq[(String, Double)]): String =
     kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -1403,11 +1447,22 @@ object Bench {
     locally {
       val fixtureBytes = fixtureFootprint(sfDir)
       val maxHeap = Runtime.getRuntime.maxMemory
-      require(heapSufficient(fixtureBytes, maxHeap),
-        s"driver heap ${maxHeap >> 20} MB is under-provisioned for the " +
-          s"${fixtureBytes >> 20} MB fixture at $sfDir (need ~300x the " +
-          "on-disk parquet bytes): sf1-class runs require " +
-          "SPARK_DRIVER_MEM=64g (NOTES_r11 §8)")
+      if (!heapSufficient(fixtureBytes, maxHeap)) {
+        val msg =
+          s"driver heap ${maxHeap >> 20} MB is under-provisioned for the " +
+            s"${fixtureBytes >> 20} MB fixture at $sfDir (need ~300x the " +
+            "on-disk parquet bytes): sf1-class runs require " +
+            "SPARK_DRIVER_MEM=64g (NOTES_r11 §8)"
+        // The 300x rule is calibrated to the FULL suite's accumulated
+        // state; the documented solo-adjudication protocol runs single
+        // blocks at sf1 on 8-32g heaps and must not hard-fail at startup
+        // (ADVICE r12). Hard-fail only the full suite; `only=` subset
+        // runs (and SPARK_GRAFT_SKIP_HEAP_CHECK=1) get a loud warning.
+        val skip = sys.env.get("SPARK_GRAFT_SKIP_HEAP_CHECK").contains("1")
+        require(only.nonEmpty || skip, msg)
+        System.err.println(s"[bench] WARNING: $msg — proceeding (" +
+          (if (skip) "SPARK_GRAFT_SKIP_HEAP_CHECK=1" else "subset run") + ")")
+      }
     }
     // GraftSession: the engine's opinionated configs (extensions, AQE +
     // skew-join, partition sizing) are what the bench measures
@@ -1417,12 +1472,37 @@ object Bench {
     val queries = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
 
-    val sentBefore = sentinels(spark, reps)
-    // warmup: JVM/codegen/file-listing paths, untimed
-    queries.foreach { name =>
-      try force(SparkEntry.queries(name)(spark, sfDir))
-      catch { case _: Throwable => () }
+    // Warmup gate (round 13 — VERDICT r12 task 1): every driver round
+    // since r9 graded its first ~2 minutes in a cold regime (BENCH_r12:
+    // all 22 machine flags sat in the early suite under a 0.351
+    // before-sentinel, 2.7x the 0.13 floor, while everything after read
+    // 0.09-0.13 — the fourth consecutive round of the §c4 pattern), and
+    // early block-retries re-measured into the same window. Before
+    // ANYTHING graded — the start sentinels included, since they set the
+    // probe floors — spin the machine probe until BOTH readings land
+    // inside 1.5x the calibrated §c4 floors, bounded to ~90 s so a
+    // genuinely contended box degrades to the old flagged behavior
+    // instead of stalling. The spin trail lands in
+    // row_stats("warmup_gate"); flags after this gate mean mid-run
+    // contention, not cold start.
+    locally {
+      val t0 = System.nanoTime()
+      var p = probeOnce(spark)
+      recordStat("warmup_gate", "cpu_first", p._1)
+      recordStat("warmup_gate", "par_first", p._2)
+      var spins = 0
+      while ((p._1 > 1.5 * 0.13 || p._2 > 1.5 * 0.10) &&
+          (System.nanoTime() - t0) / 1e9 < 90.0) {
+        spins += 1
+        Thread.sleep(2000)
+        p = probeOnce(spark)
+      }
+      recordStat("warmup_gate", "spins", spins.toDouble)
+      recordStat("warmup_gate", "sec", (System.nanoTime() - t0) / 1e9)
+      recordStat("warmup_gate", "cpu_last", p._1)
+      recordStat("warmup_gate", "par_last", p._2)
     }
+    val sentBefore = sentinels(spark, reps)
     // Rep retry (round-5): one contended rep can poison a recorded median
     // (BENCH_r04: q09 median 3.81s against six quiet-box runs at
     // 0.34-0.63s). A rep >3x the query's running min triggers a machine
@@ -1441,6 +1521,17 @@ object Bench {
     val retried = scala.collection.mutable.LinkedHashSet[String]()
     val probes = scala.collection.mutable.LinkedHashMap[
       String, ((Double, Double), (Double, Double))]()
+    // Cold block (round 13 — VERDICT r12 task 7): runs BEFORE the
+    // headline warmup loop so a combined invocation cannot silently warm
+    // the paths it exists to measure first-execution.
+    val coldRows: Seq[(String, Double)] =
+      if (!only.exists(_.contains("x_cold"))) Seq.empty
+      else coldBench(spark, sfDir, (t, pp) => probes(t) = pp)
+    // warmup: JVM/codegen/file-listing paths, untimed
+    queries.foreach { name =>
+      try force(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
     def repBlock(name: String): Seq[Double] = {
       def rep(): Double =
         try timed(force(SparkEntry.queries(name)(spark, sfDir)))
@@ -1631,8 +1722,6 @@ object Bench {
       while (dirty(best) && tries < 2 && extrasRetryBudget > 0) {
         tries += 1; extrasRetryBudget -= 1
         extrasRetried(blockTag) = tries
-        best.foreach { case (t, a) =>
-          recordStat(t, s"retry${tries}_prev", a.min) }
         val next = attempt().toMap
         best = best.map { case prev @ (t, a) =>
           next.get(t) match {
@@ -1641,7 +1730,13 @@ object Bench {
               val takeNext =
                 if (c1 != c2) c2
                 else n.min >= 0 && (a.min < 0 || n.min < a.min)
-              if (takeNext) t -> n else prev
+              // retryN_prev marks only readings the merge actually
+              // SUPERSEDED — a clean kept row in a retried block is not
+              // a retry casualty (ADVICE r12: recording every row
+              // overstated what the trail replaced)
+              if (takeNext) {
+                recordStat(t, s"retry${tries}_prev", a.min); t -> n
+              } else prev
             case _ => prev
           }
         }
@@ -1717,11 +1812,11 @@ object Bench {
     recordStat("jobconst", "end_per_job", jobConstProbe(spark))
     val sentAfter = sentinels(spark, reps)
 
-    val mins = runs.map { case (n, ts) =>
+    val mins = coldRows ++ runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min) } ++
       vecMin ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
       containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ ccGrowth ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf
-    val meds = runs.map { case (n, ts) =>
+    val meds = coldRows ++ runs.map { case (n, ts) =>
       n -> (if (ts.exists(_ < 0)) -1.0 else med(ts)) } ++
       vecMed ++ ingestBench ++ dedupScaled ++ dedup200 ++ fuzzy600 ++
       containment ++ crossJac ++ lpa ++ kcore ++ incCc ++ ccGrowth ++ jacSolo ++ skyline ++ fuzzyK2 ++ tfidf

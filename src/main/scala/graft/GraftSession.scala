@@ -92,9 +92,15 @@ object GraftSession {
     * joins silently revert to sort-merge-with-spill on their candidate
     * blow-ups (the plan family round 11 retired). */
   def runtimeShjEnabled(spark: SparkSession): Boolean =
-    spark.conf.getOption(ShjThresholdKey).exists { v =>
-      try v.trim.toLong > 0 catch { case _: NumberFormatException => false }
-    }
+    spark.conf.getOption(ShjThresholdKey).exists(v => parseBytes(v) > 0)
+
+  /** Spark byte-size conf values accept unit suffixes ('128m', '1g') as
+    * well as bare byte counts — a bare `toLong` would mis-read a
+    * unit-suffixed session as "conf absent" (ADVICE r12). Unparseable →
+    * -1 (treated as disabled, matching Spark's own sentinel). */
+  private[graft] def parseBytes(v: String): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v.trim)
+    catch { case scala.util.control.NonFatal(_) => -1L }
 
   private val shjWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Scale-level plan artifact (VERDICT r12 task 2): dumps the EXECUTED
+  * join strategy per join site for the heavy join family, at whatever
+  * scale directory it is pointed at, into `PLANS_sf1.md` — a diff-able
+  * strategy table checked each round.
+  *
+  * Why this exists: sf0.01 plans do not predict sf1 plans. The r12
+  * finding was that AQE's SMJ→shuffled-hash conversion silently reverts
+  * to all-sort-merge exactly at sf1 (every map partition of BOTH sides
+  * must fit the threshold, and the wedge side's partitions are GB-scale)
+  * while the toy-scale spec asserted the conversion was in place —
+  * PLANS.md was a round-6 sf0.01 capture and hid the regression behind
+  * plausible walls. This main executes each heavy query (plans are only
+  * honest AFTER execution finalizes AQE) and records every join site:
+  * strategy, build side, join type, keys.
+  *
+  * Coverage: the queries run through a QueryExecutionListener, so joins
+  * executed inside `materialized` (localCheckpoint) intermediates — which
+  * never appear in the final frame's plan — are captured from their own
+  * query executions.
+  *
+  * Expected strategies are asserted only where a measurement established
+  * ground truth (BASELINE §c28/§c29): the q92/q97 wedge-closing join must
+  * hash-build (never sort-merge) and q97's final m-vs-m attach joins must
+  * stay sort-merge (forcing them regressed sf1 cold 41.8→59.8 s). Every
+  * other site is recorded and diffed round-over-round — a strategy flip
+  * across rounds is a named adjudication, not a silent re-plan.
+  *
+  * Run (sf1, the scale the artifact is named for):
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.PlanAudit target/sf1"
+  */
+object PlanAudit {
+
+  /** The heavy join family: blow-up-side joins whose strategy class the
+    * r12 finding proved scale-dependent. */
+  private val heavyQueries = Seq(
+    "q91_copurchase", "q92_triangles", "q97_edge_jaccard",
+    "q106_fuzzy_names", "q107_containment", "q115_keep_best",
+    "q119_cross_jaccard",
+    // the dedup attach-join carriers (candidate-verify / payload attach)
+    "q15_jaccard_pairs", "q20_minhash_pairs", "q21_simhash_pairs")
+
+  /** (query name, key subset, expected strategy, sf1-scale-only).
+    * "hash" accepts SHJ or BHJ (never SMJ) at any scale; the q97 m-vs-m
+    * SMJ claim is an sf1-regime measurement (at toy scale broadcast
+    * correctly wins) so it asserts only on an sf1-class run. */
+  private val expected: Seq[(String, Set[String], String, Boolean)] = Seq(
+    ("q92_triangles", Set("a", "b"), "hash", false),
+    ("q97_edge_jaccard", Set("a", "b"), "hash", false),
+    ("q97_edge_jaccard", Set("u", "v"), "SMJ", true)) // radix sort wins
+
+  final case class Site(strategy: String, build: String, joinType: String,
+      keys: String)
+
+  /** Every physical node of the FINAL (post-execution) plan, expanding
+    * adaptive wrappers and materialized query stages (the
+    * BlowupJoinPlanSpec traversal). */
+  private def finalNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: finalNodes(a.executedPlan)
+      case q: QueryStageExec => q +: finalNodes(q.plan)
+      case n => Seq(n)
+    }
+
+  private def sites(plan: SparkPlan): Seq[Site] =
+    finalNodes(plan).collect {
+      case j: SortMergeJoinExec =>
+        Site("SMJ", "-", j.joinType.toString, keysOf(j))
+      case j: ShuffledHashJoinExec =>
+        Site("SHJ", j.buildSide.toString, j.joinType.toString, keysOf(j))
+      case j: BroadcastHashJoinExec =>
+        Site("BHJ", j.buildSide.toString, j.joinType.toString, keysOf(j))
+      case j: BroadcastNestedLoopJoinExec =>
+        Site("BNLJ", j.buildSide.toString, j.joinType.toString, "-")
+      case _: CartesianProductExec =>
+        Site("Cartesian", "-", "Inner", "-")
+    }
+
+  private def keysOf(j: BaseJoinExec): String =
+    (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name))
+      .distinct.sorted.mkString(",")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val names = if (args.length > 1) args.drop(1).toSeq else heavyQueries
+    val spark = GraftSession.builder(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // capture every execution (force + eager materializations + counts)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = captured.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+
+    def drain(): Seq[QueryExecution] = {
+      // the execution-listener bus is async: poll until the queue is
+      // stable for a full second (executions land in submit order)
+      var last = -1
+      while (captured.size != last) {
+        last = captured.size; Thread.sleep(1000)
+      }
+      val out = scala.collection.mutable.ArrayBuffer[QueryExecution]()
+      var qe = captured.poll()
+      while (qe != null) { out += qe; qe = captured.poll() }
+      out.toSeq
+    }
+
+    val sb = new StringBuilder
+    val head = try {
+      scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"),
+        new java.io.File(".")).!!.trim
+    } catch { case _: Throwable => "unknown" }
+    sb ++= s"# PLANS_sf1 — executed join strategies, heavy family\n\n"
+    sb ++= s"Generated by `graft.PlanAudit` against `$sfDir` at HEAD `$head`.\n"
+    sb ++= "Strategies are read from the FINAL adaptive plans AFTER\n"
+    sb ++= "execution (a pre-execution explain does not show what AQE\n"
+    sb ++= "actually picked), including `materialized` intermediates via\n"
+    sb ++= "QueryExecutionListener. `expected` cites the measured ground\n"
+    sb ++= "truth (BASELINE §c28/§c29); `-` means recorded-and-diffed only.\n"
+    sb ++= "A status of FLIP is a named adjudication for the round.\n\n"
+    sb ++= "| query | keys | strategy | build | type | n | expected | status |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|\n"
+
+    var flips = 0
+    names.foreach { name =>
+      drain() // clear anything pending from the previous query
+      val wall = try {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        // listener captures ONLY: the frame's own queryExecution was
+        // never executed (the noop write ran a separate QE), so its
+        // adaptive plan is the initial all-SMJ one — appending it would
+        // report phantom sort-merge sites next to the real executed plan
+        val all = drain().map(_.executedPlan).flatMap(sites)
+        val grouped = all.groupBy(identity).view.mapValues(_.size).toSeq
+          .sortBy { case (s, _) => (s.keys, s.strategy) }
+        grouped.foreach { case (s, nDup) =>
+          val keySet = s.keys.split(",").filter(_.nonEmpty).toSet
+          val atSf1 = sfDir.contains("sf1")
+          val exp = expected.collectFirst {
+            case (q, ks, e, sf1Only) if name == q && ks.subsetOf(keySet) &&
+              (!sf1Only || atSf1) => e
+          }
+          val status = exp match {
+            case None => "-"
+            case Some("hash") =>
+              if (s.strategy == "SHJ" || s.strategy == "BHJ") "OK"
+              else { flips += 1; "FLIP" }
+            case Some(e) =>
+              if (s.strategy == e) "OK" else { flips += 1; "FLIP" }
+          }
+          sb ++= s"| $name | ${if (s.keys.isEmpty) "-" else s.keys} " +
+            s"| ${s.strategy} | ${s.build} | ${s.joinType} | $nDup " +
+            s"| ${exp.getOrElse("-")} | $status |\n"
+        }
+        t
+      } catch { case e: Throwable =>
+        sb ++= s"| $name | ERROR | ${e.getClass.getSimpleName} | - | - | - | - | ERR |\n"
+        -1.0
+      }
+      System.err.println(f"[planaudit] $name%s done in $wall%.1f s")
+    }
+    sb ++= s"\nFlips vs expected: $flips\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get("PLANS_sf1.md"),
+      sb.toString.getBytes("UTF-8"))
+    println(sb.toString)
+    spark.listenerManager.unregister(listener)
+    spark.stop()
+  }
+}

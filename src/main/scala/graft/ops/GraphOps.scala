@@ -340,28 +340,53 @@ object GraphOps {
     // larger than the m-row oriented list — so a sort-merge join pays an
     // O(W log W) sort + spill on the blow-up. Two regimes keep it
     // hash-built instead:
-    //   - small-to-mid graphs: NO hint — GraftSession's AQE
-    //     maxShuffledHashJoinLocalMapThreshold converts from actual
-    //     map-output sizes, so toy graphs broadcast (a static hint here
-    //     regressed the 5k-doc oracle rows 25-60%) and mid-scale
-    //     hash-builds;
-    //   - large graphs (m >= spark.graft.graph.shjForceEdges, default
-    //     2M): a static shuffle_hash hint on the ids-only build side.
-    //     The AQE conversion needs EVERY map partition of BOTH sides
-    //     under its threshold, and at 14M edges the WEDGE side's
-    //     partitions are GB-scale — the conversion silently reverts to
-    //     sort-merge exactly in the blow-up regime it exists for (r12
-    //     finding: q92/q97 at sf1 ran all-SMJ with in-band walls while
-    //     the spec asserted the conversion at toy scale only). Above the
-    //     threshold the graph cannot broadcast anyway (2M edges ~ 32 MB
-    //     serialized vs the 10 MB broadcast default), so the hint costs
-    //     nothing and pins the m-row build / W-row stream shape.
+    //   - broadcast-able graphs: NO hint — the planner (or AQE, from
+    //     actual map-output sizes) broadcasts the ids-only build side; a
+    //     static hint here regressed the 5k-doc oracle rows 25-60%;
+    //   - larger graphs: a static shuffle_hash hint on the ids-only
+    //     build side. The AQE SMJ→SHJ conversion needs EVERY map
+    //     partition of BOTH sides under its threshold, and at 14M edges
+    //     the WEDGE side's partitions are GB-scale — the conversion
+    //     silently reverts to sort-merge exactly in the blow-up regime it
+    //     exists for (r12 finding: q92/q97 at sf1 ran all-SMJ with
+    //     in-band walls while the spec asserted the conversion at toy
+    //     scale only).
+    // The regime boundary is DERIVED from the session, not a constant
+    // (r12's 2M default assumed the 10 MB broadcast default — a session
+    // with a raised threshold would get a forced shuffle build exactly
+    // where broadcast wins): the hint fires only when the build side
+    // cannot broadcast (m·16 B over autoBroadcastJoinThreshold) AND its
+    // estimated per-partition hash build fits the session's SHJ
+    // threshold — a forced hash build cannot spill, so past that cap the
+    // join falls back to SMJ-with-spill, the graceful floor.
+    // `spark.graft.graph.shjForceEdges` (an edge count) still overrides
+    // the derived broadcast boundary when set explicitly.
     val m = oriented.count() // materialized frame: a cheap checkpoint scan
-    val forceEdges = edges.sparkSession.conf
-      .get("spark.graft.graph.shjForceEdges", "2000000").toLong
+    val spark = edges.sparkSession
+    val bytesPerEdgeRow = 16L // two longs, serialized shuffle form (§c28)
+    val broadcastable = spark.conf.getOption("spark.graft.graph.shjForceEdges")
+      .map(v => m < v.trim.toLong)
+      .getOrElse {
+        val bcThresh = graft.GraftSession.parseBytes(
+          spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        bcThresh > 0 && m * bytesPerEdgeRow <= bcThresh
+      }
+    // per-partition build estimate: the serialized build bytes one task
+    // must hold as an in-memory (non-spillable) hash relation. The cap is
+    // the session's own SHJ threshold when set (a deliberately small one
+    // signals a tight heap — respect it), else the 128 MB GraftSession
+    // default.
+    val buildCap = {
+      val c = graft.GraftSession.parseBytes(
+        spark.conf.get(graft.GraftSession.ShjThresholdKey, "-1"))
+      if (c > 0) c else 128L << 20
+    }
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").trim.toInt)
+    val buildFits = m * bytesPerEdgeRow / parts <= buildCap
     val closingBuild = oriented.select(col("s").as("a"), col("t").as("b"))
     val tri = wedges.join(
-      if (m >= forceEdges) closingBuild.hint("shuffle_hash")
+      if (!broadcastable && buildFits) closingBuild.hint("shuffle_hash")
       else closingBuild,
       Seq("a", "b"))
     (e, deg, tri)

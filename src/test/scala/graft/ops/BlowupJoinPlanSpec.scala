@@ -116,6 +116,49 @@ class BlowupJoinPlanSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.graph.shjForceEdges")
   }
 
+  test("the closing-join hint boundary derives from the session's " +
+      "broadcast threshold: a raised threshold broadcasts where the " +
+      "hint would force SHJ (r12 task 3)") {
+    // Same graph, three sessions, no explicit shjForceEdges conf:
+    //  (a) broadcast disabled → build side can never broadcast → the
+    //      derived rule fires the hint → ShuffledHashJoin;
+    //  (b) broadcast threshold raised above m·16 B → broadcast wins →
+    //      BroadcastHashJoin on the closing join, NO forced shuffle
+    //      build (the r12 constant-cutoff bug: 2M edges assumed the
+    //      10 MB default, so a 128 MB-threshold session got a forced
+    //      shuffle build exactly where broadcast wins).
+    def closingJoins(s: org.apache.spark.sql.SparkSession) = {
+      val df = graft.queries.GraftQueries
+        .all("q92_triangles")(s, TestSpark.sf0001)
+      df.collect()
+      def keyNames(j: org.apache.spark.sql.execution.joins.BaseJoinExec) =
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name)).toSet
+      finalNodes(df.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if Set("a", "b").subsetOf(keyNames(j)) => j
+      }
+    }
+    val noBc = spark.newSession()
+    noBc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val forced = closingJoins(noBc)
+    withClue("broadcast disabled — derived rule must force the hash build: ") {
+      forced should not be empty
+      forced.collect { case j: SortMergeJoinExec => j } shouldBe empty
+      forced.collect { case j: ShuffledHashJoinExec => j } should not be empty
+    }
+    val bigBc = spark.newSession()
+    bigBc.conf.set("spark.sql.autoBroadcastJoinThreshold", (128L << 20).toString)
+    val bcast = closingJoins(bigBc)
+    withClue("raised broadcast threshold — broadcast must win, no forced " +
+        "shuffle build: ") {
+      bcast should not be empty
+      bcast.collect { case j: ShuffledHashJoinExec => j } shouldBe empty
+      bcast.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      } should not be empty
+    }
+  }
+
   test("blow-up ops warn ONCE (per JVM) under a session missing the " +
       "SHJ conversion, never under GraftSession's conf") {
     GraftSession.resetShjWarning()
@@ -123,6 +166,13 @@ class BlowupJoinPlanSpec extends SparkSpec {
       // the shared test session deliberately lacks the conf
       GraftSession.runtimeShjEnabled(spark) shouldBe false
       GraftSession.runtimeShjEnabled(shjSession()) shouldBe true
+      // Spark accepts unit-suffixed byte strings for this conf — a
+      // session configured '128m' carries the conversion and must not
+      // trip the spurious warning (ADVICE r12)
+      val unitConf = spark.newSession()
+      unitConf.conf.set(GraftSession.ShjThresholdKey, "128m")
+      GraftSession.runtimeShjEnabled(unitConf) shouldBe true
+      GraftSession.warnIfNoRuntimeShj(unitConf, "spec") shouldBe false
       GraftSession.warnIfNoRuntimeShj(spark, "spec") shouldBe true
       GraftSession.warnIfNoRuntimeShj(spark, "spec") shouldBe false // latched
       GraftSession.resetShjWarning()
