@@ -48,13 +48,22 @@ object PlanAudit {
     "q15_jaccard_pairs", "q20_minhash_pairs", "q21_simhash_pairs")
 
   /** (query name, key subset, expected strategy, sf1-scale-only).
-    * "hash" accepts SHJ or BHJ (never SMJ) at any scale; the q97 m-vs-m
-    * SMJ claim is an sf1-regime measurement (at toy scale broadcast
-    * correctly wins) so it asserts only on an sf1-class run. */
+    * "hash" accepts SHJ or BHJ (never SMJ) at any scale.
+    *
+    * The first sf1 audit (r13) corrected an encoding of the r12 scope-
+    * boundary measurement: q97's final m-vs-m joins were believed to
+    * "stay SMJ" at sf1, but the executed plan shows AQE's runtime
+    * conversion hash-builds them too (SHJ BuildLeft, per-partition
+    * size-checked, with the SMJ initial plan as the spillable fallback).
+    * What r12 actually measured as a 41.8→59.8 s regression was the
+    * STATIC hint — which pins a build side at logical-plan time without
+    * the runtime size check — not hash-building as such. So the m-vs-m
+    * sites are recorded-and-diffed, not asserted: the load-bearing
+    * assertions are the closing joins, where an all-SMJ reversion is the
+    * known silent failure mode. */
   private val expected: Seq[(String, Set[String], String, Boolean)] = Seq(
     ("q92_triangles", Set("a", "b"), "hash", false),
-    ("q97_edge_jaccard", Set("a", "b"), "hash", false),
-    ("q97_edge_jaccard", Set("u", "v"), "SMJ", true)) // radix sort wins
+    ("q97_edge_jaccard", Set("a", "b"), "hash", false))
 
   final case class Site(strategy: String, build: String, joinType: String,
       keys: String)
