@@ -68,6 +68,36 @@ object PlanAudit {
   final case class Site(strategy: String, build: String, joinType: String,
       keys: String)
 
+  /** Join-relevant sources stamped into the artifact (VERDICT r13
+    * task 4): PLANS_sf1.md is trusted round-over-round as the
+    * executed-plan ground truth for the heavy family, but nothing failed
+    * when these files changed AFTER the audit (r13: the artifact was
+    * stamped five commits before final — safe only by luck of commit
+    * ordering). The audit records each file's hash;
+    * PlanAuditStalenessSpec fails on mismatch, so regeneration is forced
+    * by a red signal instead of builder memory. */
+  private[graft] val auditedSources: Seq[String] = Seq(
+    "src/main/scala/graft/ops/GraphOps.scala",
+    "src/main/scala/graft/ops/Dedup.scala",
+    "src/main/scala/graft/ops/FuzzyJoin.scala",
+    "src/main/scala/graft/ops/SimilaritySearch.scala",
+    "src/main/scala/graft/queries/GraftQueries.scala",
+    "src/main/scala/graft/SparkEntry.scala")
+
+  private[graft] def sourceHash(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) "missing"
+    else java.security.MessageDigest.getInstance("SHA-256")
+      .digest(java.nio.file.Files.readAllBytes(p))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Parses the `- \`path\` = \`hash\`` lines back out of an artifact. */
+  private[graft] def stampedHashes(artifact: String): Seq[(String, String)] = {
+    val re = """- `([^`]+)` = `([0-9a-f]+|missing)`""".r
+    re.findAllMatchIn(artifact).map(m => (m.group(1), m.group(2))).toSeq
+  }
+
   /** Every physical node of the FINAL (post-execution) plan, expanding
     * adaptive wrappers and materialized query stages (the
     * BlowupJoinPlanSpec traversal). */
@@ -184,8 +214,21 @@ object PlanAudit {
       System.err.println(f"[planaudit] $name%s done in $wall%.1f s")
     }
     sb ++= s"\nFlips vs expected: $flips\n"
-    java.nio.file.Files.write(java.nio.file.Paths.get("PLANS_sf1.md"),
+    sb ++= "\n## Audited source hashes (sha256, first 8 bytes)\n\n"
+    sb ++= "The executed strategies above are claims about THESE sources.\n"
+    sb ++= "PlanAuditStalenessSpec fails when a hash below mismatches the\n"
+    sb ++= "working tree — regenerate this artifact after any change to a\n"
+    sb ++= "join-relevant file (VERDICT r13 task 4).\n\n"
+    auditedSources.foreach { p =>
+      sb ++= s"- `$p` = `${sourceHash(p)}`\n"
+    }
+    // output name derives from the scale directory (ADVICE r13: a
+    // hardcoded PLANS_sf1.md let an sf0.1 audit silently overwrite the
+    // sf1 artifact the round-over-round diff workflow trusts)
+    val outName = s"PLANS_${new java.io.File(sfDir).getName}.md"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       sb.toString.getBytes("UTF-8"))
+    System.err.println(s"[planaudit] wrote $outName")
     println(sb.toString)
     spark.listenerManager.unregister(listener)
     spark.stop()

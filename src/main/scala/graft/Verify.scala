@@ -62,6 +62,41 @@ object Verify {
       .filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance stamp (VERDICT r13 task 1): the scale-gate artifact must
+    // carry the tree it was produced from INSIDE the artifact — r13's
+    // claimed sf1 re-run was contradicted by a committed JSON that had no
+    // stamp. The engine side records its own head + session confs here;
+    // check_oracle_each.py embeds this file into the gate JSON verbatim.
+    def sh(cmd: String*): String =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val head = sh("git", "rev-parse", "HEAD")
+    val dirty = sh("git", "status", "--porcelain") match {
+      case "unknown" => q("unknown")
+      case "" => "false"
+      case _ => "true"
+    }
+    val confs = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold",
+      GraftSession.ShjThresholdKey,
+      "spark.sql.adaptive.enabled").map { k =>
+      s"${q(k)}: ${q(spark.conf.getOption(k).getOrElse("unset"))}"
+    }
+    val meta = Seq(
+      s"${q("tree_head")}: ${q(head)}",
+      s"${q("tree_dirty")}: $dirty",
+      s"${q("date_utc")}: ${q(java.time.Instant.now.toString)}",
+      s"${q("sf_dir")}: ${q(sfDir)}",
+      s"${q("cpus")}: ${q(cpus)}",
+      s"${q("verify_skip")}: ${q(skip.mkString(","))}",
+      s"${q("verify_only")}: ${q(only.map(_.mkString(",")).getOrElse(""))}",
+      s"${q("session_confs")}: ${confs.mkString("{", ",", "}")}"
+    ).mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"), meta)
     spark.stop()
   }
 }

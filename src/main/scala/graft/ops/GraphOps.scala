@@ -307,7 +307,10 @@ object GraphOps {
     * computation and leave single-computation to exchange-reuse
     * heuristics; the oriented list feeds both wedge arms + the closing
     * join. Two-three longs per edge is cheap to hold. */
-  private def triangleFrames(edges: DataFrame, srcCol: String,
+  // private[graft]: Bench.edgeJaccardSplit (x_split_q97 measurement
+  // scaffolding, VERDICT r13 task 5) needs the frame boundary; engine
+  // callers stay triangleStats/edgeJaccard
+  private[graft] def triangleFrames(edges: DataFrame, srcCol: String,
       dstCol: String): (DataFrame, DataFrame, DataFrame) = {
     graft.GraftSession.warnIfNoRuntimeShj(edges.sparkSession,
       "GraphOps.triangleFrames")
@@ -342,7 +345,16 @@ object GraphOps {
     // hash-built instead:
     //   - broadcast-able graphs: NO hint — the planner (or AQE, from
     //     actual map-output sizes) broadcasts the ids-only build side; a
-    //     static hint here regressed the 5k-doc oracle rows 25-60%;
+    //     static hint here regressed the 5k-doc oracle rows 25-60%.
+    //     That regression is specific to the broadcast-ENABLED regime:
+    //     the hint's crime was defeating a BHJ that wins outright. Under
+    //     a broadcast-DISABLED session (threshold -1, the test/foreign
+    //     regime) the alternatives are SHJ vs SMJ only, and the hint is
+    //     intentionally applied at ANY m: the buildFits cap below bounds
+    //     the per-task hash relation at every scale, and a hash build of
+    //     a small ids-only side never loses to sorting the wedge blow-up
+    //     (BlowupJoinPlanSpec pins exactly this — tiny graph, broadcast
+    //     off, closing join must be SHJ);
     //   - larger graphs: a static shuffle_hash hint on the ids-only
     //     build side. The AQE SMJ→SHJ conversion needs EVERY map
     //     partition of BOTH sides under its threshold, and at 14M edges

@@ -29,6 +29,42 @@ def sql_sha(entry):
     return hashlib.sha256(
         json.dumps(entry, sort_keys=True).encode()).hexdigest()[:16]
 
+def _sh(*cmd):
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=30)
+        return r.stdout.strip() if r.returncode == 0 else "unknown"
+    except Exception:
+        return "unknown"
+
+def provenance(outdir):
+    """VERDICT r13 task 1: the artifact must record the tree it gates,
+    IN the artifact — a gate claim without a tree_head stamp is
+    unverifiable (the r13 failure mode). Records the gate-time head, a
+    combined sha of src/main/scala (guards dirty-tree runs), and the
+    engine side's own verify_meta.json (written by graft.Verify) so the
+    Spark session confs the dump ran under are carried verbatim."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = _sh("git", "-C", repo, "ls-files", "src/main/scala")
+    src_sha = "unknown"
+    if files != "unknown":
+        h = hashlib.sha256()
+        for f in sorted(files.splitlines()):
+            p = os.path.join(repo, f)
+            if os.path.exists(p):
+                h.update(f.encode() + b"\0" + open(p, "rb").read() + b"\0")
+        src_sha = h.hexdigest()[:16]
+    meta = {"tree_head": _sh("git", "-C", repo, "rev-parse", "HEAD"),
+            "tree_dirty": _sh("git", "-C", repo, "status", "--porcelain") != "",
+            "gate_date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "src_main_sha": src_sha}
+    vm = os.path.join(outdir, "verify_meta.json")
+    if os.path.exists(vm):
+        try:
+            meta["verify_meta"] = json.load(open(vm))
+        except Exception as e:
+            meta["verify_meta"] = f"unreadable: {e}"
+    return meta
+
 sfdir, outdir = sys.argv[1], sys.argv[2]
 budget = int(sys.argv[3]) if len(sys.argv) > 3 else 300
 json_out = sys.argv[4] if len(sys.argv) > 4 else None
@@ -49,9 +85,12 @@ if json_out and os.path.exists(json_out):
         passed.append(name)
         print(f"ok   {name} (resumed: prior pass, {row['secs']}s)",
               flush=True)
+PROVENANCE = None  # computed once, at gate start
+
 def flush():
     if json_out:
         art = {"sf_dir": sfdir, "verify_dir": outdir, "budget_sec": budget,
+               **(PROVENANCE or {}),
                "pass": sum(1 for r in rows.values() if r["status"] == "pass"),
                "fail": sum(1 for r in rows.values() if r["status"] == "fail"),
                "oracle_timeout": sum(1 for r in rows.values()
@@ -64,6 +103,7 @@ def flush():
             json.dump(art, f, indent=1, sort_keys=True)
         os.replace(tmp, json_out)
 
+PROVENANCE = provenance(outdir)
 for name in sorted(oracle):
     if name in rows:
         continue
