@@ -803,12 +803,28 @@ object Bench {
         .count().toDouble / n
       System.err.println(f"[bench] x_fuzzy_k2_15k n=$n%d " +
         f"candidates/key=$cpk%.2f")
+      // in-artifact (VERDICT r13 task 3: the band re-base's first
+      // question is "is candidates/key still ~1157", so the artifact
+      // answers it)
+      recordStat("x_fuzzy_k2_15k", "cands_per_key", cpk)
       def one(i: Int): Double = {
-        val g0 = gcMillis()
+        // same per-rep discipline as the 50k dedup minOf2 (§c29/§c30):
+        // this row predates the io discipline and was still graded
+        // against a single-run r8 anchor — its reps now pin heap, flush
+        // the predecessor's dirty pages outside timing, and record the
+        // trail, so the re-based band rests on clean readings
+        System.gc()
+        val sy = syncDisk()
+        if (sy > 0.25) recordStat("x_fuzzy_k2_15k", s"sync$i", sy)
+        val g0 = gcMillis(); val h0 = heapUsedMb()
         val t = timed(force(FuzzyJoin.editDistancePairs(names, "c_custkey",
           "c_name", maxDist = 2)))
+        val gs = (gcMillis() - g0) / 1000.0
         System.err.println(f"[bench] x_fuzzy_k2_15k rep$i%d wall=$t%.1fs " +
-          f"gc=${(gcMillis() - g0) / 1000.0}%.1fs")
+          f"gc=$gs%.1fs heapStart=${h0}%dMB")
+        recordStat("x_fuzzy_k2_15k", s"wall$i", t)
+        recordStat("x_fuzzy_k2_15k", s"gc$i", gs)
+        recordStat("x_fuzzy_k2_15k", s"heapStart${i}_mb", h0.toDouble)
         t
       }
       val pb = probeOnce(spark)
@@ -1665,11 +1681,19 @@ object Bench {
     // early block-retries re-measured into the same window. Before
     // ANYTHING graded — the start sentinels included, since they set the
     // probe floors — spin the machine probe until BOTH readings land
-    // inside 1.5x the calibrated §c4 floors, bounded to ~90 s so a
+    // inside 1.25x the calibrated §c4 floors, bounded to ~90 s so a
     // genuinely contended box degrades to the old flagged behavior
     // instead of stalling. The spin trail lands in
     // row_stats("warmup_gate"); flags after this gate mean mid-run
     // contention, not cold start.
+    // Admission is 1.25x, retry band 1.5x — DELIBERATELY stricter
+    // (VERDICT r13 task 6): both r13 runs cleared the gate at
+    // cpu_last 0.17-0.19 (1.3-1.5x floor) and then block-retried the
+    // first 3-4 rows anyway, because a gate admitting at exactly the
+    // retry threshold leaves the still-settling first block zero
+    // headroom. The retries all landed on first-pass walls (q01
+    // retry1_min 0.197 = its final min), i.e. they re-measured fine
+    // rows — a few more 2 s spins up front are cheaper.
     locally {
       val t0 = System.nanoTime()
       recordStat("warmup_gate", "sync_sec", syncDisk())
@@ -1677,7 +1701,7 @@ object Bench {
       recordStat("warmup_gate", "cpu_first", p._1)
       recordStat("warmup_gate", "par_first", p._2)
       var spins = 0
-      while ((p._1 > 1.5 * cpuProbeFloor || p._2 > 1.5 * parProbeFloor) &&
+      while ((p._1 > 1.25 * cpuProbeFloor || p._2 > 1.25 * parProbeFloor) &&
           (System.nanoTime() - t0) / 1e9 < 90.0) {
         spins += 1
         Thread.sleep(2000)

@@ -145,7 +145,14 @@ object PlanAudit {
 
     def drain(): Seq[QueryExecution] = {
       // the execution-listener bus is async: poll until the queue is
-      // stable for a full second (executions land in submit order)
+      // stable for a full second (executions land in submit order).
+      // Known limit (ADVICE r13, accepted): an event lagging >1 s past
+      // queue-stability would be attributed to the NEXT query. Each
+      // audited query here runs multi-second materializations back to
+      // back, so a 1 s post-completion gap has not been observed; if a
+      // mis-attribution ever shows up in the artifact (a site under the
+      // wrong query name), switch to tagging executions via
+      // sparkContext.setJobDescription around each query instead.
       var last = -1
       while (captured.size != last) {
         last = captured.size; Thread.sleep(1000)
